@@ -1,13 +1,62 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 with a SQL-expressible shape appears in
+  * both `queries` (the Spark implementation) and `oracleSql` (the DuckDB
+  * reference SQL the driver runs on the same parquet tables). Column names
+  * and rounding are aligned pairwise: the driver's compare sorts columns by
+  * name and hashes values.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q05RegionRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Relational / analytics core
+    "q01_pricing_summary" -> (Relational.q01PricingSummary _),
+    "q03_top_orders" -> (Relational.q03TopOrders _),
+    "q05_region_revenue" -> (Relational.q05RegionRevenue _),
+    "q10_returned_items" -> (Relational.q10ReturnedItems _),
+    "q_part_supplier" -> (Relational.qPartSupplier _),
+    // Event-pipeline semantics
+    "ev_route_counts" -> (Events.routeCounts _),
+    "ev_json_extract" -> (Events.jsonExtract _),
+    "ev_latest_per_user" -> (Events.latestPerUser _),
+    "ev_dedup_first" -> (Events.dedupFirst _),
+    "ev_sessionize" -> (Events.sessionize _),
+    "ev_running_total" -> (Events.runningTotal _),
+    "ev_ema" -> (Events.ema _),
+    "ev_daily_stats" -> (Events.dailyStats _),
+    "ev_topk_users" -> (Events.topkUsers _),
+    "ev_pivot_types" -> (Events.pivotTypes _)
+  )
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> Relational.q01Oracle,
+    "q03_top_orders" -> Relational.q03Oracle,
+    "q05_region_revenue" -> Relational.q05Oracle,
+    "q10_returned_items" -> Relational.q10Oracle,
+    "q_part_supplier" -> Relational.qPartSupplierOracle,
+    "ev_route_counts" -> Events.routeCountsOracle,
+    "ev_json_extract" -> Events.jsonExtractOracle,
+    "ev_latest_per_user" -> Events.latestPerUserOracle,
+    "ev_dedup_first" -> Events.dedupFirstOracle,
+    "ev_sessionize" -> Events.sessionizeOracle,
+    "ev_running_total" -> Events.runningTotalOracle,
+    "ev_ema" -> Events.emaOracle,
+    "ev_daily_stats" -> Events.dailyStatsOracle,
+    "ev_topk_users" -> Events.topkUsersOracle,
+    "ev_pivot_types" -> Events.pivotTypesOracle
+  )
 }

@@ -1,0 +1,288 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Event-pipeline semantics of the reference, re-expressed over the
+  * `events` testdata table:
+  *
+  *  - whitelist filtering + type routing   (reference process_events.go:49-61,
+  *    119-145 — events matched against a type whitelist and dispatched)
+  *  - JSON attribute parsing               (db.go:842-937 — `[{key,value}]`
+  *    payloads parsed into typed columns; here via native `from_json`)
+  *  - latest-wins upsert                   (db.go:1171-1175 ON CONFLICT DO
+  *    UPDATE on last_commit_values; = argmax window per key)
+  *  - first-wins insert-ignore             (db.go:744-747 ON CONFLICT DO
+  *    NOTHING on events; = min-by per key)
+  *  - EMA maintenance                      (db.go:1334-1339 ema_scores)
+  *  - sessionization / running totals      (tokenomics-style time series,
+  *    db.go:1352-1410)
+  *
+  * All window operators partition by a key (user) so state is bounded per
+  * key and the shuffle is a clean hash partition — no global windows except
+  * the day-level running total whose domain (days) is tiny by construction.
+  */
+object Events {
+
+  /** Whitelist + route: drop non-whitelisted types, map to categories,
+    * aggregate per category. Mirrors FilterEvents + the insertEvents
+    * dispatch (db.go:691-740).
+    */
+  def routeCounts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val category = when(col("event_type").isin("click", "view"), "engagement")
+      .when(col("event_type").isin("purchase", "signup"), "conversion")
+    e.select(category.as("category"), col("user_id"), col("value"))
+      .filter(col("category").isNotNull)
+      .groupBy(col("category"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy("category")
+  }
+
+  val routeCountsOracle: String =
+    """SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+                   WHEN event_type IN ('purchase', 'signup') THEN 'conversion' END AS category,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 2) AS total_value
+       FROM events
+       WHERE event_type IN ('click', 'view', 'purchase', 'signup')
+       GROUP BY 1 ORDER BY 1"""
+
+  /** Native JSON attribute extraction (schema'd `from_json`, codegen'd —
+    * no string UDFs), bucketed aggregation over the extracted key.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val props = from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+    e.select(props.getField("k").as("k"), col("value"))
+      .select(floor(col("k") / 10).as("k_bucket"), col("value"))
+      .groupBy(col("k_bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .withColumn("avg_value", floor(col("total_value") / col("n_events") * 1e4) / 1e4)
+      .orderBy("k_bucket")
+  }
+
+  val jsonExtractOracle: String =
+    """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10) AS BIGINT) AS k_bucket,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       floor(round(sum(value), 2) / count(*) * 1e4) / 1e4 AS avg_value
+       FROM events GROUP BY 1 ORDER BY 1"""
+
+  /** Latest-wins upsert per key (ON CONFLICT DO UPDATE semantics): the
+    * newest event per user wins. Event ids are assigned in timestamp order,
+    * so ordering by id avoids cross-engine sub-microsecond timestamp
+    * comparisons.
+    */
+  def latestPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        round(col("value"), 2).as("last_value"))
+      .orderBy("user_id")
+  }
+
+  val latestPerUserOracle: String =
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+       round(value, 2) AS last_value
+       FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             FROM events) WHERE rn = 1 ORDER BY user_id"""
+
+  /** First-wins insert-ignore per (user, type) key (ON CONFLICT DO NOTHING):
+    * keep the first event, count the ignored duplicates.
+    */
+  def dedupFirst(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("user_id"), col("event_type"))
+      .agg(
+        min(col("event_id")).as("first_event_id"),
+        round(min_by(col("value"), col("event_id")), 2).as("first_value"),
+        (count(lit(1)) - 1).as("n_ignored"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val dedupFirstOracle: String =
+    """SELECT user_id, event_type, min(event_id) AS first_event_id,
+       round(min_by(value, event_id), 2) AS first_value,
+       count(*) - 1 AS n_ignored
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Gap-based sessionization: a >30-minute silence starts a new session.
+    * Timestamps are compared at whole-second resolution on both engines
+    * (parquet stores nanoseconds; Spark reads microseconds — truncating to
+    * seconds makes the session boundaries engine-portable).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("sec"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val gap = col("sec") - lag(col("sec"), 1).over(byUser)
+    val sessions = e
+      .withColumn("new_session", when(gap.isNull || gap > 1800, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), (max(col("sec")) - min(col("sec"))).as("dur_sec"))
+    sessions
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"),
+        (floor(sum(col("n_events")) / count(lit(1)) * 1e4) / 1e4).as("avg_session_events"),
+        sum(col("dur_sec")).as("total_session_sec"))
+      .orderBy("user_id")
+  }
+
+  val sessionizeOracle: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec FROM events),
+       flagged AS (
+         SELECT user_id, event_id, sec,
+           CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY event_id) > 1800
+                  OR lag(sec) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+         FROM e),
+       numbered AS (
+         SELECT user_id, sec,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM flagged),
+       sessions AS (
+         SELECT user_id, session_id, count(*) AS n_events,
+                max(sec) - min(sec) AS dur_sec
+         FROM numbered GROUP BY 1, 2)
+       SELECT user_id, count(*) AS n_sessions,
+              CAST(sum(n_events) AS BIGINT) AS n_events,
+              CAST(max(n_events) AS BIGINT) AS max_session_events,
+              floor(sum(n_events) / count(*) * 1e4) / 1e4 AS avg_session_events,
+              CAST(sum(dur_sec) AS BIGINT) AS total_session_sec
+       FROM sessions GROUP BY user_id ORDER BY user_id"""
+
+  /** Daily totals + running cumulative (tokenomics-style supply series).
+    * The cumulative window runs over rounded daily sums so both engines
+    * accumulate identical 2-decimal increments.
+    */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+    val daily = e.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(round(sum(col("value")), 2).as("daily_value"), count(lit(1)).as("n_purchases"))
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cumulative_value", round(sum(col("daily_value")).over(w), 2))
+      .orderBy("day")
+  }
+
+  val runningTotalOracle: String =
+    """WITH daily AS (
+         SELECT strftime(ts, '%Y-%m-%d') AS day, round(sum(value), 2) AS daily_value,
+                count(*) AS n_purchases
+         FROM events WHERE event_type = 'purchase' GROUP BY 1)
+       SELECT day, daily_value, n_purchases,
+              round(sum(daily_value) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 2)
+                AS cumulative_value
+       FROM daily ORDER BY day"""
+
+  /** Per-user EMA (alpha = 0.2) over the event sequence — the `ema_scores`
+    * maintenance loop as one declarative pass: sort-collect per key, then a
+    * codegen'd `aggregate` fold. State is bounded per user, the only
+    * shuffle is the groupBy hash partition.
+    */
+  def ema(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("event_id"), col("value")))).as("seq"))
+      .select(
+        col("user_id"),
+        round(
+          aggregate(
+            col("seq"),
+            lit(null).cast("double"),
+            (acc, x) =>
+              when(acc.isNull, x.getField("value"))
+                .otherwise(acc * lit(0.8) + x.getField("value") * lit(0.2))),
+          4).as("ema"),
+        size(col("seq")).cast("long").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Closed form of the same fold: ema_n = 0.8^(n-1) v_1 + Σ 0.2·0.8^(n-i) v_i. */
+  val emaOracle: String =
+    """WITH r AS (
+         SELECT user_id, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+                count(*) OVER (PARTITION BY user_id) AS n
+         FROM events)
+       SELECT user_id,
+              round(sum(CASE WHEN rn = 1 THEN power(0.8, n - 1) * value
+                             ELSE 0.2 * power(0.8, n - rn) * value END), 4) AS ema,
+              CAST(max(n) AS BIGINT) AS n_events
+       FROM r GROUP BY user_id ORDER BY user_id"""
+
+  /** Per-day, per-type stats (time-bucketed multi-agg). */
+  def dailyStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"),
+        round(min(col("value")), 2).as("min_value"),
+        round(max(col("value")), 2).as("max_value"))
+      .withColumn("avg_value", floor(col("total_value") / col("n_events") * 1e4) / 1e4)
+      .orderBy("day", "event_type")
+  }
+
+  val dailyStatsOracle: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value,
+       floor(round(sum(value), 2) / count(*) * 1e4) / 1e4 AS avg_value
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Top-K users by total value (score-ranking shape). */
+  def topkUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(10)
+  }
+
+  val topkUsersOracle: String =
+    """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+       FROM events GROUP BY 1 ORDER BY total_value DESC, user_id LIMIT 10"""
+
+  /** Pivot event types into per-user count columns. */
+  def pivotTypes(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+  }
+
+  val pivotTypesOracle: String =
+    """SELECT user_id,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+       FROM events GROUP BY user_id ORDER BY user_id"""
+}

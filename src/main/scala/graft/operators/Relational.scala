@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational / analytics core: the query shapes the reference serves from
+  * its per-topic fact tables (joins over dimension tables, grouped
+  * aggregates, top-N rankings — cf. /root/reference/db.go:394-524 table
+  * layout and the topic_id indexes on every fact table), expressed TPC-H
+  * style over the driver testdata.
+  *
+  * Scale notes: dimension sides (`region`, `nation`, `supplier`, `part`,
+  * filtered `customer`) are explicitly `broadcast()`; fact-fact joins
+  * shuffle on their natural keys; aggregates are single-pass hash aggs with
+  * map-side partials. Doubles are rounded only at the output edge (verify
+  * determinism), never mid-plan.
+  */
+object Relational {
+
+  /** Multi-aggregate scan: pricing summary by return flag / line status. */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      // Averages derive from the already-rounded sums and are truncated, not
+      // rounded: sums of 2-decimal data divided by small counts land exactly
+      // on round-half boundaries, where Spark (decimal-string HALF_UP) and
+      // other engines (binary) disagree. floor() on bit-identical doubles is
+      // engine-portable.
+      .withColumn("avg_qty", floor(col("sum_qty") / col("count_order") * 1e4) / 1e4)
+      .withColumn("avg_price", floor(col("sum_base_price") / col("count_order") * 1e4) / 1e4)
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q01Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+       count(*) AS count_order,
+       floor(round(sum(l_quantity), 2) / count(*) * 1e4) / 1e4 AS avg_qty,
+       floor(round(sum(l_extendedprice), 2) / count(*) * 1e4) / 1e4 AS avg_price
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Join + filter + agg + deterministic top-N (shipping-priority shape). */
+  def q03TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .select(
+        col("l_orderkey"),
+        col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q03Oracle: String =
+    """SELECT l_orderkey,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-06-01'
+         AND l_shipdate > TIMESTAMP '1998-06-01'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  /** Six-way star join: local-supplier revenue per nation for one region. */
+  def q05RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q05Oracle: String =
+    """SELECT n_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+  /** Returned-item revenue per customer (top 20). */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Oracle: String =
+    """SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE l_returnflag = 'R'
+         AND o_orderdate >= TIMESTAMP '1997-01-01'
+         AND o_orderdate < TIMESTAMP '1997-07-01'
+       GROUP BY c_custkey, c_name, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  /** Broadcast-dim join: per-brand shipped volume and revenue. */
+  def qPartSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+  }
+
+  val qPartSupplierOracle: String =
+    """SELECT p_brand,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers,
+       count(*) AS n_lines
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       GROUP BY p_brand ORDER BY p_brand"""
+}
