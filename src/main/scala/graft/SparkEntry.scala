@@ -36,7 +36,23 @@ object SparkEntry {
     "ev_ema" -> (Events.ema _),
     "ev_daily_stats" -> (Events.dailyStats _),
     "ev_topk_users" -> (Events.topkUsers _),
-    "ev_pivot_types" -> (Events.pivotTypes _)
+    "ev_pivot_types" -> (Events.pivotTypes _),
+    // Text analysis
+    "text_tokens" -> (TextOps.tokens _),
+    "text_quality" -> (TextOps.quality _),
+    "text_langid" -> (TextOps.langid _),
+    "text_fingerprint" -> (TextOps.fingerprint _),
+    "doc_stats" -> (TextOps.docStats _),
+    // Dedup suite
+    "dd_exact" -> (Dedup.exact _),
+    "dd_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dd_minhash_lsh" -> (Dedup.minhashLsh _),
+    "dd_simhash" -> (Dedup.simhash _),
+    "dd_embedding_cos" -> (Dedup.embeddingCos _),
+    // Similarity search
+    "sim_topk_bruteforce" -> (Similarity.topkBruteforce _),
+    "sim_lsh_topk" -> (Similarity.lshTopk _),
+    "emb_norms" -> (Similarity.embNorms _)
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -57,6 +73,19 @@ object SparkEntry {
     "ev_ema" -> Events.emaOracle,
     "ev_daily_stats" -> Events.dailyStatsOracle,
     "ev_topk_users" -> Events.topkUsersOracle,
-    "ev_pivot_types" -> Events.pivotTypesOracle
+    "ev_pivot_types" -> Events.pivotTypesOracle,
+    "text_tokens" -> TextOps.tokensOracle,
+    "text_quality" -> TextOps.qualityOracle,
+    "text_langid" -> TextOps.langidOracle,
+    "text_fingerprint" -> TextOps.fingerprintOracle,
+    "doc_stats" -> TextOps.docStatsOracle,
+    "dd_exact" -> Dedup.exactOracle,
+    "dd_ngram_jaccard" -> Dedup.ngramJaccardOracle,
+    "dd_embedding_cos" -> Dedup.embeddingCosOracle,
+    "sim_topk_bruteforce" -> Similarity.topkBruteforceOracle,
+    "emb_norms" -> Similarity.embNormsOracle
+    // dd_minhash_lsh / dd_simhash / sim_lsh_topk: hash families are not
+    // SQL-portable — rows-only check; pinned against exact baselines in
+    // DedupSpec / SimilaritySpec instead.
   )
 }

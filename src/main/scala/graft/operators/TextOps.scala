@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis suite over the `documents` table: token counting, quality
+  * scoring, heuristic language ID, content fingerprinting, corpus stats.
+  *
+  * Everything is built from codegen'd Catalyst functions (`split`,
+  * `transform`, `filter`, `aggregate`, `md5`) — no UDFs, so a 100 TB corpus
+  * scan stays inside WholeStageCodegen and needs exactly one shuffle per
+  * aggregate. Derived ratios are floor-truncated (not rounded) at the
+  * output edge — see SURVEY.md §4 determinism policy.
+  */
+object TextOps {
+
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  private def trunc4(c: Column): Column = floor(c * lit(1e4)) / lit(1e4)
+
+  /** Token counting: whitespace tokens, regex (BPE-ish) tokens, uniques. */
+  def tokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val ws = words(col("text"))
+    d.select(
+        col("doc_id"),
+        col("n_chars"),
+        size(ws).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast("long").as("re_tokens"),
+        size(array_distinct(ws)).cast("long").as("uniq_words"))
+      .orderBy("doc_id")
+  }
+
+  val tokensOracle: String =
+    """SELECT doc_id, n_chars,
+       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re_tokens,
+       len(list_distinct(string_split_regex(trim(text), '\s+'))) AS uniq_words
+       FROM documents ORDER BY doc_id"""
+
+  /** Quality scoring: stopword / uniqueness / length signals combined into
+    * one bounded score. All ratios come from exact integer counts, so the
+    * doubles are bit-identical across engines.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val ws = words(col("text"))
+    val base = d.select(
+      col("doc_id"),
+      size(ws).cast("double").as("n_words"),
+      size(array_distinct(ws)).cast("double").as("n_uniq"),
+      size(filter(ws, w => w.isin("the", "a"))).cast("double").as("n_stop"),
+      length(regexp_replace(col("text"), "\\s", "")).cast("double").as("n_nonspace"))
+    base.select(
+        col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        trunc4(col("n_stop") / col("n_words")).as("stop_ratio"),
+        trunc4(col("n_uniq") / col("n_words")).as("uniq_ratio"),
+        trunc4(col("n_nonspace") / col("n_words")).as("avg_word_len"),
+        trunc4(
+          lit(0.4) * (col("n_uniq") / col("n_words")) +
+          lit(0.3) * (lit(1.0) - col("n_stop") / col("n_words")) +
+          lit(0.3) * least(lit(1.0), col("n_words") / lit(100.0))).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val qualityOracle: String =
+    """WITH b AS (
+         SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+'))::DOUBLE AS n_words,
+           len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE AS n_uniq,
+           len(list_filter(string_split_regex(trim(text), '\s+'),
+                           w -> w IN ('the', 'a')))::DOUBLE AS n_stop,
+           length(regexp_replace(text, '\s', '', 'g'))::DOUBLE AS n_nonspace
+         FROM documents)
+       SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         floor(n_stop / n_words * 1e4) / 1e4 AS stop_ratio,
+         floor(n_uniq / n_words * 1e4) / 1e4 AS uniq_ratio,
+         floor(n_nonspace / n_words * 1e4) / 1e4 AS avg_word_len,
+         floor((0.4 * (n_uniq / n_words) + 0.3 * (1.0 - n_stop / n_words)
+                + 0.3 * least(1.0, n_words / 100.0)) * 1e4) / 1e4 AS quality
+       FROM b ORDER BY doc_id"""
+
+  /** Heuristic language ID from word-profile hit counts with a fixed
+    * precedence order. (The synthetic corpus shares one vocabulary across
+    * languages, so accuracy is what it is — the operator is the point:
+    * profile scoring + deterministic argmax, the shape a real n-gram
+    * language identifier takes at scale.)
+    */
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val ws = words(col("text"))
+    def hits(s: String*): Column = size(filter(ws, w => w.isin(s: _*)))
+    val base = d.select(
+      col("doc_id"), col("lang"),
+      hits("the", "a").as("c_en"),
+      hits("data", "row").as("c_es"),
+      hits("join", "merge").as("c_de"),
+      hits("filter", "sort").as("c_fr"),
+      hits("spark", "query").as("c_zh"))
+    val pred =
+      when(col("c_en") >= col("c_es") && col("c_en") >= col("c_de") &&
+           col("c_en") >= col("c_fr") && col("c_en") >= col("c_zh"), "en")
+        .when(col("c_es") >= col("c_de") && col("c_es") >= col("c_fr") &&
+              col("c_es") >= col("c_zh"), "es")
+        .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_zh"), "de")
+        .when(col("c_fr") >= col("c_zh"), "fr")
+        .otherwise("zh")
+    base.select(
+        col("doc_id"),
+        pred.as("pred_lang"),
+        col("lang").as("actual_lang"),
+        (pred === col("lang")).as("is_match"))
+      .orderBy("doc_id")
+  }
+
+  val langidOracle: String =
+    """WITH b AS (
+         SELECT doc_id, lang,
+           len(list_filter(string_split_regex(trim(text), '\s+'), w -> w IN ('the', 'a'))) AS c_en,
+           len(list_filter(string_split_regex(trim(text), '\s+'), w -> w IN ('data', 'row'))) AS c_es,
+           len(list_filter(string_split_regex(trim(text), '\s+'), w -> w IN ('join', 'merge'))) AS c_de,
+           len(list_filter(string_split_regex(trim(text), '\s+'), w -> w IN ('filter', 'sort'))) AS c_fr,
+           len(list_filter(string_split_regex(trim(text), '\s+'), w -> w IN ('spark', 'query'))) AS c_zh
+         FROM documents),
+       p AS (
+         SELECT doc_id, lang,
+           CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                WHEN c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                WHEN c_fr >= c_zh THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+         FROM b)
+       SELECT doc_id, pred_lang, lang AS actual_lang,
+              pred_lang = lang AS is_match
+       FROM p ORDER BY doc_id"""
+
+  /** Normalized content fingerprint (lowercase, whitespace-collapsed, md5)
+    * and the duplicate group each document lands in — the reference's
+    * content-hash dedup (db.go:573 `hash(data)`) done scalably: group by
+    * the 16-byte digest, never by the document body.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    d.select(col("doc_id"), md5(norm.cast("binary")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
+      .orderBy("fp")
+  }
+
+  val fingerprintOracle: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+       FROM documents GROUP BY 1 ORDER BY 1"""
+
+  /** Corpus stats per (lang, source). */
+  def docStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .withColumn("avg_chars", trunc4(col("total_chars") / col("n_docs")))
+      .orderBy("lang", "source")
+  }
+
+  val docStatsOracle: String =
+    """SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       floor(CAST(sum(n_chars) AS BIGINT) / count(*) * 1e4) / 1e4 AS avg_chars
+       FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+
+class DedupSpec extends SparkSpec {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+
+  lazy val exactJaccardPairs: Set[(Long, Long)] = pairs(Dedup.ngramJaccard(spark, sfDir))
+
+  test("exact dedup keeps at most one doc per content hash") {
+    val kept = Dedup.exact(spark, sfDir).count()
+    val distinctTexts = Tables.documents(spark, sfDir).select("text").distinct().count()
+    assert(kept === distinctTexts)
+  }
+
+  test("ngramJaccard finds the planted near-duplicate pairs") {
+    assert(exactJaccardPairs.nonEmpty, "corpus should contain planted near-dups")
+    Dedup.ngramJaccard(spark, sfDir).collect().foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.5 && j <= 1.0)
+    }
+  }
+
+  test("minhashLsh recovers the exact-Jaccard pairs (est >= 0.5)") {
+    val lsh = pairs(Dedup.minhashLsh(spark, sfDir))
+    val missed = exactJaccardPairs -- lsh
+    assert(missed.isEmpty, s"minhash missed true pairs: $missed")
+    // Precision: estimated-Jaccard survivors should largely be true pairs.
+    val extra = lsh -- exactJaccardPairs
+    assert(extra.size <= lsh.size / 2, s"too many false positives: $extra")
+  }
+
+  test("simhash finds most planted near-dups at hamming <= 3") {
+    val sh = pairs(Dedup.simhash(spark, sfDir))
+    val recall = (exactJaccardPairs & sh).size.toDouble / exactJaccardPairs.size
+    assert(recall >= 0.4, s"simhash recall $recall too low")
+  }
+
+  test("embeddingCos output is symmetric-free and above threshold") {
+    val rows = Dedup.embeddingCos(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("probe_id") < r.getAs[Long]("cand_id"))
+      assert(r.getAs[Double]("cosine") >= 0.3)
+    }
+  }
+}

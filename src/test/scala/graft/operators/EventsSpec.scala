@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class EventsSpec extends SparkSpec {
+
+  test("routeCounts drops non-whitelisted types and keeps two categories") {
+    val rows = Events.routeCounts(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("category")).sorted.toSeq === Seq("conversion", "engagement"))
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    val all = Tables.events(spark, sfDir).count()
+    val errors = Tables.events(spark, sfDir).filter(col("event_type") === "error").count()
+    assert(total === all - errors)
+  }
+
+  test("latestPerUser returns one row per user with the max event id") {
+    val df = Events.latestPerUser(spark, sfDir)
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(df.count() === users)
+    val expected = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(max("event_id").as("m")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("m")).toMap
+    Events.latestPerUser(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("last_event_id") === expected(r.getAs[Long]("user_id")))
+    }
+  }
+
+  test("ema matches an in-memory recurrence per user") {
+    val byUser = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "value").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+      .groupBy(_._1)
+    val expected = byUser.map { case (u, rows) =>
+      val vs = rows.sortBy(_._2).map(_._3)
+      u -> vs.tail.foldLeft(vs.head)((acc, v) => acc * 0.8 + v * 0.2)
+    }
+    Events.ema(spark, sfDir).collect().foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val got = r.getAs[Double]("ema")
+      assert(math.abs(got - expected(u)) < 1e-3, s"user $u: $got vs ${expected(u)}")
+    }
+  }
+
+  test("sessionize conserves events and session gaps exceed the threshold") {
+    val rows = Events.sessionize(spark, sfDir).collect()
+    val totalEvents = rows.map(_.getAs[Long]("n_events")).sum
+    assert(totalEvents === Tables.events(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sessions") >= 1)
+      assert(r.getAs[Long]("max_session_events") <= r.getAs[Long]("n_events"))
+    }
+  }
+
+  test("runningTotal is monotonically nondecreasing") {
+    val rows = Events.runningTotal(spark, sfDir).collect()
+    val cums = rows.map(_.getAs[Double]("cumulative_value"))
+    assert(cums.sameElements(cums.sorted))
+  }
+
+  test("pivotTypes counts reconcile with total events") {
+    val df = Events.pivotTypes(spark, sfDir)
+    val total = df.select(
+      (col("click") + col("error") + col("purchase") + col("signup") + col("view")).as("s"))
+      .agg(sum("s")).collect()(0).getLong(0)
+    assert(total === Tables.events(spark, sfDir).count())
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+
+  test("q01 groups by (returnflag, linestatus) and sums are positive") {
+    val rows = Relational.q01PricingSummary(spark, sfDir).collect()
+    assert(rows.length === 6) // 3 flags x 2 statuses
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Long]("count_order") > 0)
+      assert(r.getAs[Double]("avg_qty") > 0)
+    }
+  }
+
+  test("q03 returns at most 10 orders ranked by revenue desc") {
+    val rows = Relational.q03TopOrders(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("q05 joins six tables and produces per-nation revenue") {
+    val df = Relational.q05RegionRevenue(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("revenue") > 0))
+  }
+
+  test("q05 broadcasts the dimension sides") {
+    val plan = Relational.q05RegionRevenue(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
+  }
+
+  test("q_part_supplier covers every brand with broadcast joins") {
+    val df = Relational.qPartSupplier(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(df.count() === 25) // Brand#1..25
+  }
+
+  test("lineitem scan prunes columns") {
+    val plan = Relational.q01PricingSummary(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // 7 of 11 lineitem columns are needed; the scan must not read the rest.
+    assert(!plan.contains("l_orderkey"), "q01 scan should prune l_orderkey")
+  }
+}

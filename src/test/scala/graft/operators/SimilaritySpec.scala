@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force top-k is ranked and complete") {
+    val rows = Similarity.topkBruteforce(spark, sfDir).collect()
+    assert(rows.length === 50) // 10 queries x top-5
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
+      assert(byRank.sameElements(byRank.sortBy(-_)), "cosine must fall as rank grows")
+    }
+  }
+
+  test("lsh top-k reaches minimum recall vs the exact baseline") {
+    val exact = Similarity.topkBruteforce(spark, sfDir).collect()
+      .filter(_.getAs[Long]("rank") <= 3)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val lsh = Similarity.lshTopk(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    // The synthetic corpus is near-uniform (max cos ~0.5), the hardest case
+    // for hyperplane LSH; on clustered corpora this is far higher.
+    assert(recall >= 0.15, s"recall $recall below floor")
+  }
+
+  test("embNorms produces one row per label with sane norms") {
+    val rows = Similarity.embNorms(spark, sfDir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_norm") > 0)
+      assert(r.getAs[Double]("min_norm") <= r.getAs[Double]("avg_norm"))
+      assert(r.getAs[Double]("avg_norm") <= r.getAs[Double]("max_norm"))
+    }
+  }
+}
