@@ -31,4 +31,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame   = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame  = table(s, d, "embeddings")
+
+  /** Spread a scan across all cores before CPU-heavy per-row work.
+    *
+    * Small local parquet files are one row group = one task, which would
+    * serialize shingling/hashing/cosine math onto a single core. On a real
+    * cluster the scan has thousands of splits and this is a no-op (the
+    * round-robin only fires when the scan yields fewer partitions than
+    * cores); the shuffle it introduces moves raw rows once, before the
+    * expensive projection, which is the right trade whenever
+    * compute-per-row ≫ row width.
+    */
+  def fanout(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

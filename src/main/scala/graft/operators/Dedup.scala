@@ -31,7 +31,7 @@ object Dedup {
 
   /** Distinct word 3-shingles per document. */
   private def shingled(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.fanout(Tables.documents(spark, dir))
     d.select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(
@@ -65,26 +65,50 @@ object Dedup {
                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
          FROM documents) WHERE rn = 1 ORDER BY doc_id"""
 
-  /** Exact pairwise word-3-gram Jaccard ≥ 0.5 via shared-shingle blocking:
-    * only document pairs sharing at least one shingle are compared. This is
-    * the small-scale correctness baseline for `minhashLsh`.
+  /** Exact pairwise word-3-gram Jaccard ≥ 0.5 with PPJoin-style pruning:
+    *
+    *  1. prefix filter — shingles are globally ordered rarest-first; a pair
+    *     with Jaccard ≥ t must share a shingle within both prefixes of
+    *     length |x| − ⌈t·|x|⌉ + 1, so the candidate join only touches
+    *     low-document-frequency shingles (the quadratic blow-up lives in
+    *     high-DF shingles, which sit in the suffixes);
+    *  2. length filter — min(|x|,|y|) ≥ t·max(|x|,|y|) inside the join;
+    *  3. exact verification — surviving candidates re-join their full
+    *     shingle sets and compute true Jaccard via `array_intersect`.
+    *
+    * Semantics are identical to the naive shared-shingle join (the oracle
+    * SQL runs that) but the candidate set stays near-linear at scale.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+    val t = 0.5
+    // Materialization barrier: the shingle set feeds four plan branches
+    // (document frequencies, both sides of the candidate self-join, and
+    // verification); without it each branch re-runs the shingling scan.
+    val docs = shingled(spark, dir).localCheckpoint()
+    val sh = docs.select(col("doc_id"), size(col("shingles")).as("n"),
+      explode(col("shingles")).as("s"))
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = sh.join(broadcast(df), "s")
+      .withColumn("pos", row_number().over(byRarity))
+      .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
+      .select(col("doc_id"), col("n"), col("s"))
+      .localCheckpoint()
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) >= greatest(col("a.n"), col("b.n")) * t)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sha")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("shb")), "doc_b")
       .select(
         col("doc_a"), col("doc_b"),
-        (col("common").cast("double") /
-          (col("sa.n") + col("sb.n") - col("common")).cast("double")).as("jacc"))
-      .filter(col("jacc") >= 0.5)
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          (size(col("sha")) + size(col("shb"))
+            - size(array_intersect(col("sha"), col("shb")))).cast("double")).as("jacc"))
+      .filter(col("jacc") >= t)
       .select(col("doc_a"), col("doc_b"), trunc4(col("jacc")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
@@ -122,15 +146,17 @@ object Dedup {
     val as = (0 until nPerm).map(i => ((2L * i + 1L) * 2654435761L) % P)
     val bs = (0 until nPerm).map(i => ((i + 1L) * 40503L * 69069L) % P)
 
-    val sh = shingled(spark, dir)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(P)).as("x"))
-    val minExprs = (0 until nPerm).map(i =>
-      min(pmod(lit(as(i)) * col("x") + lit(bs(i)), lit(P))).as(s"m$i"))
-    val sigs = sh.groupBy(col("doc_id")).agg(minExprs.head, minExprs.tail: _*)
-    val sigArr = sigs.select(
+    // Signature is a pure projection over the per-doc shingle array — no
+    // explode, no shuffle: 64 array_min(transform(...)) expressions stay
+    // inside whole-stage codegen on a single corpus scan.
+    val hashed = shingled(spark, dir).select(
       col("doc_id"),
-      array((0 until nPerm).map(i => col(s"m$i")): _*).as("sig"))
+      transform(col("shingles"), s => pmod(xxhash64(s), lit(P))).as("xs"))
+    val sigArr = hashed.select(
+      col("doc_id"),
+      array((0 until nPerm).map(i =>
+        array_min(transform(col("xs"), x => pmod(lit(as(i)) * x + lit(bs(i)), lit(P))))): _*)
+        .as("sig"))
     val banded = sigArr.select(
       col("doc_id"), col("sig"),
       posexplode(
@@ -160,7 +186,7 @@ object Dedup {
     * not portable); spec-pinned against `ngramJaccard`.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.fanout(Tables.documents(spark, dir))
     val wordRows = d
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
@@ -196,7 +222,7 @@ object Dedup {
     val e = Tables.embeddings(spark, dir)
     val probe = e.filter(col("vec_id") < 100)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-    val corpus = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val corpus = Tables.fanout(e).select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
     broadcast(probe)
       .join(corpus, col("probe_id") < col("cand_id"))
       .select(col("probe_id"), col("cand_id"), Vec.cosine(col("pe"), col("ce")).as("cos"))

@@ -26,7 +26,7 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val c = e.filter(col("vec_id") >= 10)
+    val c = Tables.fanout(e.filter(col("vec_id") >= 10))
       .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("label"))
     val scored = broadcast(q).join(c)
       .select(col("query_id"), col("cand_id"), col("label"),
@@ -92,7 +92,7 @@ object Similarity {
     * `topkBruteforce` is asserted in SimilaritySpec.
     */
   def lshTopk(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.fanout(Tables.embeddings(spark, dir))
     val bucketed = e.select(
       col("vec_id"), col("embedding"),
       explode(bucketsOf(col("embedding"))).as("tb"))
@@ -115,7 +115,7 @@ object Similarity {
 
   /** Per-label L2-norm statistics (vector algebra smoke over the corpus). */
   def embNorms(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.fanout(Tables.embeddings(spark, dir))
     val withNorm = e.select(col("label"), Vec.norm(col("embedding")).as("nrm"))
     withNorm.groupBy(col("label"))
       .agg(
