@@ -52,7 +52,9 @@ object SparkEntry {
     // Similarity search
     "sim_topk_bruteforce" -> (Similarity.topkBruteforce _),
     "sim_lsh_topk" -> (Similarity.lshTopk _),
-    "emb_norms" -> (Similarity.embNorms _)
+    "emb_norms" -> (Similarity.embNorms _),
+    // Multimodal plumbing (stubbed decode, real batch shape)
+    "mm_media_stats" -> (Multimodal.mediaStats _)
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

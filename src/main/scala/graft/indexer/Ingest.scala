@@ -1,0 +1,88 @@
+package graft.indexer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Raw chain JSON → normalized frames.
+  *
+  * The reference's per-height worker loop (main.go:255-312: fetch block,
+  * write block_info, decode txs, insert messages, fetch block_results,
+  * insert events) becomes three declarative transforms over a DataFrame of
+  * `(height, raw_json)` rows. At scale the input is a partitioned landing
+  * zone of raw block dumps; each transform is a single pass with native
+  * `from_json` — no per-row RPC, no driver-side loops.
+  */
+object Ingest {
+
+  /** Blocks: `(height, block_json)` → block_info (db.go:178-201 columns). */
+  def blockInfo(blocks: DataFrame): DataFrame = {
+    val b = from_json(col("block_json"), Model.blockSchema).as("q")
+    blocks.select(col("height"), b).select(
+      col("height"),
+      col("q.header.last_block_id.hash").as("block_hash"),
+      col("q.header.last_block_id.part_set_header.total").as("last_block_total_parts"),
+      col("q.header.last_block_id.part_set_header.hash").as("last_block_part_set_header_hash"),
+      col("q.header.version.block").as("block_version"),
+      col("q.header.chain_id").as("chain_id"),
+      to_timestamp(col("q.header.time")).as("block_time"),
+      col("q.header.last_commit_hash").as("last_commit_hash"),
+      col("q.header.data_hash").as("data_hash"),
+      col("q.header.validators_hash").as("validators_hash"),
+      col("q.header.next_validators_hash").as("next_validators_hash"),
+      col("q.header.consensus_hash").as("consensus_hash"),
+      col("q.header.app_hash").as("app_hash"),
+      col("q.header.last_results_hash").as("last_results_hash"),
+      col("q.header.evidence_hash").as("evidence_hash"),
+      col("q.header.proposer_address").as("proposer_address"))
+  }
+
+  /** Decoded txs: `(height, tx_json)` → one row per message with type,
+    * sender (creator|sender|from_address precedence, process_tx.go:48-57),
+    * raw payload, and a content hash for insert-ignore dedup (db.go:573).
+    *
+    * Messages are heterogeneous (every `@type` has its own shape), so the
+    * array is exploded as VariantType — Spark's native semi-structured
+    * column — which keeps the full nested payload per message without
+    * committing to a schema; per-type routers re-parse `data` with their
+    * own schemas.
+    */
+  def messages(txs: DataFrame): DataFrame = {
+    val msgs = txs.select(
+      col("height"),
+      explode(try_variant_get(parse_json(col("tx_json")), "$.body.messages", "array<variant>"))
+        .as("m"))
+    msgs.select(
+      col("height"),
+      try_variant_get(col("m"), "$['@type']", "string").as("type"),
+      coalesce(
+        try_variant_get(col("m"), "$.creator", "string"),
+        try_variant_get(col("m"), "$.sender", "string"),
+        try_variant_get(col("m"), "$.from_address", "string")).as("sender"),
+      to_json(col("m")).as("data"),
+      xxhash64(to_json(col("m"))).as("hash"))
+  }
+
+  /** Block results: `(height, results_json)` → one row per whitelisted
+    * event, block-level and tx-level merged (process_events.go:119-145),
+    * with attributes kept structured and the sender attribute lifted.
+    */
+  def events(results: DataFrame): DataFrame = {
+    val r = results.select(
+      col("height"),
+      from_json(col("results_json"), Model.blockResultsSchema).as("br"))
+    val blockEvents = r.select(col("height"),
+      explode(col("br.finalize_block_events")).as("ev"))
+    val txEvents = r.select(col("height"),
+      explode(col("br.txs_results")).as("tx"))
+      .select(col("height"), explode(col("tx.events")).as("ev"))
+    val all = blockEvents.unionByName(txEvents)
+    val attrsMap = map_from_entries(col("ev.attributes"))
+    all.select(
+      col("height"),
+      col("ev.type").as("type"),
+      element_at(split(col("ev.type"), "\\."), -1).as("base_type"),
+      col("ev.attributes").as("attributes"),
+      attrsMap.getItem("sender").as("sender"),
+      xxhash64(to_json(col("ev.attributes"))).as("hash"))
+  }
+}

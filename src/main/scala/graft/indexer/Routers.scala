@@ -1,0 +1,409 @@
+package graft.indexer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Type-based routing of messages and events into normalized tables.
+  *
+  * Re-expresses the reference's dispatch switches (process_tx.go:66-170 for
+  * messages, db.go:691-740 for events) as declarative filters + per-type
+  * parsers. Every parser is one `from_json` + projection + (where the
+  * payload carries parallel arrays) a `posexplode(arrays_zip(...))` — the
+  * reference's imperative `for i in addresses { insert }` loops
+  * (db.go:913-920) become a columnar zip-explode that Catalyst pipelines
+  * into the scan.
+  */
+object Routers {
+
+  // ---- shared helpers -----------------------------------------------------
+
+  /** Attribute values arrive JSON-quoted ("\"inferer\"") or bare. */
+  private def unquote(c: Column): Column = regexp_replace(c, "^\"|\"$", "")
+
+  private def attrs: Column = map_from_entries(col("attributes"))
+
+  private def attr(key: String): Column = unquote(attrs.getItem(key))
+
+  private def jsonStrArray(c: Column): Column = from_json(c, ArrayType(StringType))
+
+  private def jsonBoolArray(c: Column): Column = from_json(c, ArrayType(BooleanType))
+
+  /** Numeric guard mirroring isInvalidNumericValue (db.go:893): malformed
+    * score strings are dropped, not crashed on.
+    */
+  private def validNumeric(c: Column): Column =
+    c.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][-+]?[0-9]+)?$")
+
+  private def dec(c: Column): Column = c.cast(Model.chainDecimal)
+
+  /** prefix/suffix event matching (db.go:638-640 isEventType). */
+  private def isEvent(module: String, suffix: String): Column =
+    col("type").startsWith(module) && col("type").endsWith(suffix)
+
+  // ---- event routing ------------------------------------------------------
+
+  /** The event whitelist (process_events.go:49-61): anything else is
+    * dropped before parsing.
+    */
+  val eventCategories: Seq[(String, String, String)] = Seq(
+    ("emissions.v", "EventScoresSet", "score"),
+    ("emissions.v", "EventRewardsSettled", "reward"),
+    ("emissions.v", "EventNetworkLossSet", "networkloss"),
+    ("emissions.v", "EventForecastTaskScoreSet", "forecastTaskScore"),
+    ("emissions.v", "EventWorkerLastCommitSet", "lastcommit"),
+    ("emissions.v", "EventReputerLastCommitSet", "lastcommit"),
+    ("emissions.v", "EventTopicRewardsSet", "topicReward"),
+    ("emissions.v", "EventEMAScoresSet", "emascore"),
+    ("mint.v", "EventTokenomicsSet", "tokenomics"),
+    ("mint.v", "EventEcosystemTokenMintSet", "ecosystemTokenMint"),
+    ("mint.v", "EventRewardCurrentBlockEmission", "rewardCurrentBlockEmission"))
+
+  /** Whitelist + categorize; non-whitelisted events are filtered out. */
+  def routeEvents(events: DataFrame): DataFrame = {
+    val category = eventCategories
+      .map { case (m, s, cat) => (isEvent(m, s), cat) }
+      .foldLeft(lit(null).cast(StringType)) { case (acc, (cond, cat)) =>
+        when(cond, cat).otherwise(acc)
+      }
+    events.withColumn("category", category).filter(col("category").isNotNull)
+  }
+
+  /** EventScoresSet → scores rows (db.go:842-937): parallel
+    * addresses/scores arrays zip-exploded, invalid numerics dropped.
+    */
+  def scores(events: DataFrame): DataFrame =
+    zipScores(events, "EventScoresSet")
+
+  /** EventRewardsSettled → rewards rows (db.go:939-1017): same shape. */
+  def rewards(events: DataFrame): DataFrame =
+    zipScores(events, "EventRewardsSettled")
+
+  private def zipScores(events: DataFrame, suffix: String): DataFrame =
+    events.filter(isEvent("emissions.v", suffix))
+      .select(
+        col("height").as("height_tx"),
+        attr("block_height").cast(LongType).as("height"),
+        attr("topic_id").cast(IntegerType).as("topic_id"),
+        attr("actor_type").as("type"),
+        posexplode(arrays_zip(
+          jsonStrArray(attrs.getItem("addresses")),
+          jsonStrArray(attrs.getItem(if (suffix == "EventRewardsSettled") "rewards" else "scores"))))
+          .as(Seq("pos", "z")))
+      .select(
+        col("height_tx"), col("height"), col("topic_id"), col("type"),
+        col("z.0").as("address"),
+        unquote(col("z.1")).as("raw_value"))
+      .filter(validNumeric(col("raw_value")))
+      .withColumn("value", dec(col("raw_value")))
+      .drop("raw_value")
+
+  /** EventEMAScoresSet → ema_scores rows (db.go:1246-1350): three-way
+    * zip (addresses, scores, is_active).
+    */
+  def emaScores(events: DataFrame): DataFrame =
+    events.filter(isEvent("emissions.v", "EventEMAScoresSet"))
+      .select(
+        col("height").as("height_tx"),
+        attr("nonce").cast(LongType).as("height"),
+        attr("topic_id").cast(IntegerType).as("topic_id"),
+        attr("actor_type").as("type"),
+        posexplode(arrays_zip(
+          jsonStrArray(attrs.getItem("addresses")),
+          jsonStrArray(attrs.getItem("scores")),
+          jsonBoolArray(attrs.getItem("is_active"))))
+          .as(Seq("pos", "z")))
+      .select(
+        col("height_tx"), col("height"), col("topic_id"), col("type"),
+        col("z.0").as("address"),
+        unquote(col("z.1")).as("raw_score"),
+        col("z.2").as("is_active"))
+      .filter(validNumeric(col("raw_score")))
+      .withColumn("score", dec(col("raw_score")))
+      .drop("raw_score")
+
+  /** EventTopicRewardsSet → topic_rewards (db.go:1187-1244): zip of
+    * topic_ids and rewards.
+    */
+  def topicRewards(events: DataFrame): DataFrame =
+    events.filter(isEvent("emissions.v", "EventTopicRewardsSet"))
+      .select(
+        col("height").as("height_tx"),
+        posexplode(arrays_zip(
+          jsonStrArray(attrs.getItem("topic_ids")),
+          jsonStrArray(attrs.getItem("rewards"))))
+          .as(Seq("pos", "z")))
+      .select(
+        col("height_tx"),
+        unquote(col("z.0")).cast(IntegerType).as("topic_id"),
+        unquote(col("z.1")).as("reward"))
+
+  /** EventForecastTaskScoreSet → topic_forecasting_scores (db.go:1069-1116). */
+  def forecastTaskScores(events: DataFrame): DataFrame =
+    events.filter(isEvent("emissions.v", "EventForecastTaskScoreSet"))
+      .select(
+        col("height").as("height_tx"),
+        attr("topic_id").cast(IntegerType).as("topic_id"),
+        attr("score").as("score"))
+
+  /** Worker/Reputer last-commit events → last_commit_values with
+    * update-wins per (topic_id, is_worker) (db.go:1118-1185).
+    */
+  def actorLastCommit(events: DataFrame): DataFrame = {
+    val nonceSchema = MapType(StringType, StringType)
+    val raw = events
+      .filter(isEvent("emissions.v", "EventWorkerLastCommitSet") ||
+        isEvent("emissions.v", "EventReputerLastCommitSet"))
+      .select(
+        attr("block_height").cast(LongType).as("height_tx"),
+        from_json(attrs.getItem("nonce"), nonceSchema).getItem("block_height")
+          .cast(LongType).as("height"),
+        attr("topic_id").cast(IntegerType).as("topic_id"),
+        col("type").endsWith("EventWorkerLastCommitSet").as("is_worker"))
+    Upsert.latestWins(raw, Seq("topic_id", "is_worker"), col("height_tx"))
+  }
+
+  /** EventTokenomicsSet → tokenomics (db.go:1352-1410). */
+  def tokenomics(events: DataFrame): DataFrame =
+    events.filter(isEvent("mint.v", "EventTokenomicsSet"))
+      .select(
+        col("height").as("height_tx"),
+        dec(attr("staked_token_amount")).as("staked_amount"),
+        dec(attr("circulating_supply")).as("circulating_supply"),
+        dec(attr("emissions_amount")).as("emissions_amount"))
+
+  /** EventEcosystemTokenMintSet / EventRewardCurrentBlockEmission →
+    * per-block token amounts (db.go:1412+).
+    */
+  def tokenMint(events: DataFrame, suffix: String): DataFrame =
+    events.filter(isEvent("mint.v", suffix))
+      .select(
+        col("height").as("height_tx"),
+        attr("block_height").cast(LongType).as("block_height"),
+        dec(attr("token_amount")).as("token_amount"))
+
+  /** EventNetworkLossSet → networklosses + exploded bundle values
+    * (db.go:1019-1067 + insertValueBundle): the nested value_bundle JSON
+    * carries five typed worker/value lists (the reputerValueType enum,
+    * db.go:340-350).
+    */
+  val valueBundleSchema: StructType = {
+    val wv = ArrayType(StructType(Seq(
+      StructField("worker", StringType),
+      StructField("value", StringType))))
+    StructType(Seq(
+      StructField("naive_value", StringType),
+      StructField("combined_value", StringType),
+      StructField("inferer_values", wv),
+      StructField("forecaster_values", wv),
+      StructField("one_out_inferer_values", wv),
+      StructField("one_in_forecaster_values", wv),
+      StructField("one_out_forecaster_values", wv)))
+  }
+
+  def networkLosses(events: DataFrame): DataFrame =
+    events.filter(isEvent("emissions.v", "EventNetworkLossSet"))
+      .select(
+        col("height").as("height_tx"),
+        attr("block_height").cast(LongType).as("height"),
+        attr("topic_id").cast(IntegerType).as("topic_id"),
+        from_json(unquote(attrs.getItem("value_bundle")), valueBundleSchema).as("vb"))
+      .select(
+        col("height_tx"), col("height"), col("topic_id"),
+        col("vb.naive_value").as("naive_value"),
+        col("vb.combined_value").as("combined_value"),
+        col("vb"))
+
+  /** Explode the five typed lists of a value bundle into
+    * (bundle key, reputer_value_type, worker, value) rows.
+    */
+  def bundleValues(losses: DataFrame): DataFrame = {
+    val lists = Seq(
+      "InfererValues" -> "inferer_values",
+      "ForecasterValues" -> "forecaster_values",
+      "OneOutInfererValues" -> "one_out_inferer_values",
+      "OneInForecasterValues" -> "one_in_forecaster_values",
+      "OneOutForecasterValues" -> "one_out_forecaster_values")
+    lists.map { case (tag, field) =>
+      losses.select(
+        col("height_tx"), col("height"), col("topic_id"),
+        lit(tag).as("reputer_value_type"),
+        explode(col("vb").getField(field)).as("wv"))
+        .select(
+          col("height_tx"), col("height"), col("topic_id"),
+          col("reputer_value_type"),
+          col("wv.worker").as("worker"),
+          col("wv.value").as("value"))
+    }.reduce(_ unionByName _)
+  }
+
+  // ---- message routing ----------------------------------------------------
+
+  /** prefix/suffix message matching (process_tx.go:66-170). */
+  private def isMsg(prefix: String, suffixes: String*): Column =
+    col("type").startsWith(prefix) &&
+      suffixes.map(s => col("type").endsWith(s)).reduce(_ || _)
+
+  private def payload(schema: StructType): Column = from_json(col("data"), schema)
+
+  /** MsgCreateNewTopic → topics (process_topic.go:59-105 column list). */
+  def topics(messages: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      "topic_id", "creator", "metadata", "loss_logic", "loss_method",
+      "inference_logic", "inference_method", "epoch_length",
+      "ground_truth_lag", "default_arg", "pnorm", "alpha_regret",
+      "p_reward_reputer", "p_reward_inference", "p_reward_forecast",
+      "f_tolerance").map(StructField(_, StringType)) :+
+      StructField("allow_negative", BooleanType))
+    messages.filter(isMsg("/emissions.v", "MsgCreateNewTopic", "CreateNewTopicRequest"))
+      .select(col("height").as("message_height"), col("hash").as("message_id"),
+        payload(schema).as("p"))
+      .select(
+        col("p.topic_id").cast(IntegerType).as("id"),
+        col("p.creator").as("creator"), col("p.metadata").as("metadata"),
+        col("p.loss_method").as("loss_method"),
+        col("p.epoch_length").as("epoch_length"),
+        col("p.ground_truth_lag").as("ground_truth_lag"),
+        col("p.default_arg").as("default_arg"),
+        col("p.pnorm").as("pnorm"), col("p.alpha_regret").as("alpha_regret"),
+        col("p.allow_negative").as("allow_negative"),
+        col("message_height"), col("message_id"))
+  }
+
+  /** MsgSend / MsgFundTopic / MsgAddStake → transfers
+    * (process_tx.go:526-586).
+    */
+  def transfers(messages: DataFrame): DataFrame = {
+    val coinSchema = StructType(Seq(
+      StructField("from_address", StringType),
+      StructField("to_address", StringType),
+      StructField("amount", ArrayType(StructType(Seq(
+        StructField("denom", StringType),
+        StructField("amount", StringType)))))))
+    val fundSchema = StructType(Seq(
+      StructField("sender", StringType),
+      StructField("topic_id", StringType),
+      StructField("amount", StringType)))
+    val sends = messages.filter(isMsg("/cosmos.bank.v1beta1", "MsgSend"))
+      .select(col("height").as("message_height"), col("hash").as("message_id"),
+        payload(coinSchema).as("p"))
+      .select(
+        col("message_height"), col("message_id"),
+        col("p.from_address").as("from_address"),
+        lit(null).cast(IntegerType).as("topic_id"),
+        col("p.to_address").as("to_address"),
+        element_at(col("p.amount"), 1).getField("amount").as("amount"),
+        element_at(col("p.amount"), 1).getField("denom").as("denom"))
+    val funds = messages
+      .filter(isMsg("/emissions.v", "MsgFundTopic", "FundTopicRequest", "MsgAddStake", "AddStakeRequest"))
+      .select(col("height").as("message_height"), col("hash").as("message_id"),
+        payload(fundSchema).as("p"))
+      .select(
+        col("message_height"), col("message_id"),
+        col("p.sender").as("from_address"),
+        col("p.topic_id").cast(IntegerType).as("topic_id"),
+        lit(null).cast(StringType).as("to_address"),
+        col("p.amount").as("amount"),
+        lit("uallo").as("denom"))
+    sends.unionByName(funds)
+  }
+
+  /** MsgRegister → worker_registrations (process_tx.go:467-503). */
+  def registrations(messages: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("sender", StringType),
+      StructField("topic_id", StringType),
+      StructField("owner", StringType),
+      StructField("lib_p2p_key", StringType),
+      StructField("is_reputer", BooleanType)))
+    messages.filter(isMsg("/emissions.v", "MsgRegister", "RegisterRequest"))
+      .select(col("height").as("message_height"), col("hash").as("message_id"),
+        payload(schema).as("p"))
+      .select(
+        col("message_height"), col("message_id"),
+        col("p.topic_id").cast(IntegerType).as("topic_id"),
+        col("p.sender").as("sender"), col("p.owner").as("owner"),
+        col("p.lib_p2p_key").as("worker_libp2pkey"),
+        col("p.is_reputer").as("is_reputer"))
+  }
+
+  /** Nested worker payload: inference + forecast bundle
+    * (process_tx.go:330-415 insertWorkerDataBundle).
+    */
+  val workerPayloadSchema: StructType = {
+    val inference = StructType(Seq(
+      StructField("topic_id", StringType),
+      StructField("block_height", StringType),
+      StructField("inferer", StringType),
+      StructField("value", StringType),
+      StructField("extra_data", StringType),
+      StructField("proof", StringType)))
+    val forecastElement = StructType(Seq(
+      StructField("inferer", StringType),
+      StructField("value", StringType)))
+    val forecast = StructType(Seq(
+      StructField("topic_id", StringType),
+      StructField("block_height", StringType),
+      StructField("forecaster", StringType),
+      StructField("forecast_elements", ArrayType(forecastElement)),
+      StructField("extra_data", StringType)))
+    StructType(Seq(
+      StructField("sender", StringType),
+      StructField("worker_data_bundle", StructType(Seq(
+        StructField("worker", StringType),
+        StructField("topic_id", StringType),
+        StructField("nonce", StructType(Seq(StructField("block_height", StringType)))),
+        StructField("inference_forecasts_bundle", StructType(Seq(
+          StructField("inference", inference),
+          StructField("forecast", forecast)))))))))
+  }
+
+  private def workerBundles(messages: DataFrame): DataFrame =
+    messages
+      .filter(isMsg("/emissions.v", "MsgInsertWorkerPayload", "InsertWorkerPayloadRequest"))
+      .select(col("height").as("message_height"), col("hash").as("message_id"),
+        payload(workerPayloadSchema).as("p"))
+      .select(col("message_height"), col("message_id"),
+        col("p.worker_data_bundle.topic_id").cast(IntegerType).as("topic_id"),
+        col("p.worker_data_bundle.nonce.block_height").cast(LongType)
+          .as("nonce_block_height"),
+        col("p.worker_data_bundle.inference_forecasts_bundle").as("b"))
+
+  /** Inferences (numeric-valued only, mirroring the ParseFloat guard at
+    * process_tx.go:344).
+    */
+  def inferences(messages: DataFrame): DataFrame =
+    workerBundles(messages)
+      .filter(col("b.inference.value").isNotNull && validNumeric(col("b.inference.value")))
+      .select(
+        col("message_height"), col("message_id"),
+        col("nonce_block_height"), col("topic_id"),
+        col("b.inference.block_height").cast(LongType).as("block_height"),
+        col("b.inference.inferer").as("inferer"),
+        col("b.inference.value").as("value"),
+        col("b.inference.extra_data").as("extra_data"),
+        col("b.inference.proof").as("proof"))
+
+  /** Forecasts + 1→N forecast values (process_tx.go:373-408). */
+  def forecasts(messages: DataFrame): DataFrame =
+    workerBundles(messages)
+      .filter(size(col("b.forecast.forecast_elements")) > 0)
+      .select(
+        col("message_height"), col("message_id"),
+        col("nonce_block_height"), col("topic_id"),
+        col("b.forecast.block_height").cast(LongType).as("block_height"),
+        col("b.forecast.forecaster").as("forecaster"),
+        col("b.forecast.extra_data").as("extra_data"),
+        col("b.forecast.forecast_elements").as("elements"))
+
+  def forecastValues(forecastsDf: DataFrame): DataFrame =
+    forecastsDf.select(
+      col("message_height"), col("message_id"), col("topic_id"),
+      col("forecaster"),
+      explode(col("elements")).as("fe"))
+      .select(
+        col("message_height"), col("message_id"), col("topic_id"),
+        col("forecaster"),
+        col("fe.inferer").as("inferer"),
+        col("fe.value").as("value"))
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.indexer.{Model, Upsert}
+
+/** The reference's pump loop (main.go:221-253: poll for new heights,
+  * process, sleep, repeat) as Structured Streaming.
+  *
+  * A stream of raw event JSON (in production: a file-source landing zone or
+  * Kafka of block_results) is parsed with the same schemas the batch path
+  * uses, aggregated under a watermark, and sunk through `foreachBatch`
+  * with first-wins dedup — making the sink idempotent under replay exactly
+  * like the reference's ON CONFLICT DO NOTHING inserts (db.go:744-747).
+  * State is bounded by the watermark (event-time) and the conflict keys.
+  */
+object EventStream {
+
+  /** Raw JSON lines → typed event rows. Input column: `value` (string). */
+  def parse(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("height", LongType),
+      StructField("ts", StringType),
+      StructField("type", StringType),
+      StructField("attributes", Model.attributeType)))
+    raw.select(from_json(col("value"), schema).as("e"))
+      .select(
+        col("e.height").as("height"),
+        to_timestamp(col("e.ts")).as("ts"),
+        col("e.type").as("type"),
+        col("e.attributes").as("attributes"),
+        xxhash64(to_json(col("e.attributes"))).as("hash"))
+      .filter(col("type").isNotNull)
+  }
+
+  /** Per-minute, per-type counts with a 10-minute watermark: late events
+    * beyond the watermark are dropped, so aggregation state is bounded.
+    */
+  def minuteTypeCounts(parsed: DataFrame): DataFrame =
+    parsed
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("height")).as("height_sum"))
+      .select(
+        col("window.start").as("minute_start"),
+        col("type"), col("n_events"), col("height_sum"))
+
+  /** Run the stream through an idempotent micro-batch sink: each batch is
+    * first-wins-deduplicated on (height, type, hash) — the events-table
+    * conflict key (db.go:747) — before `merge` sees it. `merge` is the
+    * storage adapter (Delta MERGE / JDBC upsert in production; a test
+    * harness in specs).
+    */
+  def start(parsed: DataFrame, merge: (DataFrame, Long) => Unit): StreamingQuery =
+    parsed.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val deduped = Upsert.firstWins(batch, Seq("height", "type", "hash"), col("hash"))
+        merge(deduped, id)
+      }
+      .start()
+}

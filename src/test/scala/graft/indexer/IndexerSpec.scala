@@ -1,0 +1,177 @@
+package graft.indexer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** End-to-end over synthetic chain JSON fixtures shaped like the public
+  * CometBFT / Cosmos SDK payloads the reference ingests. Fixtures are
+  * hand-written here, not copied from chain dumps.
+  */
+class IndexerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val blockJson =
+    """{"header":{"version":{"block":"11"},"chain_id":"testchain-1","height":"100",
+       "time":"2024-05-01T10:00:00Z",
+       "last_block_id":{"hash":"AB12","part_set_header":{"total":1,"hash":"CD34"}},
+       "last_commit_hash":"E1","data_hash":"E2","validators_hash":"E3",
+       "next_validators_hash":"E4","consensus_hash":"E5","app_hash":"E6",
+       "last_results_hash":"E7","evidence_hash":"E8","proposer_address":"P1"},
+       "data":{"txs":["dGVzdA=="]}}""".replaceAll("\n\\s*", "")
+
+  private val txJson =
+    """{"body":{"messages":[
+       {"@type":"/emissions.v3.MsgCreateNewTopic","creator":"allo1creator",
+        "topic_id":"7","metadata":"eth-pred","loss_method":"mse",
+        "epoch_length":"120","ground_truth_lag":"60","default_arg":"x",
+        "pnorm":"3","alpha_regret":"0.1","allow_negative":"true"},
+       {"@type":"/cosmos.bank.v1beta1.MsgSend","from_address":"allo1from",
+        "to_address":"allo1to","amount":[{"denom":"uallo","amount":"5000"}]},
+       {"@type":"/emissions.v3.InsertWorkerPayloadRequest","sender":"allo1w",
+        "worker_data_bundle":{"worker":"allo1w","topic_id":"7",
+          "nonce":{"block_height":"99"},
+          "inference_forecasts_bundle":{
+            "inference":{"topic_id":"7","block_height":"99","inferer":"allo1w",
+                         "value":"123.45","extra_data":"","proof":""},
+            "forecast":{"topic_id":"7","block_height":"99","forecaster":"allo1w",
+              "forecast_elements":[{"inferer":"allo1a","value":"1.5"},
+                                   {"inferer":"allo1b","value":"2.5"}],
+              "extra_data":""}}}}]}}""".replaceAll("\n\\s*", "")
+
+  private val resultsJson =
+    """{"height":"100",
+       "finalize_block_events":[
+         {"type":"emissions.v3.EventScoresSet","attributes":[
+           {"key":"topic_id","value":"\"7\""},
+           {"key":"actor_type","value":"\"inferer\""},
+           {"key":"block_height","value":"\"99\""},
+           {"key":"addresses","value":"[\"allo1a\",\"allo1b\",\"allo1c\"]"},
+           {"key":"scores","value":"[\"0.25\",\"-0.5\",\"oops\"]"}]},
+         {"type":"emissions.v3.EventWorkerLastCommitSet","attributes":[
+           {"key":"block_height","value":"\"100\""},
+           {"key":"nonce","value":"{\"block_height\":\"99\"}"},
+           {"key":"topic_id","value":"\"7\""}]},
+         {"type":"mint.v2.EventTokenomicsSet","attributes":[
+           {"key":"staked_token_amount","value":"\"1000.5\""},
+           {"key":"circulating_supply","value":"\"50000.25\""},
+           {"key":"emissions_amount","value":"\"12.125\""}]},
+         {"type":"emissions.v3.EventNetworkLossSet","attributes":[
+           {"key":"topic_id","value":"\"7\""},
+           {"key":"block_height","value":"\"99\""},
+           {"key":"value_bundle","value":"{\"naive_value\":\"0.9\",\"combined_value\":\"0.8\",\"inferer_values\":[{\"worker\":\"allo1a\",\"value\":\"0.7\"},{\"worker\":\"allo1b\",\"value\":\"0.6\"}],\"forecaster_values\":[{\"worker\":\"allo1c\",\"value\":\"0.5\"}]}"}]},
+         {"type":"some.module.EventUnknownThing","attributes":[]}],
+       "txs_results":[{"code":0,"events":[
+         {"type":"emissions.v3.EventWorkerLastCommitSet","attributes":[
+           {"key":"block_height","value":"\"101\""},
+           {"key":"nonce","value":"{\"block_height\":\"100\"}"},
+           {"key":"topic_id","value":"\"7\""}]}]}]}""".replaceAll("\n\\s*", "")
+
+  private lazy val blocks: DataFrame =
+    Seq((100L, blockJson)).toDF("height", "block_json")
+  private lazy val txs: DataFrame =
+    Seq((100L, txJson)).toDF("height", "tx_json")
+  private lazy val results: DataFrame =
+    Seq((100L, resultsJson)).toDF("height", "results_json")
+
+  test("blockInfo flattens the header") {
+    val rows = Ingest.blockInfo(blocks).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert(r.getAs[String]("chain_id") === "testchain-1")
+    assert(r.getAs[String]("proposer_address") === "P1")
+    assert(r.getAs[java.sql.Timestamp]("block_time") != null)
+  }
+
+  test("messages explode with sender precedence and content hash") {
+    val rows = Ingest.messages(txs).collect()
+    assert(rows.length === 3)
+    val senders = rows.map(r =>
+      r.getAs[String]("type") -> r.getAs[String]("sender")).toMap
+    assert(senders("/emissions.v3.MsgCreateNewTopic") === "allo1creator")
+    assert(senders("/cosmos.bank.v1beta1.MsgSend") === "allo1from")
+    assert(senders("/emissions.v3.InsertWorkerPayloadRequest") === "allo1w")
+    assert(rows.map(_.getAs[Long]("hash")).distinct.length === 3)
+  }
+
+  test("event whitelist drops unknown types") {
+    val ev = Ingest.events(results)
+    assert(ev.count() === 6) // 5 block-level + 1 tx-level
+    val routed = Routers.routeEvents(ev)
+    assert(routed.count() === 5) // EventUnknownThing dropped
+    val cats = routed.select("category").distinct().collect().map(_.getString(0)).toSet
+    assert(cats === Set("score", "lastcommit", "tokenomics", "networkloss"))
+  }
+
+  test("scores zip-explode addresses with values, dropping invalid numerics") {
+    val scores = Routers.scores(Ingest.events(results)).collect()
+    assert(scores.length === 2) // "oops" dropped by the numeric guard
+    val byAddr = scores.map(r =>
+      r.getAs[String]("address") -> r.getAs[java.math.BigDecimal]("value")).toMap
+    assert(byAddr("allo1a").doubleValue() === 0.25)
+    assert(byAddr("allo1b").doubleValue() === -0.5)
+    scores.foreach { r =>
+      assert(r.getAs[Int]("topic_id") === 7)
+      assert(r.getAs[String]("type") === "inferer")
+      assert(r.getAs[Long]("height") === 99L)
+    }
+  }
+
+  test("actorLastCommit keeps only the newest commit per (topic, role)") {
+    val lc = Routers.actorLastCommit(Ingest.events(results)).collect()
+    assert(lc.length === 1) // two worker commits for topic 7 -> latest wins
+    assert(lc(0).getAs[Long]("height_tx") === 101L)
+    assert(lc(0).getAs[Long]("height") === 100L)
+    assert(lc(0).getAs[Boolean]("is_worker"))
+  }
+
+  test("network loss bundle explodes typed value lists") {
+    val losses = Routers.networkLosses(Ingest.events(results))
+    assert(losses.count() === 1)
+    val l = losses.collect()(0)
+    assert(l.getAs[String]("naive_value") === "0.9")
+    val bv = Routers.bundleValues(losses).collect()
+    assert(bv.length === 3) // 2 inferer + 1 forecaster
+    assert(bv.map(_.getAs[String]("reputer_value_type")).toSet ===
+      Set("InfererValues", "ForecasterValues"))
+  }
+
+  test("tokenomics parses decimals at 18-digit scale") {
+    val t = Routers.tokenomics(Ingest.events(results)).collect()(0)
+    assert(t.getAs[java.math.BigDecimal]("staked_amount").doubleValue() === 1000.5)
+    assert(t.getAs[java.math.BigDecimal]("circulating_supply").scale() === 18)
+  }
+
+  test("message routing: topics, transfers, inferences, forecasts") {
+    val msgs = Ingest.messages(txs)
+    val topics = Routers.topics(msgs).collect()
+    assert(topics.length === 1 && topics(0).getAs[Int]("id") === 7)
+    val transfers = Routers.transfers(msgs).collect()
+    assert(transfers.length === 1)
+    assert(transfers(0).getAs[String]("amount") === "5000")
+    assert(transfers(0).getAs[String]("denom") === "uallo")
+    val inf = Routers.inferences(msgs).collect()
+    assert(inf.length === 1 && inf(0).getAs[String]("value") === "123.45")
+    assert(inf(0).getAs[Long]("nonce_block_height") === 99L)
+    val fc = Routers.forecasts(msgs)
+    assert(fc.count() === 1)
+    val fv = Routers.forecastValues(fc).collect()
+    assert(fv.length === 2)
+    assert(fv.map(_.getAs[String]("inferer")).toSet === Set("allo1a", "allo1b"))
+  }
+
+  test("upsert operators are idempotent under replay") {
+    val df = Seq((1, "a", 10L), (1, "a", 20L), (2, "b", 5L)).toDF("k", "v", "ver")
+    val first = Upsert.firstWins(df, Seq("k"), col("ver")).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(first === Map(1 -> 10L, 2 -> 5L))
+    val latest = Upsert.latestWins(df, Seq("k"), col("ver")).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(latest === Map(1 -> 20L, 2 -> 5L))
+    // replay: processing the union of old + new yields the same table
+    val replayed = Upsert.latestWins(df.union(df), Seq("k"), col("ver")).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(replayed === latest)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventJson(height: Long, ts: String, tpe: String, k: String, v: String): String =
+    s"""{"height":$height,"ts":"$ts","type":"$tpe","attributes":[{"key":"$k","value":"$v"}]}"""
+
+  test("streamed events are parsed, deduplicated, and merged idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val dup = eventJson(100, "2024-05-01T10:00:30Z", "emissions.v3.EventScoresSet", "topic_id", "1")
+    input.addData(
+      dup,
+      dup, // exact duplicate in the same batch -> first-wins dedup
+      eventJson(100, "2024-05-01T10:00:40Z", "emissions.v3.EventRewardsSettled", "topic_id", "1"),
+      eventJson(101, "2024-05-01T10:01:10Z", "emissions.v3.EventScoresSet", "topic_id", "2"))
+
+    val merged = mutable.ArrayBuffer.empty[(Long, String)]
+    val q = EventStream.start(
+      EventStream.parse(input.toDF()),
+      (batch, _) => merged.synchronized {
+        merged ++= batch.collect().map(r => (r.getAs[Long]("height"), r.getAs[String]("type")))
+      })
+    q.awaitTermination(60000)
+    assert(merged.length === 3, s"dedup should collapse the duplicate: $merged")
+    assert(merged.count(_._1 == 100L) === 2)
+  }
+
+  test("windowed counts aggregate per minute and type under a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    input.addData(
+      eventJson(1, "2024-05-01T10:00:10Z", "t.A", "k", "1"),
+      eventJson(2, "2024-05-01T10:00:50Z", "t.A", "k", "2"),
+      eventJson(3, "2024-05-01T10:01:10Z", "t.B", "k", "3"))
+
+    val counts = EventStream.minuteTypeCounts(EventStream.parse(input.toDF()))
+    val q = counts.writeStream
+      .format("memory")
+      .queryName("win_counts")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.sql(
+      "SELECT date_format(minute_start, 'yyyy-MM-dd HH:mm') AS m, type, n_events FROM win_counts")
+      .collect()
+    val byKey = rows.map(r =>
+      (r.getAs[String]("m"), r.getAs[String]("type")) -> r.getAs[Long]("n_events")).toMap
+    assert(byKey(("2024-05-01 10:00", "t.A")) === 2)
+    assert(byKey(("2024-05-01 10:01", "t.B")) === 1)
+  }
+}
