@@ -26,6 +26,9 @@ object SparkEntry {
     "q05_region_revenue" -> (Relational.q05RegionRevenue _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
     "q_part_supplier" -> (Relational.qPartSupplier _),
+    "q04_order_priority" -> (Relational.q04OrderPriority _),
+    "q22_no_orders" -> (Relational.q22NoOrders _),
+    "q_rollup" -> (Relational.qRollup _),
     // Event-pipeline semantics
     "ev_route_counts" -> (Events.routeCounts _),
     "ev_json_extract" -> (Events.jsonExtract _),
@@ -37,12 +40,15 @@ object SparkEntry {
     "ev_daily_stats" -> (Events.dailyStats _),
     "ev_topk_users" -> (Events.topkUsers _),
     "ev_pivot_types" -> (Events.pivotTypes _),
+    "ev_moving_avg" -> (Events.movingAvg _),
+    "ev_hll_users" -> (Events.hllUsers _),
     // Text analysis
     "text_tokens" -> (TextOps.tokens _),
     "text_quality" -> (TextOps.quality _),
     "text_langid" -> (TextOps.langid _),
     "text_fingerprint" -> (TextOps.fingerprint _),
     "doc_stats" -> (TextOps.docStats _),
+    "text_len_quantiles" -> (TextOps.lengthQuantiles _),
     // Dedup suite
     "dd_exact" -> (Dedup.exact _),
     "dd_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -66,6 +72,9 @@ object SparkEntry {
     "q05_region_revenue" -> Relational.q05Oracle,
     "q10_returned_items" -> Relational.q10Oracle,
     "q_part_supplier" -> Relational.qPartSupplierOracle,
+    "q04_order_priority" -> Relational.q04Oracle,
+    "q22_no_orders" -> Relational.q22Oracle,
+    "q_rollup" -> Relational.qRollupOracle,
     "ev_route_counts" -> Events.routeCountsOracle,
     "ev_json_extract" -> Events.jsonExtractOracle,
     "ev_latest_per_user" -> Events.latestPerUserOracle,
@@ -76,11 +85,13 @@ object SparkEntry {
     "ev_daily_stats" -> Events.dailyStatsOracle,
     "ev_topk_users" -> Events.topkUsersOracle,
     "ev_pivot_types" -> Events.pivotTypesOracle,
+    "ev_moving_avg" -> Events.movingAvgOracle,
     "text_tokens" -> TextOps.tokensOracle,
     "text_quality" -> TextOps.qualityOracle,
     "text_langid" -> TextOps.langidOracle,
     "text_fingerprint" -> TextOps.fingerprintOracle,
     "doc_stats" -> TextOps.docStatsOracle,
+    "text_len_quantiles" -> TextOps.lengthQuantilesOracle,
     "dd_exact" -> Dedup.exactOracle,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dd_embedding_cos" -> Dedup.embeddingCosOracle,

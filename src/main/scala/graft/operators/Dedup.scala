@@ -84,7 +84,14 @@ object Dedup {
     // Materialization barrier: the shingle set feeds four plan branches
     // (document frequencies, both sides of the candidate self-join, and
     // verification); without it each branch re-runs the shingling scan.
-    val docs = shingled(spark, dir).localCheckpoint()
+    // Shingles are 64-bit-hashed up front: every downstream join, sort and
+    // intersect runs on longs, not strings. A cross-shingle hash collision
+    // (p ~ n²/2^64) could only add a candidate or nudge an intersect count;
+    // verification still computes Jaccard over the full per-doc sets.
+    val docs = shingled(spark, dir)
+      .select(col("doc_id"),
+        array_distinct(transform(col("shingles"), s => xxhash64(s))).as("shingles"))
+      .localCheckpoint()
     val sh = docs.select(col("doc_id"), size(col("shingles")).as("n"),
       explode(col("shingles")).as("s"))
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))

@@ -267,6 +267,43 @@ object Events {
     """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
        FROM events GROUP BY 1 ORDER BY total_value DESC, user_id LIMIT 10"""
 
+  /** 7-day moving average of daily revenue (frame-bounded window over the
+    * pre-rounded daily series, so both engines average identical doubles).
+    */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val daily = e.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(round(sum(col("value")), 2).as("daily_value"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("ma7",
+        floor(sum(col("daily_value")).over(w) / count(lit(1)).over(w) * 1e4) / 1e4)
+      .orderBy("day")
+  }
+
+  val movingAvgOracle: String =
+    """WITH daily AS (
+         SELECT strftime(ts, '%Y-%m-%d') AS day, round(sum(value), 2) AS daily_value
+         FROM events GROUP BY 1)
+       SELECT day, daily_value,
+         floor(sum(daily_value) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               / count(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               * 1e4) / 1e4 AS ma7
+       FROM daily ORDER BY day"""
+
+  /** Approximate distinct users per type (HyperLogLog++). Sketches are not
+    * engine-portable — rows-only gate; EventsSpec bounds the error against
+    * the exact count.
+    */
+  def hllUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
   /** Pivot event types into per-user count columns. */
   def pivotTypes(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)

@@ -173,4 +173,75 @@ object Relational {
        JOIN part ON l_partkey = p_partkey
        JOIN supplier ON l_suppkey = s_suppkey
        GROUP BY p_brand ORDER BY p_brand"""
+
+  /** Semi join (EXISTS): orders counted per priority when at least one line
+    * shipped late. A left-semi join stops probing at the first match — no
+    * fact-side row multiplication at any scale.
+    */
+  def q04OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val late = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    o.join(late, o("o_orderkey") === late("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q04Oracle: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+       GROUP BY 1 ORDER BY 1"""
+
+  /** Anti join (NOT EXISTS) + scalar subquery: above-average-balance
+    * customers who never ordered in the window.
+    */
+  def q22NoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val avgBal = c.agg(avg(col("c_acctbal"))).collect()(0).getDouble(0)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    c.filter(col("c_acctbal") > avgBal)
+      .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q22Oracle: String =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_bal
+       FROM customer
+       WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       GROUP BY 1 ORDER BY 1"""
+
+  /** ROLLUP hierarchy totals: per (flag, status), per flag, grand total.
+    * NULL group keys are labeled so the output is comparator-stable.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n_lines"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_lines"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  val qRollupOracle: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_lines
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       ORDER BY 1, 2"""
 }

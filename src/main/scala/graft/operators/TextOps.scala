@@ -170,6 +170,27 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** Exact median / quartiles of document length per language (sort-based
+    * percentiles — the distributed sort partitions by the group key).
+    */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (floor(median(col("n_chars")) * 1e4) / 1e4).as("median_chars"),
+        (floor(percentile(col("n_chars"), lit(0.25)) * 1e4) / 1e4).as("q1_chars"),
+        (floor(percentile(col("n_chars"), lit(0.75)) * 1e4) / 1e4).as("q3_chars"))
+      .orderBy("lang")
+  }
+
+  val lengthQuantilesOracle: String =
+    """SELECT lang, count(*) AS n_docs,
+       floor(median(n_chars) * 1e4) / 1e4 AS median_chars,
+       floor(quantile_cont(n_chars, 0.25) * 1e4) / 1e4 AS q1_chars,
+       floor(quantile_cont(n_chars, 0.75) * 1e4) / 1e4 AS q3_chars
+       FROM documents GROUP BY 1 ORDER BY 1"""
+
   val docStatsOracle: String =
     """SELECT lang, source, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,

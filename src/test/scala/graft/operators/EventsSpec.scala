@@ -59,6 +59,28 @@ class EventsSpec extends SparkSpec {
     assert(cums.sameElements(cums.sorted))
   }
 
+  test("hll approximate distinct stays within 5% of exact") {
+    val approx = Events.hllUsers(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("u")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("u")).toMap
+    exact.foreach { case (t, e) =>
+      val a = approx(t)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$t: approx $a vs exact $e")
+    }
+  }
+
+  test("moving average stays within the daily min/max envelope") {
+    val rows = Events.movingAvg(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val dailies = rows.map(_.getAs[Double]("daily_value"))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ma7") >= dailies.min - 1e-9)
+      assert(r.getAs[Double]("ma7") <= dailies.max + 1e-9)
+    }
+  }
+
   test("pivotTypes counts reconcile with total events") {
     val df = Events.pivotTypes(spark, sfDir)
     val total = df.select(
