@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.CosineSimilarity
+
+/** Session extensions registering graft's native expressions for SQL use:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  *   SELECT graft_cosine(a.embedding, b.embedding) FROM ...
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.cosineFunction)
+}
+
+object GraftExtensions {
+  val cosineFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cosine"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+    (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
+}

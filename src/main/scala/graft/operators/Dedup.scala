@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Vec
+import graft.functions.{CosineSimilarity, Vec}
 
 /** Deduplication suite over `documents` / `embeddings`:
   *
@@ -232,7 +232,7 @@ object Dedup {
     val corpus = Tables.fanout(e).select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
     broadcast(probe)
       .join(corpus, col("probe_id") < col("cand_id"))
-      .select(col("probe_id"), col("cand_id"), Vec.cosine(col("pe"), col("ce")).as("cos"))
+      .select(col("probe_id"), col("cand_id"), CosineSimilarity(col("pe"), col("ce")).as("cos"))
       .filter(col("cos") >= 0.3)
       .select(col("probe_id"), col("cand_id"), trunc4(col("cos")).as("cosine"))
       .orderBy("probe_id", "cand_id")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Vec
+import graft.functions.{CosineSimilarity, Vec}
 
 /** Similarity search over the `embeddings` table.
   *
@@ -30,7 +30,7 @@ object Similarity {
       .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("label"))
     val scored = broadcast(q).join(c)
       .select(col("query_id"), col("cand_id"), col("label"),
-        Vec.cosine(col("qe"), col("ce")).as("cos"))
+        CosineSimilarity(col("qe"), col("ce")).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -105,7 +105,7 @@ object Similarity {
     broadcast(q).join(c, Seq("tbl", "bucket"))
       .select(col("query_id"), col("cand_id"), col("qe"), col("ce"))
       .dropDuplicates("query_id", "cand_id")
-      .select(col("query_id"), col("cand_id"), Vec.cosine(col("qe"), col("ce")).as("cos"))
+      .select(col("query_id"), col("cand_id"), CosineSimilarity(col("qe"), col("ce")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("rank").cast("long").as("rank"),

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftExtensions, SparkSpec, Tables}
+
+class CosineSimilaritySpec extends SparkSpec {
+
+  test("native expression is bit-equal to the higher-order-function form") {
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+    val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .filter(col("a_id") < col("b_id"))
+    val diff = pairs.select(
+      CosineSimilarity(col("a"), col("b")).as("native"),
+      Vec.cosine(col("a"), col("b")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() === 0, "native and HOF cosine must agree bit-for-bit")
+  }
+
+  test("expression participates in whole-stage codegen") {
+    val e = Tables.embeddings(spark, sfDir)
+    val plan = e.select(CosineSimilarity(col("embedding"), col("embedding")).as("c"))
+      .queryExecution.executedPlan.toString
+    // The "*(n)" prefix marks operators fused into a WholeStageCodegen stage.
+    assert(plan.contains("*(1) Project [graft_cosine"), s"expected codegen in:\n$plan")
+  }
+
+  test("graft_cosine is SQL-callable once registered") {
+    // Same registration GraftExtensions performs via spark.sql.extensions.
+    val (ident, info, builder) = GraftExtensions.cosineFunction
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    Tables.embeddings(spark, sfDir).limit(5).createOrReplaceTempView("emb_tmp")
+    val rows = spark.sql(
+      "SELECT graft_cosine(embedding, embedding) AS c FROM emb_tmp").collect()
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-9))
+  }
+}
