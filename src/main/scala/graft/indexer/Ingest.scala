@@ -62,6 +62,31 @@ object Ingest {
       xxhash64(to_json(col("m"))).as("hash"))
   }
 
+  /** Consensus params: `(params_json)` → one flattened row per snapshot
+    * (process_consensus.go:10-30, db.go:203-214 columns; pub_key_types
+    * joined with commas as the reference does).
+    */
+  def consensusParams(params: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("params", StructType(Seq(
+      StructField("block", StructType(Seq(
+        StructField("max_bytes", StringType),
+        StructField("max_gas", StringType)))),
+      StructField("evidence", StructType(Seq(
+        StructField("max_age_num_blocks", StringType),
+        StructField("max_age_duration", StringType),
+        StructField("max_bytes", StringType)))),
+      StructField("validator", StructType(Seq(
+        StructField("pub_key_types", ArrayType(StringType))))))))))
+    params.select(from_json(col("params_json"), schema).as("p")).select(
+      col("p.params.block.max_bytes").as("max_bytes"),
+      col("p.params.block.max_gas").as("max_gas"),
+      col("p.params.evidence.max_age_duration").as("max_age_duration"),
+      col("p.params.evidence.max_age_num_blocks").as("max_age_num_blocks"),
+      col("p.params.evidence.max_bytes").as("evidence_max_bytes"),
+      concat_ws(",", col("p.params.validator.pub_key_types")).as("pub_key_types"))
+  }
+
   /** Block results: `(height, results_json)` → one row per whitelisted
     * event, block-level and tx-level merged (process_events.go:119-145),
     * with attributes kept structured and the sender attribute lifted.

@@ -396,6 +396,26 @@ object Routers {
         col("b.forecast.extra_data").as("extra_data"),
         col("b.forecast.forecast_elements").as("elements"))
 
+  /** Address book: every actor seen in messages, transfers, or
+    * registrations, insert-ignore deduped (process_tx.go:505-524
+    * insertAddress + its unique constraint).
+    */
+  def addresses(messages: DataFrame): DataFrame = {
+    val t = transfers(messages)
+    val r = registrations(messages)
+    messages.select(col("sender").as("address"))
+      .unionByName(t.select(col("from_address").as("address")))
+      .unionByName(t.select(col("to_address").as("address")))
+      .unionByName(r.select(col("owner").as("address")))
+      .filter(col("address").isNotNull)
+      .distinct()
+      .select(
+        lit("allora").as("type"),
+        col("address"),
+        lit(null).cast(StringType).as("pub_key"),
+        lit("").as("memo"))
+  }
+
   def forecastValues(forecastsDf: DataFrame): DataFrame =
     forecastsDf.select(
       col("message_height"), col("message_id"), col("topic_id"),

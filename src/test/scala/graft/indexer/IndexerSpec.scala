@@ -161,6 +161,37 @@ class IndexerSpec extends SparkSpec {
     assert(fv.map(_.getAs[String]("inferer")).toSet === Set("allo1a", "allo1b"))
   }
 
+  test("consensus params flatten block/evidence/validator sections") {
+    val json =
+      """{"params":{"block":{"max_bytes":"22020096","max_gas":"-1"},
+         "evidence":{"max_age_num_blocks":"100000","max_age_duration":"172800s","max_bytes":"1048576"},
+         "validator":{"pub_key_types":["ed25519","secp256k1"]}}}""".replaceAll("\n\\s*", "")
+    val r = Ingest.consensusParams(Seq(json).toDF("params_json")).collect()(0)
+    assert(r.getAs[String]("max_bytes") === "22020096")
+    assert(r.getAs[String]("max_age_duration") === "172800s")
+    assert(r.getAs[String]("pub_key_types") === "ed25519,secp256k1")
+  }
+
+  test("address book collects senders, transfer parties and owners, deduped") {
+    val addrs = Routers.addresses(Ingest.messages(txs)).collect()
+      .map(_.getAs[String]("address")).toSet
+    assert(addrs === Set("allo1creator", "allo1from", "allo1to", "allo1w"))
+  }
+
+  test("snapshot save/load round-trips and catch-up merges latest-wins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val scores = Routers.scores(Ingest.events(results))
+    Snapshot.save(Map("scores" -> scores), dir)
+    val restored = Snapshot.load(spark, dir, Seq("scores"))("scores")
+    assert(restored.count() === scores.count())
+    // catch-up: overlapping replay resolves to the newer height_tx
+    val fresh = scores.withColumn("height_tx", col("height_tx") + 1)
+    val merged = Snapshot.restoreAndCatchUp(
+      restored, fresh, Seq("topic_id", "type", "address", "height"), "height_tx")
+    assert(merged.count() === scores.count())
+    merged.collect().foreach(r => assert(r.getAs[Long]("height_tx") === 101L))
+  }
+
   test("upsert operators are idempotent under replay") {
     val df = Seq((1, "a", 10L), (1, "a", 20L), (2, "b", 5L)).toDF("k", "v", "ver")
     val first = Upsert.firstWins(df, Seq("k"), col("ver")).collect()
