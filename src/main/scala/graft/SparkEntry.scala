@@ -41,6 +41,7 @@ object SparkEntry {
     "ev_topk_users" -> (Events.topkUsers _),
     "ev_pivot_types" -> (Events.pivotTypes _),
     "ev_moving_avg" -> (Events.movingAvg _),
+    "ev_asof_signup" -> (Events.asofSignup _),
     "ev_hll_users" -> (Events.hllUsers _),
     // Text analysis
     "text_tokens" -> (TextOps.tokens _),
@@ -86,6 +87,7 @@ object SparkEntry {
     "ev_topk_users" -> Events.topkUsersOracle,
     "ev_pivot_types" -> Events.pivotTypesOracle,
     "ev_moving_avg" -> Events.movingAvgOracle,
+    "ev_asof_signup" -> Events.asofSignupOracle,
     "text_tokens" -> TextOps.tokensOracle,
     "text_quality" -> TextOps.qualityOracle,
     "text_langid" -> TextOps.langidOracle,

@@ -267,6 +267,33 @@ object Events {
     """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
        FROM events GROUP BY 1 ORDER BY total_value DESC, user_id LIMIT 10"""
 
+  /** As-of join, per key: each purchase is matched to the user's most
+    * recent signup at or before it. Implemented the scalable way — no
+    * range-join explosion: union the two "streams" (they already share the
+    * events table), then `last(..., ignoreNulls)` over an unbounded
+    * preceding frame carries the latest signup id forward. One hash
+    * partition by user, one sort — the same plan shape at any scale.
+    */
+  def asofSignup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_signup_event_id",
+        last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("last_signup_event_id"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val asofSignupOracle: String =
+    """SELECT user_id, event_id, last_signup_event_id FROM (
+         SELECT user_id, event_id, event_type,
+           last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+             AS last_signup_event_id
+         FROM events)
+       WHERE event_type = 'purchase' ORDER BY 1, 2"""
+
   /** 7-day moving average of daily revenue (frame-bounded window over the
     * pre-rounded daily series, so both engines average identical doubles).
     */

@@ -1,10 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery, Trigger}
 
 import graft.indexer.{Model, Upsert}
+
+/** Output row of [[EventStream.runningTypeTotals]]. */
+case class TypeTotal(eventType: String, batchCount: Long, runningTotal: Long)
 
 /** The reference's pump loop (main.go:221-253: poll for new heights,
   * process, sleep, repeat) as Structured Streaming.
@@ -47,6 +50,24 @@ object EventStream {
       .select(
         col("window.start").as("minute_start"),
         col("type"), col("n_events"), col("height_sum"))
+
+  /** Custom streaming state: a per-type running total maintained with
+    * `mapGroupsWithState` — the shape for state the built-in windowed
+    * aggregations can't express (counters, EMAs, dedup caches keyed by
+    * entity). State is one long per key, partitioned by key.
+    */
+  def runningTypeTotals(parsed: DataFrame): Dataset[TypeTotal] = {
+    val byType = parsed.select(col("type")).as(Encoders.STRING)
+    byType
+      .groupByKey(identity)(Encoders.STRING)
+      .mapGroupsWithState[Long, TypeTotal](GroupStateTimeout.NoTimeout) {
+        case (tpe, rows, state) =>
+          val add = rows.size.toLong
+          val total = state.getOption.getOrElse(0L) + add
+          state.update(total)
+          TypeTotal(tpe, add, total)
+      }(Encoders.scalaLong, Encoders.product[TypeTotal])
+  }
 
   /** Run the stream through an idempotent micro-batch sink: each batch is
     * first-wins-deduplicated on (height, type, hash) — the events-table

@@ -34,6 +34,30 @@ class EventStreamSpec extends SparkSpec {
     assert(merged.count(_._1 == 100L) === 2)
   }
 
+  test("mapGroupsWithState keeps running totals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val totals = EventStream.runningTypeTotals(EventStream.parse(input.toDF()))
+    val q = totals.writeStream
+      .format("memory")
+      .queryName("run_totals")
+      .outputMode("update")
+      .start()
+    input.addData(
+      eventJson(1, "2024-05-01T10:00:00Z", "t.A", "k", "1"),
+      eventJson(2, "2024-05-01T10:00:01Z", "t.A", "k", "2"),
+      eventJson(3, "2024-05-01T10:00:02Z", "t.B", "k", "3"))
+    q.processAllAvailable()
+    input.addData(eventJson(4, "2024-05-01T10:00:03Z", "t.A", "k", "4"))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT eventType, max(runningTotal) AS total FROM run_totals GROUP BY 1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(rows("t.A") === 3) // 2 in batch one + 1 in batch two, state carried
+    assert(rows("t.B") === 1)
+  }
+
   test("windowed counts aggregate per minute and type under a watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
