@@ -29,6 +29,8 @@ object SparkEntry {
     "q04_order_priority" -> (Relational.q04OrderPriority _),
     "q22_no_orders" -> (Relational.q22NoOrders _),
     "q_rollup" -> (Relational.qRollup _),
+    "q18_large_orders" -> (Relational.q18LargeOrders _),
+    "q_repeat_customers" -> (Relational.qRepeatCustomers _),
     // Event-pipeline semantics
     "ev_route_counts" -> (Events.routeCounts _),
     "ev_json_extract" -> (Events.jsonExtract _),
@@ -76,6 +78,8 @@ object SparkEntry {
     "q04_order_priority" -> Relational.q04Oracle,
     "q22_no_orders" -> Relational.q22Oracle,
     "q_rollup" -> Relational.qRollupOracle,
+    "q18_large_orders" -> Relational.q18Oracle,
+    "q_repeat_customers" -> Relational.qRepeatCustomersOracle,
     "ev_route_counts" -> Events.routeCountsOracle,
     "ev_json_extract" -> Events.jsonExtractOracle,
     "ev_latest_per_user" -> Events.latestPerUserOracle,

@@ -205,9 +205,12 @@ object Relational {
     */
   def q22NoOrders(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
-    val avgBal = c.agg(avg(col("c_acctbal"))).collect()(0).getDouble(0)
+    // Scalar subquery as a broadcast cross join — one distributed plan, no
+    // driver-side collect between stages.
+    val avgBal = c.agg(avg(col("c_acctbal")).as("__avg_bal"))
     val o = Tables.orders(spark, dir).select(col("o_custkey"))
-    c.filter(col("c_acctbal") > avgBal)
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("__avg_bal"))
       .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(
@@ -223,6 +226,55 @@ object Relational {
        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
        GROUP BY 1 ORDER BY 1"""
+
+  /** GROUP BY + HAVING + join-back (large-order customers, Q18 shape):
+    * the HAVING filter runs on the aggregate before the join, so only
+    * qualifying orders rejoin the dimension.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 150.0)
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"), col("c_name"), col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
+  val q18Oracle: String =
+    """SELECT c_custkey, c_name, l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, total_qty
+       FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+             FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 150.0) big
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       ORDER BY total_qty DESC, l_orderkey LIMIT 20"""
+
+  /** INTERSECT: customers active in both 1996 and 1997. */
+  def qRepeatCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def activeIn(year: Int) = o
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    activeIn(1996).intersect(activeIn(1997))
+      .orderBy("o_custkey")
+  }
+
+  val qRepeatCustomersOracle: String =
+    """SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+       INTERSECT
+       SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+       ORDER BY 1"""
 
   /** ROLLUP hierarchy totals: per (flag, status), per flag, grand total.
     * NULL group keys are labeled so the output is comparator-stable.

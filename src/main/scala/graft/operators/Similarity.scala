@@ -97,6 +97,8 @@ object Similarity {
       col("vec_id"), col("embedding"),
       explode(bucketsOf(col("embedding"))).as("tb"))
       .select(col("vec_id"), col("embedding"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      // query and candidate branches both read this — materialize once
+      .localCheckpoint()
     val q = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("tbl"), col("bucket"))
     val c = bucketed.filter(col("vec_id") >= 10)
