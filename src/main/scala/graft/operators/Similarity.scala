@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{CosineSimilarity, Vec}
+import graft.plans.TopKPerKey
 
 /** Similarity search over the `embeddings` table.
   *
@@ -31,10 +32,9 @@ object Similarity {
     val scored = broadcast(q).join(c)
       .select(col("query_id"), col("cand_id"), col("label"),
         CosineSimilarity(col("qe"), col("ce")).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    // Top-k via the custom bounded-heap operator (graft.plans.TopKPerKey):
+    // same single hash shuffle as a window, no per-group full sort.
+    TopKPerKey.perKey(scored, Seq(col("query_id")), Seq(col("cos").desc, col("cand_id")), 5)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("cand_id"), col("label"), trunc4(col("cos")).as("cosine"))
       .orderBy("query_id", "rank")
@@ -103,13 +103,11 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("tbl"), col("bucket"))
     val c = bucketed.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("tbl"), col("bucket"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
-    broadcast(q).join(c, Seq("tbl", "bucket"))
+    val scored = broadcast(q).join(c, Seq("tbl", "bucket"))
       .select(col("query_id"), col("cand_id"), col("qe"), col("ce"))
       .dropDuplicates("query_id", "cand_id")
       .select(col("query_id"), col("cand_id"), CosineSimilarity(col("qe"), col("ce")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+    TopKPerKey.perKey(scored, Seq(col("query_id")), Seq(col("cos").desc, col("cand_id")), 3)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("cand_id"), trunc4(col("cos")).as("cosine"))
       .orderBy("query_id", "rank")

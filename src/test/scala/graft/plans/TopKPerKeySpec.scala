@@ -1,0 +1,42 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class TopKPerKeySpec extends SparkSpec {
+
+  test("custom operator matches the window row_number idiom exactly") {
+    val e = Tables.events(spark, sfDir)
+    val viaWindow = e.withColumn("rank",
+        row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))))
+      .filter(col("rank") <= 3)
+      .select("user_id", "event_id", "rank")
+    val viaCustom = TopKPerKey.perKey(
+        e, Seq(col("user_id")), Seq(col("value").desc, col("event_id")), 3)
+      .select("user_id", "event_id", "rank")
+    assert(viaCustom.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(viaCustom).count() === 0)
+  }
+
+  test("plan contains the custom exec node and a single hash exchange") {
+    val e = Tables.events(spark, sfDir)
+    val df = TopKPerKey.perKey(e, Seq(col("user_id")), Seq(col("value").desc), 2)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"custom node missing:\n$plan")
+    assert(!plan.contains("Window"), "must not fall back to a window sort")
+    assert(plan.contains("Exchange hashpartitioning"), "expects the single key shuffle")
+  }
+
+  test("handles k larger than group sizes") {
+    val e = Tables.events(spark, sfDir).filter(col("user_id") === 0)
+    val n = e.count()
+    val all = TopKPerKey.perKey(e, Seq(col("user_id")), Seq(col("event_id")), 10000)
+    assert(all.count() === n)
+    val ranks = all.select("rank").collect().map(_.getInt(0)).sorted
+    assert(ranks.toSeq === (1 to n.toInt))
+  }
+}
