@@ -99,22 +99,28 @@ object Dedup {
     val prefix = sh.join(broadcast(df), "s")
       .withColumn("pos", row_number().over(byRarity))
       .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
-      .select(col("doc_id"), col("n"), col("s"))
+      .select(col("doc_id"), col("n"), col("pos"), col("s"))
       .localCheckpoint()
+    // PPJoin positional bound: matching at prefix positions (pa, pb) caps
+    // the possible overlap at 1 + min(na−pa, nb−pb); pairs that cannot
+    // reach the required overlap α = ⌈t/(1+t)·(na+nb)⌉ are dropped before
+    // verification.
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.n"), col("b.n")) >= greatest(col("a.n"), col("b.n")) * t)
+          least(col("a.n"), col("b.n")) >= greatest(col("a.n"), col("b.n")) * t &&
+          (lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))) >=
+            ceil((col("a.n") + col("b.n")) * lit(t / (1 + t))))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cands
       .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sha")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("shb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("double"))
       .select(
         col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          (size(col("sha")) + size(col("shb"))
-            - size(array_intersect(col("sha"), col("shb")))).cast("double")).as("jacc"))
+        (col("common") /
+          (size(col("sha")) + size(col("shb")) - col("common"))).as("jacc"))
       .filter(col("jacc") >= t)
       .select(col("doc_a"), col("doc_b"), trunc4(col("jacc")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
