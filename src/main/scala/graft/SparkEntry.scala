@@ -44,6 +44,9 @@ object SparkEntry {
     "ev_pivot_types" -> (Events.pivotTypes _),
     "ev_moving_avg" -> (Events.movingAvg _),
     "ev_asof_signup" -> (Events.asofSignup _),
+    "ev_cube_stats" -> (Events.cubeStats _),
+    "ev_rank_delta" -> (Events.dailyRankDelta _),
+    "ev_cohort_retention" -> (Events.cohortRetention _),
     "ev_hll_users" -> (Events.hllUsers _),
     // Text analysis
     "text_tokens" -> (TextOps.tokens _),
@@ -92,6 +95,9 @@ object SparkEntry {
     "ev_pivot_types" -> Events.pivotTypesOracle,
     "ev_moving_avg" -> Events.movingAvgOracle,
     "ev_asof_signup" -> Events.asofSignupOracle,
+    "ev_cube_stats" -> Events.cubeStatsOracle,
+    "ev_rank_delta" -> Events.dailyRankDeltaOracle,
+    "ev_cohort_retention" -> Events.cohortRetentionOracle,
     "text_tokens" -> TextOps.tokensOracle,
     "text_quality" -> TextOps.qualityOracle,
     "text_langid" -> TextOps.langidOracle,

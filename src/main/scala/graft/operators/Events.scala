@@ -331,6 +331,87 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** CUBE over (day-of-week, event_type): all four grouping combinations
+    * in one pass, NULL keys labeled for comparator stability.
+    */
+  def cubeStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.select(date_format(col("ts"), "EEEE").as("dow"), col("event_type"), col("value"))
+      .cube(col("dow"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(
+        coalesce(col("dow"), lit("ALL")).as("dow"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("dow", "event_type")
+  }
+
+  val cubeStatsOracle: String =
+    """SELECT coalesce(strftime(ts, '%A'), 'ALL') AS dow,
+       coalesce(event_type, 'ALL') AS event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+       FROM events GROUP BY CUBE (strftime(ts, '%A'), event_type)
+       ORDER BY 1, 2"""
+
+  /** dense_rank + lag in one window pass: per user, rank days by daily
+    * total and the delta vs the previous day.
+    */
+  def dailyRankDelta(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val daily = e.groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(round(sum(col("value")), 2).as("daily_value"))
+    val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val byValue = Window.partitionBy(col("user_id"))
+      .orderBy(col("daily_value").desc, col("day"))
+    daily
+      .withColumn("value_rank", dense_rank().over(byValue).cast("long"))
+      .withColumn("prev_value", lag(col("daily_value"), 1).over(byDay))
+      .withColumn("delta", round(col("daily_value") - coalesce(col("prev_value"), lit(0.0)), 2))
+      .drop("prev_value")
+      .orderBy("user_id", "day")
+  }
+
+  val dailyRankDeltaOracle: String =
+    """WITH daily AS (
+         SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                round(sum(value), 2) AS daily_value
+         FROM events GROUP BY 1, 2)
+       SELECT user_id, day, daily_value,
+         dense_rank() OVER (PARTITION BY user_id ORDER BY daily_value DESC, day) AS value_rank,
+         round(daily_value - coalesce(lag(daily_value) OVER (PARTITION BY user_id ORDER BY day), 0.0), 2) AS delta
+       FROM daily ORDER BY user_id, day"""
+
+  /** Cohort retention: users grouped by signup week, counted per weeks-
+    * since-signup in which they were active. The self-reference is one
+    * extra scan, both sides reduced before the join.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val firstSeen = e.groupBy(col("user_id"))
+      .agg(min(date_trunc("week", col("ts"))).as("cohort_week"))
+    val activity = e.select(col("user_id"), date_trunc("week", col("ts")).as("active_week"))
+      .distinct()
+    activity.join(broadcast(firstSeen), "user_id")
+      .select(
+        date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort"),
+        // both weeks are Monday-truncated, so the day gap is an exact
+        // multiple of 7
+        (datediff(col("active_week"), col("cohort_week")) / 7).cast("long").as("weeks_since"))
+      .groupBy(col("cohort"), col("weeks_since"))
+      .agg(count(lit(1)).as("n_active_users"))
+      .orderBy("cohort", "weeks_since")
+  }
+
+  val cohortRetentionOracle: String =
+    """WITH f AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+                  FROM events GROUP BY 1),
+       a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events)
+       SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort,
+              CAST(date_diff('day', cohort_week, active_week) // 7 AS BIGINT) AS weeks_since,
+              count(*) AS n_active_users
+       FROM a JOIN f USING (user_id)
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Pivot event types into per-user count columns. */
   def pivotTypes(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
