@@ -65,6 +65,8 @@ object SparkEntry {
     "sim_topk_bruteforce" -> (Similarity.topkBruteforce _),
     "sim_lsh_topk" -> (Similarity.lshTopk _),
     "emb_norms" -> (Similarity.embNorms _),
+    "ev_decimal_totals" -> (Events.decimalTotals _),
+    "mm_doc_embedding" -> (Similarity.docEmbedding _),
     // Multimodal plumbing (stubbed decode, real batch shape)
     "mm_media_stats" -> (Multimodal.mediaStats _)
   )
@@ -108,7 +110,9 @@ object SparkEntry {
     "dd_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dd_embedding_cos" -> Dedup.embeddingCosOracle,
     "sim_topk_bruteforce" -> Similarity.topkBruteforceOracle,
-    "emb_norms" -> Similarity.embNormsOracle
+    "emb_norms" -> Similarity.embNormsOracle,
+    "ev_decimal_totals" -> Events.decimalTotalsOracle,
+    "mm_doc_embedding" -> Similarity.docEmbeddingOracle
     // dd_minhash_lsh / dd_simhash / sim_lsh_topk: hash families are not
     // SQL-portable — rows-only check; pinned against exact baselines in
     // DedupSpec / SimilaritySpec instead.

@@ -412,6 +412,29 @@ object Events {
        FROM a JOIN f USING (user_id)
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Exact decimal aggregation — the reference's NUMERIC(72,18) discipline
+    * (db.go:414): values cast to a fixed-scale decimal before summation, so
+    * totals are exact and engine-identical by construction (no float
+    * rounding policy needed at all).
+    */
+  def decimalTotals(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.select(col("event_type"), col("value").cast("decimal(38,6)").as("dv"))
+      .groupBy(col("event_type"))
+      .agg(
+        // exact decimal sum; emitted as double (decimal *string* forms
+        // differ between engines — 101951.000000 vs 101951.0)
+        round(sum(col("dv")).cast("double"), 2).as("total"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val decimalTotalsOracle: String =
+    """SELECT event_type,
+       round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2) AS total,
+       count(*) AS n_events
+       FROM events GROUP BY 1 ORDER BY 1"""
+
   /** Pivot event types into per-user count columns. */
   def pivotTypes(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)

@@ -113,6 +113,32 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Cross-modal join: documents ↔ embeddings on id, per-language norm
+    * stats — the text-plus-vector join a multimodal pipeline runs
+    * constantly. Embedding side reduced to (id, norm) before the join.
+    */
+  def docEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val e = Tables.fanout(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), Vec.norm(col("embedding")).as("nrm"))
+    d.join(e, col("doc_id") === col("vec_id"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        trunc4(sum(col("nrm")) / count(lit(1))).as("avg_norm"))
+      .orderBy("lang")
+  }
+
+  val docEmbeddingOracle: String =
+    """WITH n AS (
+         SELECT vec_id,
+           sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN embedding])) AS nrm
+         FROM embeddings)
+       SELECT lang, count(*) AS n_docs,
+         floor(sum(nrm) / count(*) * 1e4) / 1e4 AS avg_norm
+       FROM documents JOIN n ON doc_id = vec_id
+       GROUP BY 1 ORDER BY 1"""
+
   /** Per-label L2-norm statistics (vector algebra smoke over the corpus). */
   def embNorms(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.fanout(Tables.embeddings(spark, dir))
