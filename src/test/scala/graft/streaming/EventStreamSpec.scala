@@ -34,6 +34,40 @@ class EventStreamSpec extends SparkSpec {
     assert(merged.count(_._1 == 100L) === 2)
   }
 
+  test("file-source pump catches up from its checkpoint across restarts") {
+    val landing = java.nio.file.Files.createTempDirectory("graft-landing").toString
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(landing, name),
+        String.join("\n", lines: _*).getBytes)
+
+    val merged = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def runOnce(): Unit = {
+      val raw = spark.readStream.text(landing).withColumnRenamed("value", "value")
+      val q = EventStream.parse(raw).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          merged.synchronized { merged ++= batch.collect().map(_.getAs[Long]("height")) }
+          ()
+        }
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    writeFile("b1.json", Seq(
+      eventJson(10, "2024-05-01T10:00:00Z", "t.A", "k", "1"),
+      eventJson(11, "2024-05-01T10:00:01Z", "t.B", "k", "2")))
+    runOnce()
+    assert(merged.sorted.toSeq === Seq(10L, 11L))
+    // "restart": a new query on the same checkpoint only sees the new file
+    writeFile("b2.json", Seq(eventJson(12, "2024-05-01T10:00:02Z", "t.A", "k", "3")))
+    runOnce()
+    assert(merged.sorted.toSeq === Seq(10L, 11L, 12L), "old files must not re-process")
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
