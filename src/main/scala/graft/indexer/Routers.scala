@@ -191,9 +191,18 @@ object Routers {
     val wv = ArrayType(StructType(Seq(
       StructField("worker", StringType),
       StructField("value", StringType))))
+    val nonce = StructType(Seq(
+      StructField("worker_nonce", StructType(Seq(StructField("block_height", StringType)))),
+      StructField("reputer_nonce", StructType(Seq(StructField("block_height", StringType))))))
+    // Full MsgValueBundle (types/messages.go:70-111); the networkloss
+    // event payload carries a subset — absent fields parse to null.
     StructType(Seq(
+      StructField("reputer", StringType),
+      StructField("topic_id", StringType),
+      StructField("extra_data", StringType),
       StructField("naive_value", StringType),
       StructField("combined_value", StringType),
+      StructField("reputer_request_nonce", nonce),
       StructField("inferer_values", wv),
       StructField("forecaster_values", wv),
       StructField("one_out_inferer_values", wv),
@@ -214,10 +223,11 @@ object Routers {
         col("vb.combined_value").as("combined_value"),
         col("vb"))
 
-  /** Explode the five typed lists of a value bundle into
-    * (bundle key, reputer_value_type, worker, value) rows.
+  /** Explode the five typed lists of a value bundle column `vb` into
+    * (idCols..., reputer_value_type, worker, value) rows — the
+    * reputerValueType enum of db.go:340-350.
     */
-  def bundleValues(losses: DataFrame): DataFrame = {
+  private def explodeValueLists(df: DataFrame, idCols: Seq[String]): DataFrame = {
     val lists = Seq(
       "InfererValues" -> "inferer_values",
       "ForecasterValues" -> "forecaster_values",
@@ -225,17 +235,73 @@ object Routers {
       "OneInForecasterValues" -> "one_in_forecaster_values",
       "OneOutForecasterValues" -> "one_out_forecaster_values")
     lists.map { case (tag, field) =>
-      losses.select(
-        col("height_tx"), col("height"), col("topic_id"),
-        lit(tag).as("reputer_value_type"),
-        explode(col("vb").getField(field)).as("wv"))
+      df.select(
+        idCols.map(col) :+
+          lit(tag).as("reputer_value_type") :+
+          explode(col("vb").getField(field)).as("wv"): _*)
         .select(
-          col("height_tx"), col("height"), col("topic_id"),
-          col("reputer_value_type"),
-          col("wv.worker").as("worker"),
-          col("wv.value").as("value"))
+          idCols.map(col) :+
+            col("reputer_value_type") :+
+            col("wv.worker").as("worker") :+
+            col("wv.value").as("value"): _*)
     }.reduce(_ unionByName _)
   }
+
+  def bundleValues(losses: DataFrame): DataFrame =
+    explodeValueLists(losses, Seq("height_tx", "height", "topic_id"))
+
+  /** Reputer payloads + bundles (process_tx.go:175-290): both the single
+    * `MsgInsertReputerPayload` / `InsertReputerPayloadRequest` shape and
+    * the v1 bulk shape with its bundle array, normalized into one frame.
+    */
+  def reputerBundles(messages: DataFrame): DataFrame = {
+    val rvb = StructType(Seq(
+      StructField("pubkey", StringType),
+      StructField("signature", StringType),
+      StructField("value_bundle", valueBundleSchema)))
+    val singleSchema = StructType(Seq(
+      StructField("sender", StringType),
+      StructField("reputer_value_bundle", rvb)))
+    val bulkSchema = StructType(Seq(
+      StructField("sender", StringType),
+      StructField("topic_id", StringType),
+      StructField("reputer_value_bundles", ArrayType(rvb))))
+    def normalize(base: DataFrame): DataFrame =
+      base.select(
+        col("message_height"), col("message_id"), col("sender"),
+        col("b.value_bundle.topic_id").cast(IntegerType).as("topic_id"),
+        col("b.value_bundle.reputer_request_nonce.reputer_nonce.block_height")
+          .cast(LongType).as("reputer_nonce_block_height"),
+        col("b.value_bundle.reputer_request_nonce.worker_nonce.block_height")
+          .cast(LongType).as("worker_nonce_block_height"),
+        col("b.pubkey").as("pubkey"),
+        col("b.signature").as("signature"),
+        col("b.value_bundle.reputer").as("reputer"),
+        col("b.value_bundle.extra_data").as("extra_data"),
+        col("b.value_bundle.naive_value").as("naive_value"),
+        col("b.value_bundle.combined_value").as("combined_value"),
+        col("b.value_bundle").as("vb"))
+    val single = normalize(
+      messages
+        .filter(isMsg("/emissions.v", "MsgInsertReputerPayload", "InsertReputerPayloadRequest") &&
+          !col("type").contains("Bulk"))
+        .select(col("height").as("message_height"), col("hash").as("message_id"),
+          payload(singleSchema).as("p"))
+        .select(col("message_height"), col("message_id"),
+          col("p.sender").as("sender"), col("p.reputer_value_bundle").as("b")))
+    val bulk = normalize(
+      messages
+        .filter(isMsg("/emissions.v1", "MsgInsertBulkReputerPayload"))
+        .select(col("height").as("message_height"), col("hash").as("message_id"),
+          payload(bulkSchema).as("p"))
+        .select(col("message_height"), col("message_id"),
+          col("p.sender").as("sender"), explode(col("p.reputer_value_bundles")).as("b")))
+    single.unionByName(bulk)
+  }
+
+  /** Bundle values of reputer bundles (TB_BUNDLE_VALUES shape). */
+  def reputerBundleValues(bundles: DataFrame): DataFrame =
+    explodeValueLists(bundles, Seq("message_height", "message_id", "topic_id", "reputer"))
 
   // ---- message routing ----------------------------------------------------
 
@@ -358,9 +424,10 @@ object Routers {
           StructField("forecast", forecast)))))))))
   }
 
-  private def workerBundles(messages: DataFrame): DataFrame =
-    messages
-      .filter(isMsg("/emissions.v", "MsgInsertWorkerPayload", "InsertWorkerPayloadRequest"))
+  private def workerBundles(messages: DataFrame): DataFrame = {
+    val single = messages
+      .filter(isMsg("/emissions.v", "MsgInsertWorkerPayload", "InsertWorkerPayloadRequest") &&
+        !col("type").contains("Bulk"))
       .select(col("height").as("message_height"), col("hash").as("message_id"),
         payload(workerPayloadSchema).as("p"))
       .select(col("message_height"), col("message_id"),
@@ -368,6 +435,27 @@ object Routers {
         col("p.worker_data_bundle.nonce.block_height").cast(LongType)
           .as("nonce_block_height"),
         col("p.worker_data_bundle.inference_forecasts_bundle").as("b"))
+    // v1 bulk shape (types/messages.go:30-39): nonce and topic at the
+    // message level, a bundle array below.
+    val bundleField = workerPayloadSchema("worker_data_bundle").dataType
+    val bulkSchema = StructType(Seq(
+      StructField("sender", StringType),
+      StructField("topic_id", StringType),
+      StructField("nonce", StructType(Seq(StructField("block_height", StringType)))),
+      StructField("worker_data_bundles", ArrayType(bundleField))))
+    val bulk = messages
+      .filter(isMsg("/emissions.v1", "MsgInsertBulkWorkerPayload"))
+      .select(col("height").as("message_height"), col("hash").as("message_id"),
+        payload(bulkSchema).as("p"))
+      .select(col("message_height"), col("message_id"),
+        col("p.topic_id").cast(IntegerType).as("topic_id"),
+        col("p.nonce.block_height").cast(LongType).as("nonce_block_height"),
+        explode(col("p.worker_data_bundles")).as("wdb"))
+      .select(col("message_height"), col("message_id"), col("topic_id"),
+        col("nonce_block_height"),
+        col("wdb.inference_forecasts_bundle").as("b"))
+    single.unionByName(bulk)
+  }
 
   /** Inferences (numeric-valued only, mirroring the ParseFloat guard at
     * process_tx.go:344).

@@ -68,6 +68,30 @@ class IndexerSpec extends SparkSpec {
            {"key":"nonce","value":"{\"block_height\":\"100\"}"},
            {"key":"topic_id","value":"\"7\""}]}]}]}""".replaceAll("\n\\s*", "")
 
+  private val txJson2 =
+    """{"body":{"messages":[
+       {"@type":"/emissions.v3.InsertReputerPayloadRequest","sender":"allo1rep",
+        "reputer_value_bundle":{"pubkey":"PK1","signature":"SIG1",
+          "value_bundle":{"reputer":"allo1rep","topic_id":"7","extra_data":"",
+            "naive_value":"0.91","combined_value":"0.88",
+            "reputer_request_nonce":{"worker_nonce":{"block_height":"98"},
+                                     "reputer_nonce":{"block_height":"99"}},
+            "inferer_values":[{"worker":"allo1a","value":"0.1"},
+                              {"worker":"allo1b","value":"0.2"}],
+            "one_out_inferer_values":[{"worker":"allo1a","value":"0.3"}]}}},
+       {"@type":"/emissions.v1.MsgInsertBulkWorkerPayload","sender":"allo1w",
+        "topic_id":"7","nonce":{"block_height":"97"},
+        "worker_data_bundles":[
+          {"worker":"allo1w","topic_id":"7","nonce":{"block_height":"97"},
+           "inference_forecasts_bundle":{
+             "inference":{"topic_id":"7","block_height":"97","inferer":"allo1w",
+                          "value":"10.5","extra_data":"","proof":""}}},
+          {"worker":"allo1x","topic_id":"7","nonce":{"block_height":"97"},
+           "inference_forecasts_bundle":{
+             "inference":{"topic_id":"7","block_height":"97","inferer":"allo1x",
+                          "value":"11.5","extra_data":"","proof":""}}}]}]}}"""
+      .replaceAll("\n\\s*", "")
+
   private lazy val blocks: DataFrame =
     Seq((100L, blockJson)).toDF("height", "block_json")
   private lazy val txs: DataFrame =
@@ -159,6 +183,32 @@ class IndexerSpec extends SparkSpec {
     val fv = Routers.forecastValues(fc).collect()
     assert(fv.length === 2)
     assert(fv.map(_.getAs[String]("inferer")).toSet === Set("allo1a", "allo1b"))
+  }
+
+  test("reputer payloads normalize across single and bulk shapes") {
+    val msgs = Ingest.messages(Seq((101L, txJson2)).toDF("height", "tx_json"))
+    val bundles = Routers.reputerBundles(msgs)
+    val b = bundles.collect()
+    assert(b.length === 1)
+    assert(b(0).getAs[String]("pubkey") === "PK1")
+    assert(b(0).getAs[Long]("reputer_nonce_block_height") === 99L)
+    assert(b(0).getAs[Long]("worker_nonce_block_height") === 98L)
+    assert(b(0).getAs[String]("combined_value") === "0.88")
+    val bv = Routers.reputerBundleValues(bundles).collect()
+    assert(bv.length === 3) // 2 inferer + 1 one-out-inferer
+    assert(bv.map(_.getAs[String]("reputer_value_type")).toSet ===
+      Set("InfererValues", "OneOutInfererValues"))
+  }
+
+  test("bulk worker payloads explode into per-bundle inferences") {
+    val msgs = Ingest.messages(Seq((101L, txJson2)).toDF("height", "tx_json"))
+    val inf = Routers.inferences(msgs).collect()
+    assert(inf.length === 2)
+    assert(inf.map(_.getAs[String]("inferer")).toSet === Set("allo1w", "allo1x"))
+    inf.foreach { r =>
+      assert(r.getAs[Long]("nonce_block_height") === 97L)
+      assert(r.getAs[Int]("topic_id") === 7)
+    }
   }
 
   test("consensus params flatten block/evidence/validator sections") {
