@@ -30,6 +30,7 @@ object SparkEntry {
     "q22_no_orders" -> (Relational.q22NoOrders _),
     "q_rollup" -> (Relational.qRollup _),
     "q18_large_orders" -> (Relational.q18LargeOrders _),
+    "q13_customer_dist" -> (Relational.q13CustomerDist _),
     "q_repeat_customers" -> (Relational.qRepeatCustomers _),
     // Event-pipeline semantics
     "ev_route_counts" -> (Events.routeCounts _),
@@ -55,6 +56,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextOps.fingerprint _),
     "doc_stats" -> (TextOps.docStats _),
     "text_len_quantiles" -> (TextOps.lengthQuantiles _),
+    "text_bigrams" -> (TextOps.bigrams _),
     // Dedup suite
     "dd_exact" -> (Dedup.exact _),
     "dd_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -84,6 +86,7 @@ object SparkEntry {
     "q22_no_orders" -> Relational.q22Oracle,
     "q_rollup" -> Relational.qRollupOracle,
     "q18_large_orders" -> Relational.q18Oracle,
+    "q13_customer_dist" -> Relational.q13Oracle,
     "q_repeat_customers" -> Relational.qRepeatCustomersOracle,
     "ev_route_counts" -> Events.routeCountsOracle,
     "ev_json_extract" -> Events.jsonExtractOracle,
@@ -106,6 +109,7 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.fingerprintOracle,
     "doc_stats" -> TextOps.docStatsOracle,
     "text_len_quantiles" -> TextOps.lengthQuantilesOracle,
+    "text_bigrams" -> TextOps.bigramsOracle,
     "dd_exact" -> Dedup.exactOracle,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dd_embedding_cos" -> Dedup.embeddingCosOracle,

@@ -276,6 +276,28 @@ object Relational {
        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
        ORDER BY 1"""
 
+  /** LEFT OUTER JOIN + two-level aggregation (customer-distribution, Q13
+    * shape): customers with zero orders survive the outer join and land in
+    * the 0-orders bucket.
+    */
+  def q13CustomerDist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Oracle: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+         SELECT c_custkey, count(o_orderkey) AS c_count
+         FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey)
+       GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
   /** ROLLUP hierarchy totals: per (flag, status), per flag, grand total.
     * NULL group keys are labeled so the output is comparator-stable.
     */

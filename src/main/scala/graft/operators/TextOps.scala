@@ -157,6 +157,33 @@ object TextOps {
        count(*) AS n_docs, min(doc_id) AS canonical_doc_id
        FROM documents GROUP BY 1 ORDER BY 1"""
 
+  /** Corpus bigram frequencies, top 50 (the n-gram statistics pass every
+    * corpus profiling pipeline runs; one explode + one hash agg + top-k).
+    */
+  def bigrams(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.fanout(Tables.documents(spark, dir))
+    d.select(words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(
+        transform(
+          sequence(lit(0), size(col("ws")) - 2),
+          i => concat_ws(" ",
+            element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2)))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+  }
+
+  val bigramsOracle: String =
+    """WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
+       b AS (SELECT unnest([concat_ws(' ', ws[i], ws[i+1])
+                            FOR i IN generate_series(1, len(ws) - 1)]) AS bigram
+             FROM w)
+       SELECT bigram, count(*) AS n FROM b
+       GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50"""
+
   /** Corpus stats per (lang, source). */
   def docStats(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
