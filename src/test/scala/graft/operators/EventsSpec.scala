@@ -59,6 +59,36 @@ class EventsSpec extends SparkSpec {
     assert(cums.sameElements(cums.sorted))
   }
 
+  test("cube grand total covers every event") {
+    val rows = Events.cubeStats(spark, sfDir).collect()
+    val grand = rows.find(r =>
+      r.getAs[String]("dow") == "ALL" && r.getAs[String]("event_type") == "ALL").get
+    assert(grand.getAs[Long]("n_events") === Tables.events(spark, sfDir).count())
+  }
+
+  test("cohort retention: week zero contains every user") {
+    val rows = Events.cohortRetention(spark, sfDir).collect()
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    val weekZero = rows.filter(_.getAs[Long]("weeks_since") == 0L)
+      .map(_.getAs[Long]("n_active_users")).sum
+    assert(weekZero === users, "every user is active in their own cohort week")
+  }
+
+  test("decimal totals are exact: sum of per-type totals equals global total") {
+    val rows = Events.decimalTotals(spark, sfDir).collect()
+    val sumOfTotals = BigDecimal(rows.map(_.getAs[Double]("total")).sum)
+    val global = Tables.events(spark, sfDir)
+      .agg(round(sum(col("value").cast("decimal(38,6)")).cast("double"), 2)).collect()(0).getDouble(0)
+    assert((sumOfTotals - BigDecimal(global)).abs < BigDecimal(0.05))
+  }
+
+  test("asof: matched signup precedes the purchase") {
+    Events.asofSignup(spark, sfDir).collect().foreach { r =>
+      val sig = r.getAs[java.lang.Long]("last_signup_event_id")
+      if (sig != null) assert(sig <= r.getAs[Long]("event_id"))
+    }
+  }
+
   test("hll approximate distinct stays within 5% of exact") {
     val approx = Events.hllUsers(spark, sfDir).collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap

@@ -41,6 +41,35 @@ class RelationalSpec extends SparkSpec {
     assert(df.count() === 25) // Brand#1..25
   }
 
+  test("q13 keeps customers with zero orders in the 0 bucket") {
+    val rows = Relational.q13CustomerDist(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("custdist")).sum
+    assert(total === graft.Tables.customer(spark, sfDir).count())
+  }
+
+  test("q18 only returns orders above the HAVING threshold") {
+    Relational.q18LargeOrders(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Double]("total_qty") > 150.0)
+    }
+  }
+
+  test("q_repeat_customers is a subset of each year's actives") {
+    val repeat = Relational.qRepeatCustomers(spark, sfDir).collect()
+      .map(_.getAs[Long]("o_custkey")).toSet
+    import org.apache.spark.sql.functions._
+    val o = graft.Tables.orders(spark, sfDir)
+    val y96 = o.filter(year(col("o_orderdate")) === 1996)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    assert(repeat.subsetOf(y96))
+  }
+
+  test("rollup grand total equals the table size") {
+    val rows = Relational.qRollup(spark, sfDir).collect()
+    val grand = rows.find(r =>
+      r.getAs[String]("returnflag") == "ALL" && r.getAs[String]("linestatus") == "ALL").get
+    assert(grand.getAs[Long]("n_lines") === graft.Tables.lineitem(spark, sfDir).count())
+  }
+
   test("lineitem scan prunes columns") {
     val plan = Relational.q01PricingSummary(spark, sfDir)
       .queryExecution.executedPlan.toString
