@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{CosineSimilarity, Vec}
+import graft.functions.CosineSimilarity
 
 /** Deduplication suite over `documents` / `embeddings`:
   *
