@@ -51,6 +51,16 @@ object EventStream {
         col("window.start").as("minute_start"),
         col("type"), col("n_events"), col("height_sum"))
 
+  /** Streaming-native insert-ignore: duplicates on the events conflict key
+    * are dropped across micro-batches, with state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark` evicts keys once their event time
+    * passes) — the unbounded-state-free version of the foreachBatch dedup.
+    */
+  def dedupedStream(parsed: DataFrame): DataFrame =
+    parsed
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("height", "type", "hash")
+
   /** Custom streaming state: a per-type running total maintained with
     * `mapGroupsWithState` — the shape for state the built-in windowed
     * aggregations can't express (counters, EMAs, dedup caches keyed by

@@ -34,6 +34,25 @@ class EventStreamSpec extends SparkSpec {
     assert(merged.count(_._1 == 100L) === 2)
   }
 
+  test("dropDuplicatesWithinWatermark suppresses cross-batch duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val dup = eventJson(50, "2024-05-01T10:00:00Z", "t.A", "k", "1")
+    val q = EventStream.dedupedStream(EventStream.parse(input.toDF()))
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream")
+      .outputMode("append")
+      .start()
+    input.addData(dup, eventJson(51, "2024-05-01T10:00:10Z", "t.B", "k", "2"))
+    q.processAllAvailable()
+    input.addData(dup) // same key arrives again in a later micro-batch
+    q.processAllAvailable()
+    val heights = spark.sql("SELECT height FROM dedup_stream").collect().map(_.getLong(0))
+    q.stop()
+    assert(heights.sorted.toSeq === Seq(50L, 51L), s"duplicate not suppressed: ${heights.toSeq}")
+  }
+
   test("file-source pump catches up from its checkpoint across restarts") {
     val landing = java.nio.file.Files.createTempDirectory("graft-landing").toString
     val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
