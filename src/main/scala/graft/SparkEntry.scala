@@ -70,7 +70,9 @@ object SparkEntry {
     "ev_decimal_totals" -> (Events.decimalTotals _),
     "mm_doc_embedding" -> (Similarity.docEmbedding _),
     // Multimodal plumbing (stubbed decode, real batch shape)
-    "mm_media_stats" -> (Multimodal.mediaStats _)
+    "mm_media_stats" -> (Multimodal.mediaStats _),
+    // End-to-end curation pipeline (quality -> exact dedup -> near-dup)
+    "pipe_clean_corpus" -> (Pipeline.cleanCorpus _)
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
