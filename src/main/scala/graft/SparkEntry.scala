@@ -66,6 +66,7 @@ object SparkEntry {
     // Similarity search
     "sim_topk_bruteforce" -> (Similarity.topkBruteforce _),
     "sim_lsh_topk" -> (Similarity.lshTopk _),
+    "sim_ivf_topk" -> (Similarity.ivfTopk _),
     "emb_norms" -> (Similarity.embNorms _),
     "ev_decimal_totals" -> (Events.decimalTotals _),
     "mm_doc_embedding" -> (Similarity.docEmbedding _),

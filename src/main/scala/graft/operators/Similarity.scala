@@ -112,6 +112,50 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into cells; each query probes only its
+    * `nprobe` nearest cells. The other classic ANN scale path next to
+    * hyperplane LSH — at 100 TB the assignment is one pass, cells are the
+    * shuffle key, and the trained centroids (k×dim doubles) broadcast for
+    * free. Deterministic via a fixed seed. No SQL oracle (approximate);
+    * recall vs `topkBruteforce` asserted in SimilaritySpec.
+    */
+  def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val nCells = 16
+    val nprobe = 4
+    val e = Tables.fanout(Tables.embeddings(spark, dir)).localCheckpoint()
+    val feat = e.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+      .localCheckpoint()
+    // Broadcastable centroid table: (cell, centroid array).
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
+      .toDF("cell", "centroid")
+    // Each query probes its nprobe nearest cells (euclidean to centroid).
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val dist2 = aggregate(
+      zip_with(col("qe"), col("centroid"), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val probed = TopKPerKey.perKey(
+        broadcast(q).join(centroids).select(col("query_id"), col("qe"), col("cell"), dist2.as("d2")),
+        Seq(col("query_id")), Seq(col("d2"), col("cell")), nprobe)
+      .select(col("query_id"), col("qe"), col("cell"))
+    val cands = assigned.filter(col("vec_id") >= 10)
+      .select(col("cell"), col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val scored = broadcast(probed).join(cands, "cell")
+      .select(col("query_id"), col("cand_id"), CosineSimilarity(col("qe"), col("ce")).as("cos"))
+      .dropDuplicates("query_id", "cand_id")
+    TopKPerKey.perKey(scored, Seq(col("query_id")), Seq(col("cos").desc, col("cand_id")), 3)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), trunc4(col("cos")).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Cross-modal join: documents ↔ embeddings on id, per-language norm
     * stats — the text-plus-vector join a multimodal pipeline runs
     * constantly. Embedding side reduced to (id, norm) before the join.

@@ -25,6 +25,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.15, s"recall $recall below floor")
   }
 
+  test("ivf top-k reaches minimum recall vs the exact baseline") {
+    val exact = Similarity.topkBruteforce(spark, sfDir).collect()
+      .filter(_.getAs[Long]("rank") <= 3)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val ivf = Similarity.ivfTopk(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    // Measured ~0.77 at sf0.01 while probing 4/16 cells — the coarse
+    // quantizer handles this near-uniform corpus far better than
+    // hyperplane LSH (~0.27).
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf recall $recall below floor")
+  }
+
   test("embNorms produces one row per label with sane norms") {
     val rows = Similarity.embNorms(spark, sfDir).collect()
     assert(rows.length === 10)
