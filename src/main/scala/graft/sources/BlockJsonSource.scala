@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for block landing zones — the ingestion edge of
+  * the pipeline (the reference fetches blocks over RPC one height at a
+  * time, main.go:255-312; at lake scale the equivalent is ranged dump
+  * files).
+  *
+  * Files are newline-delimited `<height>\t<block_json>` named
+  * `blocks-<lo>-<hi>.jsonl`. The source demonstrates both V2 pushdown
+  * hooks that matter at 100 TB:
+  *
+  *  - height predicates prune whole FILES from the scan (the filename
+  *    range is a zone map), so `height >= X` catch-up reads touch only
+  *    the tail of the landing zone;
+  *  - required-column pruning skips materializing the (large) JSON body
+  *    when only heights are selected.
+  *
+  * Usage: `spark.read.format("graft.sources.BlockJsonSource").load(dir)`.
+  */
+class BlockJsonSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BlockJsonSource.schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new BlockJsonTable(properties.get("path"))
+}
+
+object BlockJsonSource {
+  val schema: StructType = StructType(Seq(
+    StructField("height", LongType, nullable = false),
+    StructField("block_json", StringType)))
+
+  /** `blocks-<lo>-<hi>.jsonl` → (lo, hi); files that don't match are kept
+    * conservatively (no pruning possible).
+    */
+  private[sources] def rangeOf(name: String): Option[(Long, Long)] = {
+    val m = "^blocks-([0-9]+)-([0-9]+)\\.jsonl$".r
+    name match {
+      case m(lo, hi) => Some((lo.toLong, hi.toLong))
+      case _ => None
+    }
+  }
+}
+
+class BlockJsonTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"blocks($path)"
+  override def schema(): StructType = BlockJsonSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BlockScanBuilder(path)
+}
+
+class BlockScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = BlockJsonSource.schema
+  private var minHeight: Long = Long.MinValue
+  private var maxHeight: Long = Long.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case GreaterThan("height", _: Long) => true
+      case GreaterThanOrEqual("height", _: Long) => true
+      case LessThan("height", _: Long) => true
+      case LessThanOrEqual("height", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan("height", v: Long) => minHeight = math.max(minHeight, v + 1)
+      case GreaterThanOrEqual("height", v: Long) => minHeight = math.max(minHeight, v)
+      case LessThan("height", v: Long) => maxHeight = math.min(maxHeight, v - 1)
+      case LessThanOrEqual("height", v: Long) => maxHeight = math.min(maxHeight, v)
+      case _ => ()
+    }
+    pushed = accepted
+    // height bounds are only a file-level zone map; rows inside a kept
+    // file still need the residual filter, so return everything.
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new BlockScan(path, required, minHeight, maxHeight)
+}
+
+class BlockScan(
+    path: String, required: StructType, minHeight: Long, maxHeight: Long)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new java.io.File(path)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".jsonl"))
+      .filter { f =>
+        BlockJsonSource.rangeOf(f.getName) match {
+          case Some((lo, hi)) => hi >= minHeight && lo <= maxHeight
+          case None => true // unknown name: cannot prune
+        }
+      }
+    files.sortBy(_.getName).map(f => BlockFilePartition(f.getAbsolutePath): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BlockReaderFactory(required)
+}
+
+case class BlockFilePartition(file: String) extends InputPartition
+
+class BlockReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[BlockFilePartition].file
+    new PartitionReader[InternalRow] {
+      private val lines = scala.io.Source.fromFile(file)
+      private val it = lines.getLines()
+      private var row: InternalRow = _
+      private val wantHeight = required.fieldNames.contains("height")
+      private val wantJson = required.fieldNames.contains("block_json")
+
+      override def next(): Boolean =
+        if (!it.hasNext) false
+        else {
+          val line = it.next()
+          val tab = line.indexOf('\t')
+          val values = required.fieldNames.map {
+            case "height" if tab > 0 => java.lang.Long.parseLong(line.substring(0, tab))
+            case "block_json" if tab > 0 => UTF8String.fromString(line.substring(tab + 1))
+            case _ => null
+          }
+          row = InternalRow.fromSeq(values.toSeq)
+          true
+        }
+
+      override def get(): InternalRow = row
+      override def close(): Unit = lines.close()
+    }
+  }
+}

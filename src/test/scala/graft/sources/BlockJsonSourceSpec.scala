@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BlockJsonSourceSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-blocks").toString
+    def write(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(d, name), String.join("\n", lines: _*).getBytes)
+    write("blocks-100-101.jsonl", Seq(
+      "100\t{\"header\":{\"chain_id\":\"t1\"}}",
+      "101\t{\"header\":{\"chain_id\":\"t1\"}}"))
+    // deliberately malformed body: must never be read when pruned away
+    write("blocks-200-201.jsonl", Seq(
+      "200\t{\"header\":{\"chain_id\":\"t1\"}}",
+      "201\tTHIS IS NOT JSON BUT STILL A VALID ROW"))
+    d
+  }
+
+  private def read() =
+    spark.read.format("graft.sources.BlockJsonSource").load(dir)
+
+  test("reads all ranged files with the declared schema") {
+    val df = read()
+    assert(df.schema.fieldNames.toSeq === Seq("height", "block_json"))
+    assert(df.count() === 4)
+    assert(df.agg(min("height"), max("height")).collect()(0).toSeq === Seq(100L, 201L))
+  }
+
+  test("height predicates prune whole files from the scan") {
+    // one InputPartition per file: partition count is the file count
+    assert(read().rdd.getNumPartitions === 2)
+    val df = read().filter(col("height") >= 200)
+    assert(df.rdd.getNumPartitions === 1, "file outside the height range must be pruned")
+    assert(df.count() === 2)
+    val other = read().filter(col("height") < 150)
+    assert(other.rdd.getNumPartitions === 1)
+    assert(other.select("height").collect().map(_.getLong(0)).sorted.toSeq === Seq(100L, 101L))
+  }
+
+  test("residual row filtering still applies inside kept files") {
+    val df = read().filter(col("height") === 101)
+    assert(df.count() === 1)
+  }
+
+  test("column pruning drops the json body from the read schema") {
+    val heights = read().select("height")
+    assert(heights.queryExecution.executedPlan.toString.contains("height"))
+    assert(heights.collect().map(_.getLong(0)).sorted.toSeq === Seq(100L, 101L, 200L, 201L))
+  }
+}
