@@ -242,6 +242,27 @@ class IndexerSpec extends SparkSpec {
     merged.collect().foreach(r => assert(r.getAs[Long]("height_tx") === 101L))
   }
 
+  test("end-to-end flow: landing files -> block_info table, incremental catch-up") {
+    val landing = java.nio.file.Files.createTempDirectory("graft-flow-landing").toString
+    val table = java.nio.file.Files.createTempDirectory("graft-flow").toString + "/block_info"
+    def block(h: Long): String = blockJson.replace("\"height\":\"100\"", s""""height":"$h"""")
+    def writeRange(lo: Long, hi: Long): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(landing, s"blocks-$lo-$hi.jsonl"),
+        (lo to hi).map(h => s"$h\t${block(h)}").mkString("\n").getBytes)
+
+    writeRange(100, 102)
+    assert(IndexerFlow.runBatch(spark, landing, table) === 3)
+    assert(spark.read.parquet(table).count() === 3)
+    // re-run with no new data: nothing ingested, table unchanged
+    assert(IndexerFlow.runBatch(spark, landing, table) === 0)
+    // new ranged file arrives: only the delta is ingested
+    writeRange(103, 104)
+    assert(IndexerFlow.runBatch(spark, landing, table) === 2)
+    val heights = spark.read.parquet(table).select("height").collect().map(_.getLong(0)).sorted
+    assert(heights.toSeq === (100L to 104L))
+  }
+
   test("upsert operators are idempotent under replay") {
     val df = Seq((1, "a", 10L), (1, "a", 20L), (2, "b", 5L)).toDF("k", "v", "ver")
     val first = Upsert.firstWins(df, Seq("k"), col("ver")).collect()
