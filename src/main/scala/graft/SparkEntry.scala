@@ -48,6 +48,7 @@ object SparkEntry {
     "ev_cube_stats" -> (Events.cubeStats _),
     "ev_rank_delta" -> (Events.dailyRankDelta _),
     "ev_cohort_retention" -> (Events.cohortRetention _),
+    "ev_funnel" -> (Events.funnel _),
     "ev_hll_users" -> (Events.hllUsers _),
     // Text analysis
     "text_tokens" -> (TextOps.tokens _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "ev_cube_stats" -> Events.cubeStatsOracle,
     "ev_rank_delta" -> Events.dailyRankDeltaOracle,
     "ev_cohort_retention" -> Events.cohortRetentionOracle,
+    "ev_funnel" -> Events.funnelOracle,
     "text_tokens" -> TextOps.tokensOracle,
     "text_quality" -> TextOps.qualityOracle,
     "text_langid" -> TextOps.langidOracle,

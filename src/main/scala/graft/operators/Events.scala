@@ -412,6 +412,39 @@ object Events {
        FROM a JOIN f USING (user_id)
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Funnel conversion: per user, did a purchase follow a signup? One pass
+    * per key — min signup position against max purchase position — then a
+    * corpus-level conversion summary.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val perUser = e.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("event_id"))).as("first_signup"),
+        max(when(col("event_type") === "purchase", col("event_id"))).as("last_purchase"))
+    perUser.select(
+        when(col("first_signup").isNull, "never_signed_up")
+          .when(col("last_purchase").isNull, "signed_up_no_purchase")
+          .when(col("last_purchase") > col("first_signup"), "converted")
+          .otherwise("purchased_before_signup").as("funnel_stage"))
+      .groupBy(col("funnel_stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("funnel_stage")
+  }
+
+  val funnelOracle: String =
+    """WITH p AS (
+         SELECT user_id,
+           min(CASE WHEN event_type = 'signup' THEN event_id END) AS first_signup,
+           max(CASE WHEN event_type = 'purchase' THEN event_id END) AS last_purchase
+         FROM events GROUP BY 1)
+       SELECT CASE WHEN first_signup IS NULL THEN 'never_signed_up'
+                   WHEN last_purchase IS NULL THEN 'signed_up_no_purchase'
+                   WHEN last_purchase > first_signup THEN 'converted'
+                   ELSE 'purchased_before_signup' END AS funnel_stage,
+              count(*) AS n_users
+       FROM p GROUP BY 1 ORDER BY 1"""
+
   /** Exact decimal aggregation — the reference's NUMERIC(72,18) discipline
     * (db.go:414): values cast to a fixed-scale decimal before summation, so
     * totals are exact and engine-identical by construction (no float
