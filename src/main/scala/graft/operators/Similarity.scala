@@ -127,7 +127,7 @@ object Similarity {
     val nprobe = 4
     val e = Tables.fanout(Tables.embeddings(spark, dir)).localCheckpoint()
     val feat = e.withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(feat)
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5).fit(feat)
     val assigned = model.transform(feat)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
       .localCheckpoint()
