@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SimHash64}
 
 /** Deduplication suite over `documents` / `embeddings`:
   *
@@ -96,7 +96,10 @@ object Dedup {
       explode(col("shingles")).as("s"))
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val prefix = sh.join(broadcast(df), "s")
+    // DF-table join is NOT broadcast-pinned: distinct-shingle cardinality is
+    // O(corpus tokens) — billions of rows at 100 TB. Both sides shuffle on
+    // the shingle hash; AQE may still broadcast while it genuinely fits.
+    val prefix = sh.join(df, "s")
       .withColumn("pos", row_number().over(byRarity))
       .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
       .select(col("doc_id"), col("n"), col("pos"), col("s"))
@@ -203,18 +206,13 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.fanout(Tables.documents(spark, dir))
     // Signature as a pure projection (like MinHash above): hash the word
-    // array once, then fold per-bit votes (+1 set / −1 clear) inside the
-    // row — no explode, no shuffle until the band join. Measured 6× faster
-    // than explode + 64-column aggregate at sf0.1, bit-identical output.
+    // array once, then one native codegen'd pass folds all 64 bit-votes
+    // (graft.functions.SimHash64) — no explode, no shuffle until the band
+    // join. The earlier 64-separate-`aggregate` formulation walked the
+    // array 64× through interpreted HOF eval and cost 15 s at sf0.1.
     val hs = d.select(col("doc_id"),
       transform(words(col("text")), w => xxhash64(w)).as("hs"))
-    val sig = hs.select(
-      col("doc_id"),
-      (0 until 64).map(i =>
-        when(
-          aggregate(col("hs"), lit(0),
-            (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
-          lit(1L << i)).otherwise(lit(0L))).reduce(_ + _).as("sim"))
+    val sig = hs.select(col("doc_id"), SimHash64(col("hs")).as("sim"))
       // both sides of the band self-join read this — materialize once
       .localCheckpoint()
     val banded = sig.select(

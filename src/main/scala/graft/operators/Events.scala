@@ -60,7 +60,9 @@ object Events {
     * no string UDFs), bucketed aggregation over the extracted key.
     */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+    // from_json is the one CPU-heavy per-row projection over this table —
+    // fan the scan out before it so the parse parallelizes (see Tables.fanout).
+    val e = Tables.fanout(Tables.events(spark, dir))
     val props = from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
     e.select(props.getField("k").as("k"), col("value"))
       .select(floor(col("k") / 10).as("k_bucket"), col("value"))
@@ -391,7 +393,9 @@ object Events {
       .agg(min(date_trunc("week", col("ts"))).as("cohort_week"))
     val activity = e.select(col("user_id"), date_trunc("week", col("ts")).as("active_week"))
       .distinct()
-    activity.join(broadcast(firstSeen), "user_id")
+    // firstSeen is per-user (grows with the fact data) — no broadcast pin;
+    // AQE broadcasts while it fits, shuffles on user_id beyond that.
+    activity.join(firstSeen, "user_id")
       .select(
         date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort"),
         // both weeks are Monday-truncated, so the day gap is an exact

@@ -11,11 +11,13 @@ import graft.Tables
   * layout and the topic_id indexes on every fact table), expressed TPC-H
   * style over the driver testdata.
   *
-  * Scale notes: dimension sides (`region`, `nation`, `supplier`, `part`,
-  * filtered `customer`) are explicitly `broadcast()`; fact-fact joins
-  * shuffle on their natural keys; aggregates are single-pass hash aggs with
-  * map-side partials. Doubles are rounded only at the output edge (verify
-  * determinism), never mid-plan.
+  * Scale notes: true dimension sides (`region`, `nation`, `supplier`,
+  * `part`) are explicitly `broadcast()`; anything whose size grows with the
+  * fact data (`customer`, filtered subsets of it, per-key aggregates) is
+  * left unpinned so AQE picks broadcast vs shuffle from measured sizes.
+  * Fact-fact joins shuffle on their natural keys; aggregates are
+  * single-pass hash aggs with map-side partials. Doubles are rounded only
+  * at the output edge (verify determinism), never mid-plan.
   */
 object Relational {
 
@@ -57,8 +59,11 @@ object Relational {
     val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
     val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+    // No broadcast pin on customer: the segment filter keeps ~1/5 of a
+    // table that grows with SF, so the right strategy is size-dependent —
+    // AQE broadcasts it while it fits and falls back to shuffle at scale.
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .select(
@@ -235,11 +240,15 @@ object Relational {
     val l = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
-    val big = l.groupBy(col("l_orderkey"))
-      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
-      .filter(col("total_qty") > 150.0)
+    // The HAVING-filtered aggregate is the small side — broadcast it into
+    // both joins (a handful of qualifying orders at any SF), never the
+    // customer table, which grows with the fact data.
+    val big = broadcast(
+      l.groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+        .filter(col("total_qty") > 150.0))
     big.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .select(
         col("c_custkey"), col("c_name"), col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
