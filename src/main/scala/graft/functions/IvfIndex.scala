@@ -1,0 +1,154 @@
+package graft.functions
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IVF coarse-quantizer training: k-means on a bounded, seed-fixed sample.
+  *
+  * The reference ANN architecture (IVF a la inverted-file indexes) trains
+  * the quantizer OFFLINE on a sample and serves queries against cached
+  * centroids — training never runs inside a query. The sample is capped,
+  * so the driver-side Lloyd's loop is O(sampleCap × k × dim) regardless of
+  * corpus size: at 100 TB the sample is still ≤ `sampleCap` rows, collected
+  * by one distributed `sample` pass. Centroids are cached per (corpus
+  * identity, k) so repeated queries — the serving pattern — skip training
+  * entirely.
+  */
+object IvfIndex {
+
+  private val cache = TrieMap.empty[(String, Int), Array[Array[Double]]]
+
+  /** Trained (or cached) centroids for `corpus` (`embCol`: array<float|double>).
+    * `cacheKey` identifies the corpus (e.g. its directory path).
+    */
+  def centroids(corpus: DataFrame, embCol: String, k: Int,
+      cacheKey: String, sampleCap: Int = 4096, iters: Int = 10,
+      seed: Long = 42L, restarts: Int = 4): Array[Array[Double]] =
+    cache.getOrElseUpdate((cacheKey, k), {
+      val n = corpus.count()
+      val fraction = math.min(1.0, sampleCap.toDouble / math.max(1L, n))
+      val sample = corpus
+        .select(col(embCol).cast("array<double>").as("e"))
+        .sample(withReplacement = false, fraction, seed)
+        .limit(sampleCap)
+        .collect()
+        .map(_.getSeq[Double](0).toArray)
+      // Collect order depends on partitioning and Lloyd's is order-sensitive
+      // (seeding draws by index, FP sums are non-associative) — sort the
+      // sample so training is deterministic for a given corpus + seed.
+      val ordered = sample.sortWith { (a, b) =>
+        var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n && a(i) == b(i)) i += 1
+        if (i < n) a(i) < b(i) else a.length < b.length
+      }
+      // Several seeded restarts, keep the lowest within-cluster SSE — the
+      // standard guard against a bad k-means++ draw, still deterministic.
+      (0 until restarts)
+        .map(r => lloyd(ordered, k, iters, seed + r))
+        .minBy(sse(ordered, _))
+    })
+
+  /** Plain Lloyd's k-means with k-means++ seeding — deterministic under a
+    * fixed seed, milliseconds at the capped sample size.
+    */
+  private[graft] def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "cannot train a quantizer on an empty sample")
+    val dim = points(0).length
+    val rnd = new java.util.Random(seed)
+    val kk = math.min(k, points.length)
+
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+
+    // k-means++ seeding.
+    val centers = new Array[Array[Double]](kk)
+    centers(0) = points(rnd.nextInt(points.length)).clone()
+    val minD2 = points.map(p => d2(p, centers(0)))
+    var c = 1
+    while (c < kk) {
+      val total = minD2.sum
+      var pick = if (total > 0) rnd.nextDouble() * total else 0.0
+      var idx = 0
+      while (idx < points.length - 1 && { pick -= minD2(idx); pick > 0 }) idx += 1
+      centers(c) = points(idx).clone()
+      var i = 0
+      while (i < points.length) {
+        val d = d2(points(i), centers(c))
+        if (d < minD2(i)) minD2(i) = d
+        i += 1
+      }
+      c += 1
+    }
+
+    // Lloyd iterations.
+    val assign = new Array[Int](points.length)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < points.length) {
+        var best = 0; var bestD = d2(points(i), centers(0))
+        var j = 1
+        while (j < kk) {
+          val d = d2(points(i), centers(j))
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      i = 0
+      while (i < points.length) {
+        val a = assign(i); counts(a) += 1
+        val s = sums(a); val p = points(i)
+        var j = 0
+        while (j < dim) { s(j) += p(j); j += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < kk) {
+        if (counts(j) > 0) {
+          var x = 0
+          while (x < dim) { sums(j)(x) /= counts(j); x += 1 }
+          centers(j) = sums(j)
+        } // empty cell: keep the previous center
+        j += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** Total squared distance of every point to its nearest center. */
+  private def sse(points: Array[Array[Double]], centers: Array[Array[Double]]): Double = {
+    var total = 0.0
+    var i = 0
+    while (i < points.length) {
+      val p = points(i)
+      var best = Double.MaxValue
+      var c = 0
+      while (c < centers.length) {
+        val ctr = centers(c)
+        var acc = 0.0; var j = 0
+        val n = math.min(p.length, ctr.length)
+        while (j < n) { val d = p(j) - ctr(j); acc += d * d; j += 1 }
+        if (acc < best) best = acc
+        c += 1
+      }
+      total += best
+      i += 1
+    }
+    total
+  }
+
+  /** Test/reset hook. */
+  private[graft] def clearCache(): Unit = cache.clear()
+}

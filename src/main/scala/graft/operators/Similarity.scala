@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{CosineSimilarity, Vec}
+import graft.functions.{CosineSimilarity, HyperplaneBuckets, IvfIndex, NearestCells, Vec}
 import graft.plans.TopKPerKey
 
 /** Similarity search over the `embeddings` table.
@@ -55,38 +55,22 @@ object Similarity {
        SELECT query_id, rank, cand_id, label, floor(cos * 1e4) / 1e4 AS cosine
        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
-  /** Fixed pseudo-random hyperplanes (deterministic, seedless):
-    * `tables` independent hash tables of `bitsPerTable` hyperplanes each.
-    */
-  // 8 tables × 6 bits: on a near-uniform corpus (this synthetic data has no
-  // tight clusters; max cosine ≈ 0.5) each query scores ~12% of the corpus
-  // for ~40-50% exact-top-k recall. On clustered real-world embeddings the
-  // same construction prunes far harder at far higher recall — tune
-  // (tables, bits) to the corpus distance profile.
-  private val lshTables = 8
+  // 12 tables × 6 bits of seed-fixed Gaussian hyperplanes. On this
+  // near-uniform corpus (max cosine ≈ 0.5, θ ≈ 60°) a true neighbor matches
+  // one table with p = (1 − θ/π)^6 ≈ 0.09 → union recall ≈ 0.67 over 12
+  // tables, while a random pair matches ≈ 12/2^6 ≈ 19% of the corpus. On
+  // clustered real-world embeddings the same construction prunes far harder
+  // at far higher recall — tune (tables, bits) to the distance profile.
+  private val lshTables = 12
   private val lshBits = 6
-  private[operators] val planes: Seq[Seq[Seq[Double]]] =
-    (0 until lshTables).map(t =>
-      (0 until lshBits).map(j =>
-        (0 until 64).map(i => math.sin(1.0 + (t * lshBits + j) * 64.0 + i))))
-
-  /** (table, bucket) signature pairs for one embedding — OR-construction:
-    * a candidate matching in ANY table is considered.
-    */
-  private def bucketsOf(emb: Column): Column =
-    array(planes.zipWithIndex.map { case (tablePlanes, t) =>
-      struct(
-        lit(t).as("tbl"),
-        tablePlanes.zipWithIndex
-          .map { case (p, j) =>
-            when(Vec.dot(emb, typedLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
-          }
-          .reduce(_ + _).as("bucket"))
-    }: _*)
+  private val lshDim = 64
+  private val lshSeed = 7L
 
   /** Approximate top-3 per query via multi-table random-hyperplane LSH
-    * (4 tables × 8 bits, OR-construction): each query scores only the union
-    * of its buckets' members, a ~1/2^bits fraction of the corpus per table.
+    * (OR-construction): each query scores only the union of its buckets'
+    * members. The signature is one native codegen'd expression
+    * ([[HyperplaneBuckets]]) — the earlier `aggregate`-fold formulation
+    * evaluated 48 interpreted dot products per row and dominated the query.
     * No SQL oracle (approximate by construction); recall vs
     * `topkBruteforce` is asserted in SimilaritySpec.
     */
@@ -94,8 +78,8 @@ object Similarity {
     val e = Tables.fanout(Tables.embeddings(spark, dir))
     val bucketed = e.select(
       col("vec_id"), col("embedding"),
-      explode(bucketsOf(col("embedding"))).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      posexplode(HyperplaneBuckets(col("embedding"), lshTables, lshBits, lshDim, lshSeed))
+        .as(Seq("tbl", "bucket")))
       // query and candidate branches both read this — materialize once
       .localCheckpoint()
     val q = bucketed.filter(col("vec_id") < 10)
@@ -112,44 +96,39 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
-    * partitions the corpus into cells; each query probes only its
-    * `nprobe` nearest cells. The other classic ANN scale path next to
-    * hyperplane LSH — at 100 TB the assignment is one pass, cells are the
-    * shuffle key, and the trained centroids (k×dim doubles) broadcast for
-    * free. Deterministic via a fixed seed. No SQL oracle (approximate);
-    * recall vs `topkBruteforce` asserted in SimilaritySpec.
+  /** IVF (inverted-file) approximate top-k — the flagship ANN path: a
+    * k-means coarse quantizer partitions the corpus into cells; each query
+    * probes only its `nprobe` nearest cells.
+    *
+    * Scale architecture: the quantizer trains on a bounded, seed-fixed
+    * sample with centroids cached per corpus ([[IvfIndex]]) — training
+    * never runs inside the query (offline index build, online serve). Cell
+    * assignment is one native codegen'd pass ([[NearestCells]]) with the
+    * k×dim centroid matrix riding inside the serialized expression, so the
+    * query plan is scan → assign → broadcast-join probes → cosine → top-k:
+    * no ML pipeline, no extra shuffle. Deterministic via fixed seeds. No
+    * SQL oracle (approximate); recall vs `topkBruteforce` asserted in
+    * SimilaritySpec.
     */
   def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val nCells = 16
-    val nprobe = 4
-    val e = Tables.fanout(Tables.embeddings(spark, dir)).localCheckpoint()
-    val feat = e.withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5).fit(feat)
-    val assigned = model.transform(feat)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-      .localCheckpoint()
-    // Broadcastable centroid table: (cell, centroid array).
-    val centroids = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
-      .toDF("cell", "centroid")
-    // Each query probes its nprobe nearest cells (euclidean to centroid).
-    val q = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val dist2 = aggregate(
-      zip_with(col("qe"), col("centroid"), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, x) => acc + x)
-    val probed = TopKPerKey.perKey(
-        broadcast(q).join(centroids).select(col("query_id"), col("qe"), col("cell"), dist2.as("d2")),
-        Seq(col("query_id")), Seq(col("d2"), col("cell")), nprobe)
-      .select(col("query_id"), col("qe"), col("cell"))
-    val cands = assigned.filter(col("vec_id") >= 10)
-      .select(col("cell"), col("vec_id").as("cand_id"), col("embedding").as("ce"))
-    val scored = broadcast(probed).join(cands, "cell")
+    // 32 cells, 6 probed: ~19% of the corpus scored per query at recall
+    // ~0.8 on this near-uniform corpus. At larger scale grow cells ~√N so
+    // the probed fraction keeps shrinking.
+    val nCells = 32
+    val nprobe = 6
+    val e = Tables.fanout(Tables.embeddings(spark, dir))
+    val cents = IvfIndex.centroids(e, "embedding", nCells, cacheKey = dir)
+    // Query side: probe the nprobe nearest cells.
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(NearestCells(col("embedding"), cents, nprobe)).as("cell"))
+    // Corpus side: each candidate lives in exactly one cell, so a pair can
+    // match at most once — no dedup pass needed.
+    val cands = e.filter(col("vec_id") >= 10)
+      .select(element_at(NearestCells(col("embedding"), cents, 1), 1).as("cell"),
+        col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val scored = broadcast(q).join(cands, "cell")
       .select(col("query_id"), col("cand_id"), CosineSimilarity(col("qe"), col("ce")).as("cos"))
-      .dropDuplicates("query_id", "cand_id")
     TopKPerKey.perKey(scored, Seq(col("query_id")), Seq(col("cos").desc, col("cand_id")), 3)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("cand_id"), trunc4(col("cos")).as("cosine"))

@@ -21,8 +21,10 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
     val recall = (exact & lsh).size.toDouble / exact.size
     // The synthetic corpus is near-uniform (max cos ~0.5), the hardest case
-    // for hyperplane LSH; on clustered corpora this is far higher.
-    assert(recall >= 0.15, s"recall $recall below floor")
+    // for hyperplane LSH; on clustered corpora this is far higher. Gaussian
+    // planes (12 tables x 6 bits) measure ~0.6 here while scoring ~19% of
+    // the corpus.
+    assert(recall >= 0.4, s"recall $recall below floor")
   }
 
   test("ivf top-k reaches minimum recall vs the exact baseline") {
@@ -31,11 +33,11 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
     val ivf = Similarity.ivfTopk(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
-    // Measured ~0.77 at sf0.01 while probing 4/16 cells — the coarse
-    // quantizer handles this near-uniform corpus far better than
-    // hyperplane LSH (~0.27).
+    // Measured ~0.8 while probing 6/32 cells (~19% of the corpus); the
+    // sample-trained quantizer is deterministic (sorted sample + fixed
+    // seed), so this is a stable number, floored with margin.
     val recall = (exact & ivf).size.toDouble / exact.size
-    assert(recall >= 0.5, s"ivf recall $recall below floor")
+    assert(recall >= 0.6, s"ivf recall $recall below floor")
   }
 
   test("embNorms produces one row per label with sane norms") {
