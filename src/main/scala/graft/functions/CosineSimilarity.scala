@@ -39,10 +39,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case _ => false
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // Mismatched lengths are bad data, not a prefix to score: return NULL,
+    // matching Vec.cosine (zip_with null-pads, the aggregate goes null).
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val xf = elemIsFloat(left)
     val yf = elemIsFloat(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -68,14 +73,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $xi = (double) $x.$xGet($i);
-         |  final double $yi = (double) $y.$yGet($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $x.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xi = (double) $x.$xGet($i);
+         |    final double $yi = (double) $y.$yGet($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
   }

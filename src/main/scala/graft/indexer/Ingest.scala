@@ -36,6 +36,26 @@ object Ingest {
       col("q.header.proposer_address").as("proposer_address"))
   }
 
+  /** Block JSON → `(height, tx_json)`: explodes `data.txs`, closing the
+    * block→tx→message lineage without a separate tx input frame.
+    *
+    * CONTRACT — txs must land PRE-DECODED to JSON. The reference shells
+    * out to the chain CLI to decode base64 protobuf txs (execute.go:82,
+    * main.go:271-284); no chain binary exists in a Spark cluster, so that
+    * decode belongs upstream, at landing time. Entries that are not JSON
+    * objects (e.g. still-encoded base64) flow through and are null-routed
+    * by [[messages]] (`try_variant_get` yields no messages for them) —
+    * they never fail the pipeline.
+    */
+  def txsFromBlocks(blocks: DataFrame): DataFrame =
+    blocks
+      .select(col("height"), from_json(col("block_json"), Model.blockSchema).as("q"))
+      .select(col("height"), explode(col("q.data.txs")).as("tx_json"))
+
+  /** Full lineage: block JSON → exploded txs → one row per message. */
+  def messagesFromBlocks(blocks: DataFrame): DataFrame =
+    messages(txsFromBlocks(blocks))
+
   /** Decoded txs: `(height, tx_json)` → one row per message with type,
     * sender (creator|sender|from_address precedence, process_tx.go:48-57),
     * raw payload, and a content hash for insert-ignore dedup (db.go:573).
@@ -49,7 +69,9 @@ object Ingest {
   def messages(txs: DataFrame): DataFrame = {
     val msgs = txs.select(
       col("height"),
-      explode(try_variant_get(parse_json(col("tx_json")), "$.body.messages", "array<variant>"))
+      // try_parse_json: a non-JSON entry (still-encoded base64, corrupt
+      // landing line) contributes zero messages instead of failing the scan
+      explode(try_variant_get(try_parse_json(col("tx_json")), "$.body.messages", "array<variant>"))
         .as("m"))
     msgs.select(
       col("height"),

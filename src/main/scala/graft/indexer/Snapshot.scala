@@ -30,8 +30,16 @@ object Snapshot {
     */
   def restoreAndCatchUp(
       restored: DataFrame, fresh: DataFrame,
-      keys: Seq[String], version: String): DataFrame =
-    U.latestWins(restored.unionByName(fresh), keys, col(version))
+      keys: Seq[String], version: String): DataFrame = {
+    // Version ties (the overlap region re-processed after a restore) go to
+    // the FRESH row — ON CONFLICT DO UPDATE semantics, deterministic.
+    import org.apache.spark.sql.functions.lit
+    U.latestWins(
+        restored.withColumn("__pref", lit(0))
+          .unionByName(fresh.withColumn("__pref", lit(1))),
+        keys, col(version), col("__pref").desc)
+      .drop("__pref")
+  }
 
   /** Highest ingested height — the reference's getLatestBlockHeightFromDB
     * starting-point probe (main.go:205-218).

@@ -16,16 +16,26 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
-  /** Keep the first row per key (insert-ignore). */
-  def firstWins(df: DataFrame, keys: Seq[String], version: Column): DataFrame =
-    pick(df, keys, version.asc)
+  /** Keep the first row per key (insert-ignore). `tieBreaks` order rows
+    * within equal versions — pass a source-precedence column when versions
+    * can collide (see [[latestWins]]).
+    */
+  def firstWins(df: DataFrame, keys: Seq[String], version: Column,
+      tieBreaks: Column*): DataFrame =
+    pick(df, keys, version.asc +: tieBreaks)
 
-  /** Keep the newest row per key (update-wins). */
-  def latestWins(df: DataFrame, keys: Seq[String], version: Column): DataFrame =
-    pick(df, keys, version.desc)
+  /** Keep the newest row per key (update-wins). ON CONFLICT DO UPDATE
+    * means the INCOMING row must win a version tie — when merging two
+    * frames whose version columns can be equal (e.g. version = the key
+    * itself), callers must pass a precedence tie-break (incoming outranks
+    * current) or the survivor is partition-order nondeterministic.
+    */
+  def latestWins(df: DataFrame, keys: Seq[String], version: Column,
+      tieBreaks: Column*): DataFrame =
+    pick(df, keys, version.desc +: tieBreaks)
 
-  private def pick(df: DataFrame, keys: Seq[String], order: Column): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order)
+  private def pick(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

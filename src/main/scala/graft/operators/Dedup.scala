@@ -30,8 +30,10 @@ object Dedup {
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
   /** Distinct word 3-shingles per document. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.fanout(Tables.documents(spark, dir))
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    shingledDocs(Tables.fanout(Tables.documents(spark, dir)))
+
+  private[operators] def shingledDocs(d: DataFrame): DataFrame = {
     d.select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(
@@ -153,7 +155,21 @@ object Dedup {
     * No SQL oracle (the permutation hash family is not portable);
     * correctness is pinned against `ngramJaccard` in DedupSpec.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshDocs(shingled(spark, dir))
+
+  /** Hot-bucket guard: buckets larger than this are dropped from candidate
+    * generation. A band bucket only grows past a few hundred members when
+    * the corpus carries massive boilerplate/identical text — content the
+    * EXACT dedup pass is contractually expected to collapse first (as
+    * `pipe_clean_corpus` does). Without the cap one degenerate bucket makes
+    * the within-bucket self-join quadratic (10⁶ docs in a bucket = 10¹²
+    * candidate pairs) and takes down the stage at scale.
+    */
+  private val maxLshBucket = 256
+
+  private[operators] def minhashLshDocs(
+      shingles: DataFrame, maxBucket: Int = maxLshBucket): DataFrame = {
     val P = 2147483647L // 2^31 - 1
     val nPerm = 64
     val bands = 16
@@ -165,7 +181,7 @@ object Dedup {
     // Signature is a pure projection over the per-doc shingle array — no
     // explode, no shuffle: 64 array_min(transform(...)) expressions stay
     // inside whole-stage codegen on a single corpus scan.
-    val hashed = shingled(spark, dir).select(
+    val hashed = shingles.select(
       col("doc_id"),
       transform(col("shingles"), s => pmod(xxhash64(s), lit(P))).as("xs"))
     val sigArr = hashed.select(
@@ -175,12 +191,19 @@ object Dedup {
         .as("sig"))
       // both sides of the band self-join read this — materialize once
       .localCheckpoint()
-    val banded = sigArr.select(
+    val bandedAll = sigArr.select(
       col("doc_id"), col("sig"),
       posexplode(
         array((0 until bands).map(b =>
           xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)): _*))
         .as(Seq("band", "bucket")))
+    // Cap degenerate buckets before the self-join (one count per (band,
+    // bucket) — same shuffle key as the join itself).
+    val banded = bandedAll
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

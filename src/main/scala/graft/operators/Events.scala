@@ -200,25 +200,31 @@ object Events {
        FROM daily ORDER BY day"""
 
   /** Per-user EMA (alpha = 0.2) over the event sequence — the `ema_scores`
-    * maintenance loop as one declarative pass: sort-collect per key, then a
-    * codegen'd `aggregate` fold. State is bounded per user, the only
-    * shuffle is the groupBy hash partition.
+    * maintenance loop as one declarative pass, via the closed form
+    * ema_n = 0.8^(n−1)·v₁ + Σᵢ 0.2·0.8^(n−i)·vᵢ: one window pass assigns
+    * (rank, count) per user, one hash aggregation sums the weighted terms.
+    * No per-key array is ever materialized — a skewed user with millions
+    * of events flows through the window sort (which spills) and an
+    * incremental aggregation, instead of a collect_list that would hold
+    * the whole history in one executor row.
     */
-  def ema(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-    e.groupBy(col("user_id"))
-      .agg(array_sort(collect_list(struct(col("event_id"), col("value")))).as("seq"))
-      .select(
-        col("user_id"),
+  def ema(spark: SparkSession, dir: String): DataFrame =
+    emaOf(Tables.events(spark, dir))
+
+  private[operators] def emaOf(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("user_id"))
+      .agg(
         round(
-          aggregate(
-            col("seq"),
-            lit(null).cast("double"),
-            (acc, x) =>
-              when(acc.isNull, x.getField("value"))
-                .otherwise(acc * lit(0.8) + x.getField("value") * lit(0.2))),
+          sum(
+            when(col("rn") === 1, pow(lit(0.8), col("n") - 1) * col("value"))
+              .otherwise(lit(0.2) * pow(lit(0.8), col("n") - col("rn")) * col("value"))),
           4).as("ema"),
-        size(col("seq")).cast("long").as("n_events"))
+        max(col("n")).as("n_events"))
       .orderBy("user_id")
   }
 

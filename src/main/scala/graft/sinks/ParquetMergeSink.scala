@@ -1,41 +1,126 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
 
 import graft.indexer.Upsert
 
 /** Idempotent merge sink over parquet — the concrete form of the
   * reference's `INSERT ... ON CONFLICT DO UPDATE` target tables
-  * (db.go:1171-1175) for a lake without a transactional format: read the
-  * current table, union the batch, resolve latest-wins on the conflict
-  * key, rewrite atomically (write to a staging dir, then swap). Suitable
-  * as a `foreachBatch` target; replays and overlapping batches converge
-  * to the same table. On a transactional store (Delta/Iceberg) `merge`
-  * becomes a MERGE INTO with the same key/version semantics.
+  * (db.go:1171-1175) for a lake without a transactional format.
+  *
+  * Scale design — partition-scoped rewrite, not table rewrite: the table
+  * is laid out as `path/__bucket=N/` with N = hash(key) mod `nBuckets`.
+  * A merge touches ONLY the buckets containing the batch's keys: it reads
+  * those buckets (partition-pruned scan), resolves latest-wins, writes a
+  * staging dir, and swaps per-bucket. Buckets without conflicting keys are
+  * never read or rewritten — at 100 TB a small batch costs
+  * O(batch + touched-buckets), not O(table).
+  *
+  * Durability: the swap is rename-target-aside → rename-staging-in →
+  * delete-aside, every rename checked. A crash between the renames leaves
+  * an `.aside-` dir that [[recover]] (run at the start of every merge)
+  * rolls back; a crash after leaves a committed bucket. Each bucket swap
+  * is atomic; cross-bucket a crash can commit a prefix of buckets, which
+  * the replay-idempotence of latest-wins absorbs (re-running the same
+  * batch converges). Single-writer, like the reference indexer.
+  *
+  * Version ties: ON CONFLICT DO UPDATE semantics — the incoming row wins
+  * (a source-precedence tie-break, so version collisions like
+  * version = key are still deterministic).
+  *
+  * All I/O goes through the Hadoop FileSystem API, so `path` may be
+  * file://, hdfs:// or s3a://. On a transactional store (Delta/Iceberg)
+  * `merge` becomes a MERGE INTO with the same key/version semantics.
   */
 object ParquetMergeSink {
 
-  def merge(
-      batch: DataFrame, path: String, keys: Seq[String], version: String): Unit = {
+  private val BucketCol = "__bucket"
+  private val PrefCol = "__pref"
+
+  private def fsFor(batch: DataFrame, p: Path): FileSystem = {
+    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+    p.getFileSystem(if (conf != null) conf else new Configuration())
+  }
+
+  /** Roll back (or finish) any swap interrupted by a crash: an
+    * `.aside-__bucket=N` dir whose target is missing is restored; one
+    * whose target exists is a completed swap's leftover and is dropped.
+    * Stale staging dirs are uncommitted by construction and removed.
+    */
+  private def recover(fs: FileSystem, table: Path): Unit = {
+    if (!fs.exists(table)) return
+    fs.listStatus(table).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(".aside-")) {
+        val target = new Path(table, name.stripPrefix(".aside-"))
+        if (!fs.exists(target)) {
+          require(fs.rename(st.getPath, target),
+            s"recovery rename failed: ${st.getPath} -> $target")
+        } else {
+          fs.delete(st.getPath, true)
+        }
+      } else if (name.startsWith(".staging-")) {
+        fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  def merge(batch: DataFrame, path: String, keys: Seq[String], version: String,
+      nBuckets: Int = 16): Unit = {
     val spark = batch.sparkSession
-    val fs = new java.io.File(path)
+    val table = new Path(path)
+    val fs = fsFor(batch, table)
+    recover(fs, table)
+
+    val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
+    val batchB = batch.withColumn(BucketCol, bucketOf)
+      .withColumn(PrefCol, lit(1)) // incoming outranks current on version ties
+      .localCheckpoint() // bucket list + merge input: compute the batch once
+    val touched = batchB.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+
+    val hasTable = fs.exists(table) &&
+      fs.listStatus(table).exists(_.getPath.getName.startsWith(s"$BucketCol="))
     val current =
-      if (fs.exists() && fs.listFiles() != null && fs.listFiles().nonEmpty)
-        Some(spark.read.parquet(path))
+      if (hasTable)
+        Some(spark.read.parquet(path)
+          .filter(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
+          .withColumn(PrefCol, lit(0)))
       else None
-    val merged = current match {
-      case Some(cur) => Upsert.latestWins(cur.unionByName(batch), keys, col(version))
-      case None => Upsert.latestWins(batch, keys, col(version))
+
+    val merged = Upsert.latestWins(
+        current.fold(batchB)(_.unionByName(batchB)),
+        keys, col(version), col(PrefCol).desc)
+      .drop(PrefCol)
+
+    val staging = new Path(table, s".staging-${java.util.UUID.randomUUID()}")
+    merged.write.mode(SaveMode.Overwrite)
+      .partitionBy(BucketCol).parquet(staging.toString)
+
+    touched.foreach { b =>
+      val part = s"$BucketCol=$b"
+      val src = new Path(staging, part)
+      val target = new Path(table, part)
+      val aside = new Path(table, s".aside-$part")
+      if (!fs.exists(src)) {
+        // a touched bucket may legitimately produce no rows (all-null keys
+        // upserted away) — nothing to swap
+      } else {
+        if (fs.exists(target)) {
+          require(fs.rename(target, aside), s"rename aside failed: $target")
+        }
+        if (!fs.rename(src, target)) {
+          // restore and fail loudly rather than leaving the bucket missing
+          if (fs.exists(aside)) fs.rename(aside, target)
+          throw new java.io.IOException(s"rename staging->target failed: $src -> $target")
+        }
+        if (fs.exists(aside)) fs.delete(aside, true)
+      }
     }
-    val staging = path + ".staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    // swap: the staged result becomes the table
-    val target = new java.io.File(path)
-    if (target.exists()) {
-      import scala.reflect.io.Directory
-      new Directory(target).deleteRecursively()
-    }
-    new java.io.File(staging).renameTo(target)
+    fs.delete(staging, true)
   }
 }

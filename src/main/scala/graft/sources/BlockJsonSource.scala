@@ -111,16 +111,24 @@ class BlockScan(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(path)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".jsonl"))
-      .filter { f =>
-        BlockJsonSource.rangeOf(f.getName) match {
-          case Some((lo, hi)) => hi >= minHeight && lo <= maxHeight
-          case None => true // unknown name: cannot prune
+    // Hadoop FileSystem, not java.io: the landing zone is file:// in tests
+    // and s3a://HDFS on a cluster — same code path (cf. the reference's S3
+    // restore, process_s3.go:30-126).
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    val files =
+      (if (fs.exists(dir)) fs.listStatus(dir) else Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".jsonl"))
+        .filter { f =>
+          BlockJsonSource.rangeOf(f.getPath.getName) match {
+            case Some((lo, hi)) => hi >= minHeight && lo <= maxHeight
+            case None => true // unknown name: cannot prune
+          }
         }
-      }
-    files.sortBy(_.getName).map(f => BlockFilePartition(f.getAbsolutePath): InputPartition)
+    files.sortBy(_.getPath.getName)
+      .map(f => BlockFilePartition(fs.makeQualified(f.getPath).toUri.toString): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -133,28 +141,47 @@ class BlockReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[BlockFilePartition].file
     new PartitionReader[InternalRow] {
-      private val lines = scala.io.Source.fromFile(file)
-      private val it = lines.getLines()
+      // Executor-side Hadoop open: a fresh Configuration picks up the
+      // cluster's core-site from the executor classpath, so s3a/hdfs URIs
+      // resolve the same way the planning side saw them.
+      private val fsPath = new org.apache.hadoop.fs.Path(new java.net.URI(file))
+      private val fs = fsPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      private val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(fsPath), java.nio.charset.StandardCharsets.UTF_8))
       private var row: InternalRow = _
-      private val wantHeight = required.fieldNames.contains("height")
-      private val wantJson = required.fieldNames.contains("block_json")
 
-      override def next(): Boolean =
-        if (!it.hasNext) false
-        else {
-          val line = it.next()
-          val tab = line.indexOf('\t')
-          val values = required.fieldNames.map {
-            case "height" if tab > 0 => java.lang.Long.parseLong(line.substring(0, tab))
-            case "block_json" if tab > 0 => UTF8String.fromString(line.substring(tab + 1))
-            case _ => null
-          }
-          row = InternalRow.fromSeq(values.toSeq)
-          true
+      /** A landing line is `<long>\t<json>`. Anything else — no tab, or a
+        * non-numeric height prefix — is a corrupt line: skipped, never
+        * emitted as a null into the non-nullable height field, and never
+        * allowed to fail the whole scan.
+        */
+      private def parse(line: String): Option[InternalRow] = {
+        val tab = line.indexOf('\t')
+        if (tab <= 0) return None
+        val height =
+          try java.lang.Long.parseLong(line.substring(0, tab))
+          catch { case _: NumberFormatException => return None }
+        val values = required.fieldNames.map {
+          case "height" => height: java.lang.Long
+          case "block_json" => UTF8String.fromString(line.substring(tab + 1))
+          case _ => null
         }
+        Some(InternalRow.fromSeq(values.toSeq))
+      }
+
+      override def next(): Boolean = {
+        var line = in.readLine()
+        while (line != null) {
+          parse(line) match {
+            case Some(r) => row = r; return true
+            case None => line = in.readLine() // corrupt line: skip
+          }
+        }
+        false
+      }
 
       override def get(): InternalRow = row
-      override def close(): Unit = lines.close()
+      override def close(): Unit = in.close()
     }
   }
 }

@@ -108,6 +108,22 @@ class IndexerSpec extends SparkSpec {
     assert(r.getAs[java.sql.Timestamp]("block_time") != null)
   }
 
+  test("block json drives the full block->tx->message lineage") {
+    // a block whose data.txs carries the PRE-DECODED tx JSON (the landing
+    // contract), plus one still-encoded base64 entry that must null-route
+    val esc = txJson.replace("\\", "\\\\").replace("\"", "\\\"")
+    val blockWithTxs =
+      s"""{"header":{"chain_id":"testchain-1","height":"100","time":"2024-05-01T10:00:00Z"},
+          "data":{"txs":["$esc","dGVzdA=="]}}""".replaceAll("\n\\s*", "")
+    val b = Seq((100L, blockWithTxs)).toDF("height", "block_json")
+    val rows = Ingest.messagesFromBlocks(b).collect()
+    assert(rows.length === 3, "three messages from the decoded tx, none from base64")
+    assert(rows.map(_.getAs[Long]("height")).forall(_ === 100L))
+    assert(rows.map(_.getAs[String]("type")).toSet ===
+      Set("/emissions.v3.MsgCreateNewTopic", "/cosmos.bank.v1beta1.MsgSend",
+        "/emissions.v3.InsertWorkerPayloadRequest"))
+  }
+
   test("messages explode with sender precedence and content hash") {
     val rows = Ingest.messages(txs).collect()
     assert(rows.length === 3)

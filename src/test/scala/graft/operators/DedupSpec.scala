@@ -38,6 +38,24 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.4, s"simhash recall $recall too low")
   }
 
+  test("a degenerate hot bucket cannot go quadratic inside the lsh join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 2000 identical docs (the exact-dedup-first contract violated on
+    // purpose) + one planted near-dup pair. Uncapped, the identical docs
+    // form a 2000-member bucket in EVERY band -> ~2M * 16 candidate pairs.
+    val boiler = (1L to 2000L).map(i => (1000L + i, "the same boilerplate text repeated here again"))
+    val near = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
+    val docs = (boiler ++ near).toDF("doc_id", "text")
+    val out = Dedup.minhashLshDocs(Dedup.shingledDocs(docs))
+    val got = pairs(out)
+    assert(got.contains((1L, 2L)), "the true near-dup pair must survive the cap")
+    assert(!got.exists { case (a, b) => a > 1000L && b > 1000L },
+      "boilerplate bucket members must be dropped by the cap, not paired")
+  }
+
   test("embeddingCos output is symmetric-free and above threshold") {
     val rows = Dedup.embeddingCos(spark, sfDir).collect()
     rows.foreach { r =>

@@ -111,6 +111,22 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("ema handles one user owning a million events without per-key arrays") {
+    import spark.implicits._
+    // A single skewed key: the closed-form window path streams through a
+    // spillable sort + incremental agg (a collect_list would pin the whole
+    // history in one row).
+    val skewed = spark.range(1000000L)
+      .select(lit(7L).as("user_id"), col("id").as("event_id"),
+        (col("id") % 100).cast("double").as("value"))
+    val row = Events.emaOf(skewed).collect()
+    assert(row.length === 1)
+    assert(row(0).getAs[Long]("n_events") === 1000000L)
+    // the tail dominates: ema of (..., 97, 98, 99) with alpha .2 sits high
+    val ema = row(0).getAs[Double]("ema")
+    assert(ema > 90 && ema < 100, s"unexpected ema $ema")
+  }
+
   test("pivotTypes counts reconcile with total events") {
     val df = Events.pivotTypes(spark, sfDir)
     val total = df.select(

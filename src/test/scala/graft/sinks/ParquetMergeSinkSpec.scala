@@ -25,4 +25,54 @@ class ParquetMergeSinkSpec extends SparkSpec {
       .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
     assert(after(1L) === "a2", "stale version must not overwrite")
   }
+
+  test("merge rewrites only buckets containing conflicting keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink-part").toString + "/t"
+    // enough keys that all 4 buckets are populated
+    val b1 = (1L to 40L).map(k => (k, s"v$k", 10L)).toDF("k", "v", "ver")
+    ParquetMergeSink.merge(b1, dir, Seq("k"), "ver", nBuckets = 4)
+
+    def fileState(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified()))
+        .toMap
+    }
+    val before = fileState()
+    assert(before.keys.map(p => p.split("/").find(_.startsWith("__bucket=")).get).toSet.size === 4)
+
+    // a single-key batch must only rewrite that key's bucket
+    val b2 = Seq((7L, "v7-new", 20L)).toDF("k", "v", "ver")
+    ParquetMergeSink.merge(b2, dir, Seq("k"), "ver", nBuckets = 4)
+    val after = fileState()
+
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val touchedBucket = "__bucket=" + Seq(7L).toDF("k")
+      .select(pmod(xxhash64($"k"), lit(4)).cast("int")).head.getInt(0)
+    val untouchedBefore = before.filterNot(_._1.contains(touchedBucket))
+    val untouchedAfter = after.filterNot(_._1.contains(touchedBucket))
+    assert(untouchedBefore === untouchedAfter,
+      "files in buckets without conflicting keys must be byte-identical (same path, size, mtime)")
+    assert(before.keys.exists(_.contains(touchedBucket)) &&
+      after.filter(_._1.contains(touchedBucket)) != before.filter(_._1.contains(touchedBucket)),
+      "the conflicting bucket must actually be rewritten")
+
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(rows.size === 40 && rows(7L) === "v7-new" && rows(8L) === "v8")
+  }
+
+  test("incoming row wins a version tie (ON CONFLICT DO UPDATE)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink-tie").toString + "/t"
+    val b1 = Seq((100L, "old", 100L)).toDF("height", "v", "ver")
+    ParquetMergeSink.merge(b1, dir, Seq("height"), "ver")
+    // same key, same version (version = key, the IndexerFlow pattern),
+    // changed content: the replayed/incoming row must survive
+    val b2 = Seq((100L, "new", 100L)).toDF("height", "v", "ver")
+    ParquetMergeSink.merge(b2, dir, Seq("height"), "ver")
+    val v = spark.read.parquet(dir).collect().map(_.getAs[String]("v"))
+    assert(v.toSeq === Seq("new"))
+  }
 }

@@ -21,6 +21,21 @@ class BlockJsonSourceSpec extends SparkSpec {
     d
   }
 
+  test("corrupt landing lines are skipped, not nulled or fatal") {
+    val d = java.nio.file.Files.createTempDirectory("graft-blocks-corrupt").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d, "blocks-1-5.jsonl"),
+      Seq(
+        "1\t{\"ok\":1}",
+        "THIS LINE HAS NO TAB",          // no tab -> skip
+        "not-a-number\t{\"ok\":0}",      // non-numeric height -> skip
+        "",                               // blank -> skip
+        "5\t{\"ok\":5}").mkString("\n").getBytes)
+    val rows = spark.read.format("graft.sources.BlockJsonSource").load(d)
+    assert(rows.count() === 2)
+    assert(rows.select("height").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 5L))
+  }
+
   private def read() =
     spark.read.format("graft.sources.BlockJsonSource").load(dir)
 
