@@ -44,6 +44,10 @@ object Tables {
     */
   def fanout(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Partition count comes from FileIndex metadata (already listed at read
+    // time) — `df.rdd.getNumPartitions` would force full physical planning
+    // per invocation.
+    val scanParts = org.apache.spark.sql.GraftBridge.estimateScanPartitions(df)
+    if (scanParts.exists(_ < target)) df.repartition(target) else df
   }
 }

@@ -312,7 +312,18 @@ object Routers {
 
   private def payload(schema: StructType): Column = from_json(col("data"), schema)
 
-  /** MsgCreateNewTopic → topics (process_topic.go:59-105 column list). */
+  /** MsgCreateNewTopic → topics (process_topic.go:59-105 column list).
+    *
+    * Topic ids are CHAIN-ASSIGNED: the message does not carry one — the
+    * reference resolves `nextTopicId` via RPC per creation
+    * (process_topic.go:19-60). With no chain RPC in a batch engine the id
+    * is derived from chain state deterministically: ids are sequential, so
+    * the n-th creation message in chain order (height, then message hash
+    * within a block — the landing format carries no intra-block tx index)
+    * gets id n. A landing zone pre-enriched with the true `topic_id`
+    * always wins via coalesce, which also covers out-of-order ingestion
+    * of historical ranges.
+    */
   def topics(messages: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       "topic_id", "creator", "metadata", "loss_logic", "loss_method",
@@ -325,7 +336,11 @@ object Routers {
       .select(col("height").as("message_height"), col("hash").as("message_id"),
         payload(schema).as("p"))
       .select(
-        col("p.topic_id").cast(IntegerType).as("id"),
+        coalesce(
+          col("p.topic_id").cast(IntegerType),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("message_height"), col("message_id")))
+            .cast(IntegerType)).as("id"),
         col("p.creator").as("creator"), col("p.metadata").as("metadata"),
         col("p.loss_method").as("loss_method"),
         col("p.epoch_length").as("epoch_length"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{CosineSimilarity, SimHash64}
+import graft.functions.{CosineSimilarity, SimHash64, SortedIntersectCount}
 
 /** Deduplication suite over `documents` / `embeddings`:
   *
@@ -83,29 +83,41 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val t = 0.5
-    // Materialization barrier: the shingle set feeds four plan branches
-    // (document frequencies, both sides of the candidate self-join, and
-    // verification); without it each branch re-runs the shingling scan.
     // Shingles are 64-bit-hashed up front: every downstream join, sort and
     // intersect runs on longs, not strings. A cross-shingle hash collision
     // (p ~ n²/2^64) could only add a candidate or nudge an intersect count;
     // verification still computes Jaccard over the full per-doc sets.
-    val docs = shingled(spark, dir)
+    val sh = shingled(spark, dir)
       .select(col("doc_id"),
-        array_distinct(transform(col("shingles"), s => xxhash64(s))).as("shingles"))
-      .localCheckpoint()
-    val sh = docs.select(col("doc_id"), size(col("shingles")).as("n"),
-      explode(col("shingles")).as("s"))
-    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+        explode(array_distinct(transform(col("shingles"), s => xxhash64(s)))).as("s"))
     // DF-table join is NOT broadcast-pinned: distinct-shingle cardinality is
     // O(corpus tokens) — billions of rows at 100 TB. Both sides shuffle on
     // the shingle hash; AQE may still broadcast while it genuinely fits.
-    val prefix = sh.join(df, "s")
-      .withColumn("pos", row_number().over(byRarity))
-      .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
-      .select(col("doc_id"), col("n"), col("pos"), col("s"))
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // One regroup per doc yields BOTH derived forms in one checkpoint:
+    //  - `pre`: the PPJoin prefix, in the global rarest-first (df, s) order
+    //    (array_sort of (df, s) structs — a per-row sort, cheaper than the
+    //    partition-wide window sort it replaces);
+    //  - `hs`: the full shingle set sorted by VALUE, the representation
+    //    [[SortedIntersectCount]] verifies in one merge pass.
+    val docs = sh.join(df, "s")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("arr"))
+      .select(
+        col("doc_id"),
+        size(col("arr")).as("n"),
+        sort_array(transform(col("arr"), e => e.getField("s"))).as("hs"),
+        transform(col("arr"), e => e.getField("s")).as("rare"))
+      .select(
+        col("doc_id"), col("n"), col("hs"),
+        slice(col("rare"), lit(1),
+          (col("n") - ceil(col("n") * t) + 1).cast("int")).as("pre"))
+      // feeds three plan branches (both self-join sides + verification) —
+      // materialize once
       .localCheckpoint()
+    val prefix = docs.select(
+        col("doc_id"), col("n"), posexplode(col("pre")).as(Seq("pos0", "s")))
+      .select(col("doc_id"), col("n"), (col("pos0") + 1).as("pos"), col("s"))
     // PPJoin positional bound: matching at prefix positions (pa, pb) caps
     // the possible overlap at 1 + min(na−pa, nb−pb); pairs that cannot
     // reach the required overlap α = ⌈t/(1+t)·(na+nb)⌉ are dropped before
@@ -119,9 +131,9 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cands
-      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sha")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("shb")), "doc_b")
-      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("sha")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("shb")), "doc_b")
+      .withColumn("common", SortedIntersectCount(col("sha"), col("shb")).cast("double"))
       .select(
         col("doc_a"), col("doc_b"),
         (col("common") /

@@ -12,6 +12,28 @@ object GraftBridge {
   def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Estimated number of scan partitions for a file-sourced frame, from
+    * the FileIndex metadata the scan already listed — per-file splitting by
+    * `spark.sql.files.maxPartitionBytes`, the same arithmetic
+    * `FilePartition.getFilePartitions` applies. Logical-plan inspection
+    * only: no physical planning, no job, unlike `df.rdd.getNumPartitions`.
+    * Returns None when the plan has no file scan (in-memory/streaming).
+    */
+  def estimateScanPartitions(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val maxBytes = math.max(1L,
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val scans = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        lr.relation.asInstanceOf[HadoopFsRelation]
+          .location.listFiles(Nil, Nil).iterator
+          .flatMap(_.files.iterator)
+          .map(f => (f.getLen + maxBytes - 1) / maxBytes)
+          .sum
+    }
+    if (scans.isEmpty) None else Some(scans.sum.min(Int.MaxValue).toInt)
+  }
+
   /** Eagerly convert a Column to a catalyst expression tree (with real
     * UnresolvedAttribute leaves the analyzer can resolve inside custom
     * logical nodes) — `ExpressionUtils.expression` defers conversion behind

@@ -201,6 +201,21 @@ class IndexerSpec extends SparkSpec {
     assert(fv.map(_.getAs[String]("inferer")).toSet === Set("allo1a", "allo1b"))
   }
 
+  test("topic ids derive sequentially from chain order when the payload carries none") {
+    // the chain assigns sequential ids at creation; a landing zone without
+    // pre-enrichment must still get deterministic ids in (height, hash) order
+    def create(h: Long, meta: String): (Long, String) = (h,
+      s"""{"body":{"messages":[{"@type":"/emissions.v3.MsgCreateNewTopic",
+          "creator":"allo1x","metadata":"$meta"}]}}""".replaceAll("\n\\s*", ""))
+    val msgs = Ingest.messages(
+      Seq(create(300L, "m3"), create(100L, "m1"), create(200L, "m2"))
+        .toDF("height", "tx_json"))
+    val ts = Routers.topics(msgs).collect().sortBy(_.getAs[Int]("id"))
+    assert(ts.map(_.getAs[Int]("id")).toSeq === Seq(1, 2, 3))
+    assert(ts.map(_.getAs[String]("metadata")).toSeq === Seq("m1", "m2", "m3"),
+      "ids must follow chain (height) order, not input order")
+  }
+
   test("reputer payloads normalize across single and bulk shapes") {
     val msgs = Ingest.messages(Seq((101L, txJson2)).toDF("height", "tx_json"))
     val bundles = Routers.reputerBundles(msgs)
