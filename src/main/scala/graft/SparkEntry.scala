@@ -74,7 +74,13 @@ object SparkEntry {
     // Multimodal plumbing (stubbed decode, real batch shape)
     "mm_media_stats" -> (Multimodal.mediaStats _),
     // End-to-end curation pipeline (quality -> exact dedup -> near-dup)
-    "pipe_clean_corpus" -> (Pipeline.cleanCorpus _)
+    "pipe_clean_corpus" -> (Pipeline.cleanCorpus _),
+    // Corpus sampling / training-set assembly
+    "samp_stratified" -> (Sampling.stratified _),
+    "samp_reservoir" -> (Sampling.reservoir _),
+    "samp_topp_sources" -> (Sampling.topPSources _),
+    "pack_token_budget" -> (Sampling.packTokenBudget _),
+    "text_contamination" -> (TextOps.contamination _)
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -121,7 +127,12 @@ object SparkEntry {
     "sim_topk_bruteforce" -> Similarity.topkBruteforceOracle,
     "emb_norms" -> Similarity.embNormsOracle,
     "ev_decimal_totals" -> Events.decimalTotalsOracle,
-    "mm_doc_embedding" -> Similarity.docEmbeddingOracle
+    "mm_doc_embedding" -> Similarity.docEmbeddingOracle,
+    "samp_stratified" -> Sampling.stratifiedOracle,
+    "samp_reservoir" -> Sampling.reservoirOracle,
+    "samp_topp_sources" -> Sampling.topPSourcesOracle,
+    "pack_token_budget" -> Sampling.packTokenBudgetOracle,
+    "text_contamination" -> TextOps.contaminationOracle
     // dd_minhash_lsh / dd_simhash / sim_lsh_topk: hash families are not
     // SQL-portable — rows-only check; pinned against exact baselines in
     // DedupSpec / SimilaritySpec instead.

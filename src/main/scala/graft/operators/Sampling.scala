@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.plans.TopKPerKey
+
+/** Corpus-sampling / training-set-assembly operators over `documents` —
+  * the selection half of a large-scale training-data pipeline (the dedup
+  * suite is the removal half).
+  *
+  * Everything here is DETERMINISTIC: sampling decisions hash stable keys
+  * (`md5(seed || doc_id)`) instead of calling `rand()`, so a re-run — or a
+  * replay of one failed partition at 100 TB — selects exactly the same
+  * rows, results are DuckDB-oracle-checkable, and changing the seed string
+  * re-draws the sample. Hex md5 prefixes compare lexicographically =
+  * numerically (fixed-width lowercase hex), so a rate r is the threshold
+  * `hex(floor(r * 16^8))` over the first 8 hex chars.
+  */
+object Sampling {
+
+  private def trunc4(c: Column): Column = floor(c * lit(1e4)) / lit(1e4)
+
+  /** First 8 md5 hex chars of `seed:doc_id` — a uniform draw in [0, 16^8). */
+  private def draw(seed: String): Column =
+    substring(md5(concat(lit(seed + ":"), col("doc_id").cast("string")).cast("binary")), 1, 8)
+
+  /** Stratified downsampling with per-language rates: high-resource
+    * strata are thinned (en 25%), the rest kept at 75% — the standard
+    * rebalancing step before training-set assembly. Pure filter over a
+    * single scan: no shuffle, no state, embarrassingly parallel at any
+    * scale.
+    */
+  def stratified(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(draw("strat") <
+        when(col("lang") === "en", lit("40000000")).otherwise(lit("c0000000")))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
+  val stratifiedOracle: String =
+    """SELECT doc_id, lang, source FROM documents
+       WHERE substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8)
+             < CASE WHEN lang = 'en' THEN '40000000' ELSE 'c0000000' END
+       ORDER BY doc_id"""
+
+  /** Fixed-size uniform sample per stratum (k = 20 per language):
+    * deterministic "reservoir" — the k smallest hash draws win. Runs on
+    * [[TopKPerKey]], the bounded-heap plan node: per-partition heaps of
+    * size k + one hash shuffle, never a full per-key sort at scale.
+    */
+  def reservoir(spark: SparkSession, dir: String): DataFrame =
+    TopKPerKey.perKey(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), draw("resv").as("d")),
+        Seq(col("lang")), Seq(col("d").asc, col("doc_id").asc), 20)
+      .select(col("lang"), col("doc_id"), col("rank").cast("long").as("rank"))
+      .orderBy("lang", "rank")
+
+  val reservoirOracle: String =
+    """SELECT lang, doc_id, CAST(rank AS BIGINT) AS rank FROM (
+         SELECT lang, doc_id,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY substring(md5('resv:' || CAST(doc_id AS VARCHAR)), 1, 8),
+                           doc_id) AS rank
+         FROM documents)
+       WHERE rank <= 20 ORDER BY lang, rank"""
+
+  /** Nucleus (top-p) source selection: rank sources by document count and
+    * keep the smallest set covering 80% of the corpus — the "trim the
+    * long tail of scrapes" step. The window is global but runs over the
+    * per-source AGGREGATE (bounded domain: one row per source), the same
+    * bounded-global-window pattern as ev_daily_stats.
+    */
+  def topPSources(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val ord = Window.orderBy(col("n_docs").desc, col("source"))
+    // all cumulative arithmetic stays on exact integers; doubles appear
+    // only at the output edge (identical division order to the oracle)
+    counts
+      .withColumn("cum_n", sum(col("n_docs")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n_docs")).over())
+      // keep sources until the cumulative share CROSSES p (the crossing
+      // source is included so coverage is >= p)
+      .filter((col("cum_n") - col("n_docs")) / col("total") < 0.8)
+      .select(col("source"), col("n_docs"),
+        trunc4(col("n_docs") / col("total")).as("share"),
+        trunc4(col("cum_n") / col("total")).as("cum_share"))
+      .orderBy(col("n_docs").desc, col("source"))
+  }
+
+  val topPSourcesOracle: String =
+    """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       s AS (SELECT source, n_docs,
+               sum(n_docs) OVER (ORDER BY n_docs DESC, source
+                 ROWS UNBOUNDED PRECEDING) AS cum_n,
+               sum(n_docs) OVER () AS total
+             FROM c)
+       SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+              floor(n_docs * 1.0 / total * 1e4) / 1e4 AS share,
+              floor(cum_n * 1.0 / total * 1e4) / 1e4 AS cum_share
+       FROM s WHERE (cum_n - n_docs) * 1.0 / total < 0.8
+       ORDER BY n_docs DESC, source"""
+
+  /** Token-budget packing: assign documents to fixed-budget training
+    * sequences (512 whitespace tokens) within each language, in doc_id
+    * order — sequence id and offset come from the running token count, so
+    * a document lands in the sequence its prefix sum starts in. Per-key
+    * window only: packing parallelizes across languages and the sort
+    * spills; no global order anywhere.
+    */
+  def packTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 512
+    val byLang = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("start",
+        coalesce(sum(col("n_tokens")).over(
+          byLang.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n_tokens"),
+          lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("start") / budget).cast("long").as("seq_id"),
+        (col("start") % budget).as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
+  val packTokenBudgetOracle: String =
+    """WITH t AS (SELECT doc_id, lang,
+                    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+                  FROM documents),
+       r AS (SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+             FROM t)
+       SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(start // 512 AS BIGINT) AS seq_id,
+              CAST(start % 512 AS BIGINT) AS seq_offset
+       FROM r ORDER BY doc_id"""
+}

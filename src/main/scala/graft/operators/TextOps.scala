@@ -224,4 +224,60 @@ object TextOps {
        min(n_chars) AS min_chars, max(n_chars) AS max_chars,
        floor(CAST(sum(n_chars) AS BIGINT) / count(*) * 1e4) / 1e4 AS avg_chars
        FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Train/eval contamination check — the decontamination step of a
+    * training-data pipeline: a deterministic hash split carves out an
+    * ~12.5% eval set, and every eval document reports how many of its
+    * distinct word 5-grams also occur anywhere in the train split.
+    *
+    * Scale shape: n-grams are 64-bit-hashed in the projection (shuffles
+    * move longs, not strings; collision odds n²/2^64 are negligible and
+    * only perturb a count); the train side is a hash-distinct; the hit
+    * count is one left-semi equi-join — every step partitions on the
+    * n-gram hash. No broadcast of anything corpus-sized.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanout(Tables.documents(spark, dir))
+    val grams = d.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(
+        col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(0), size(col("ws")) - 5),
+          i => xxhash64(concat_ws(" ",
+            (0 until 5).map(j => element_at(col("ws"), i + j + 1)): _*)))).as("gs"),
+        (substring(md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")),
+          1, 1) < "2").as("is_eval"))
+    val evalGrams = grams.filter(col("is_eval"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    val trainGrams = grams.filter(!col("is_eval"))
+      .select(explode(col("gs")).as("g")).distinct()
+    val hits = evalGrams.join(trainGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
+    grams.filter(col("is_eval"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_ngrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        trunc4(coalesce(col("n_contam"), lit(0L)) / col("n_ngrams")).as("contam_rate"))
+      .orderBy("doc_id")
+  }
+
+  val contaminationOracle: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                  FROM documents
+                  WHERE len(string_split_regex(trim(text), '\s+')) >= 5),
+       g AS (SELECT doc_id,
+               substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) < '2' AS is_eval,
+               list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])
+                              FOR i IN generate_series(1, len(ws) - 4)]) AS gs
+             FROM w),
+       e AS (SELECT doc_id, unnest(gs) AS s FROM g WHERE is_eval),
+       t AS (SELECT DISTINCT unnest(gs) AS s FROM g WHERE NOT is_eval),
+       h AS (SELECT e.doc_id, count(*) AS n_contam FROM e JOIN t USING (s) GROUP BY 1)
+       SELECT g.doc_id, CAST(len(g.gs) AS BIGINT) AS n_ngrams,
+              CAST(coalesce(h.n_contam, 0) AS BIGINT) AS n_contam,
+              floor(coalesce(h.n_contam, 0) * 1.0 / len(g.gs) * 1e4) / 1e4 AS contam_rate
+       FROM g LEFT JOIN h ON g.doc_id = h.doc_id
+       WHERE g.is_eval ORDER BY g.doc_id"""
 }
