@@ -64,6 +64,7 @@ object SparkEntry {
     "dd_minhash_lsh" -> (Dedup.minhashLsh _),
     "dd_simhash" -> (Dedup.simhash _),
     "dd_embedding_cos" -> (Dedup.embeddingCos _),
+    "dd_components" -> (Dedup.components _),
     // Similarity search
     "sim_topk_bruteforce" -> (Similarity.topkBruteforce _),
     "sim_lsh_topk" -> (Similarity.lshTopk _),
@@ -80,7 +81,10 @@ object SparkEntry {
     "samp_reservoir" -> (Sampling.reservoir _),
     "samp_topp_sources" -> (Sampling.topPSources _),
     "pack_token_budget" -> (Sampling.packTokenBudget _),
-    "text_contamination" -> (TextOps.contamination _)
+    "text_contamination" -> (TextOps.contamination _),
+    "text_tfidf" -> (TextOps.tfidf _),
+    // Structured Streaming inside the correctness gate (bounded replay)
+    "stream_daily_stats" -> (graft.streaming.EventStream.dailyStatsStreamed _)
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -124,6 +128,7 @@ object SparkEntry {
     "dd_exact" -> Dedup.exactOracle,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dd_embedding_cos" -> Dedup.embeddingCosOracle,
+    "dd_components" -> Dedup.componentsOracle,
     "sim_topk_bruteforce" -> Similarity.topkBruteforceOracle,
     "emb_norms" -> Similarity.embNormsOracle,
     "ev_decimal_totals" -> Events.decimalTotalsOracle,
@@ -132,7 +137,9 @@ object SparkEntry {
     "samp_reservoir" -> Sampling.reservoirOracle,
     "samp_topp_sources" -> Sampling.topPSourcesOracle,
     "pack_token_budget" -> Sampling.packTokenBudgetOracle,
-    "text_contamination" -> TextOps.contaminationOracle
+    "text_contamination" -> TextOps.contaminationOracle,
+    "text_tfidf" -> TextOps.tfidfOracle,
+    "stream_daily_stats" -> graft.streaming.EventStream.dailyStatsStreamedOracle
     // dd_minhash_lsh / dd_simhash / sim_lsh_topk: hash families are not
     // SQL-portable — rows-only check; pinned against exact baselines in
     // DedupSpec / SimilaritySpec instead.

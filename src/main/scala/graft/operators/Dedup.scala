@@ -234,6 +234,61 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the exact-Jaccard
+    * pair graph (a pair list names overlapping pairs, not groups — a chain
+    * a~b~c must collapse to ONE cluster with one surviving representative).
+    *
+    * Pregel-style min-label propagation: every doc starts labeled with its
+    * own id; each round sends labels across edges and keeps the minimum;
+    * fixpoint when no label changes. The driver loop only orchestrates —
+    * each round is one distributed join + hash-agg, checkpointed to cut
+    * lineage — and runs O(component diameter) rounds, which for near-dup
+    * clusters (dense cliques of rewrites/boilerplate) is single digits
+    * regardless of corpus size. The component id IS the kept doc: min
+    * doc_id per cluster, the same keep-lowest rule as [[exact]].
+    */
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    // undirected: send labels both ways
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lab", col("doc_id"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val next = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("lab")).as("nbr"))
+        .join(labels, "doc_id")
+        .select(col("doc_id"), least(col("lab"), col("nbr")).as("nlab"), col("lab"))
+        .localCheckpoint()
+      changed = next.filter(col("nlab") < col("lab")).count()
+      labels = next.select(col("doc_id"), col("nlab").as("lab"))
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("lab").as("component"))
+      .orderBy("doc_id")
+  }
+
+  val componentsOracle: String =
+    """WITH RECURSIVE p AS (
+         %s
+       ),
+       e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+             UNION ALL SELECT doc_b, doc_a FROM p),
+       reach(doc_id, lab) AS (
+         SELECT DISTINCT src, src FROM e
+         UNION
+         SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.doc_id
+       )
+       SELECT doc_id, min(lab) AS component FROM reach
+       GROUP BY doc_id ORDER BY doc_id""".format(
+      "SELECT doc_a, doc_b FROM (" + ngramJaccardOracle
+        .replace("ORDER BY doc_a, doc_b", "") + ")")
+
   /** 64-bit SimHash over word frequencies + 16-bit band blocking; pairs at
     * hamming distance ≤ 3 are near-duplicates. No SQL oracle (hash family
     * not portable); spec-pinned against `ngramJaccard`.

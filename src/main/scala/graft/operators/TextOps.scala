@@ -225,6 +225,55 @@ object TextOps {
        floor(CAST(sum(n_chars) AS BIGINT) / count(*) * 1e4) / 1e4 AS avg_chars
        FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Top-5 TF-IDF terms per language — the corpus-characterization step
+    * (what vocabulary distinguishes each stratum). Term statistics are
+    * aggregated, never per-doc-materialized: one explode → two hash
+    * aggregations (per-(doc,term) then per-(lang,term)) → a shuffle join
+    * with the document-frequency table on the term — all partition on the
+    * term, nothing corpus-sized is broadcast (the 1-row corpus count is).
+    * Final ranking runs on the TopKPerKey bounded heap, not a full sort.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanout(Tables.documents(spark, dir))
+    val terms = d.select(col("doc_id"), col("lang"), explode(words(col("text"))).as("term"))
+    val perDoc = terms.groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val perLang = perDoc.groupBy(col("lang"), col("term")).agg(sum(col("tf")).as("tf"))
+    val total = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = perLang.join(df, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        col("tf") * (log((col("n_docs") + 1) / (col("df") + 1)) + 1))
+    graft.plans.TopKPerKey.perKey(
+        scored, Seq(col("lang")), Seq(col("score").desc, col("term").asc), 5)
+      .select(col("lang"), col("term"), col("tf"), col("df"),
+        trunc4(col("score")).as("score"), col("rank").cast("long").as("rank"))
+      .orderBy("lang", "rank")
+  }
+
+  val tfidfOracle: String =
+    """WITH terms AS (
+         SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS term
+         FROM documents),
+       per_doc AS (SELECT doc_id, lang, term, count(*) AS tf
+                   FROM terms GROUP BY 1, 2, 3),
+       dfreq AS (SELECT term, count(*) AS df FROM per_doc GROUP BY 1),
+       per_lang AS (SELECT lang, term, sum(tf) AS tf FROM per_doc GROUP BY 1, 2),
+       scored AS (
+         SELECT lang, term, tf, df,
+                tf * (ln((n_docs + 1) * 1.0 / (df + 1)) + 1) AS score
+         FROM per_lang JOIN dfreq USING (term)
+         CROSS JOIN (SELECT count(*) AS n_docs FROM documents)),
+       ranked AS (
+         SELECT lang, term, tf, df, score,
+                row_number() OVER (PARTITION BY lang
+                                   ORDER BY score DESC, term) AS rank
+         FROM scored)
+       SELECT lang, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+              floor(score * 1e4) / 1e4 AS score, CAST(rank AS BIGINT) AS rank
+       FROM ranked WHERE rank <= 5 ORDER BY lang, rank"""
+
   /** Train/eval contamination check — the decontamination step of a
     * training-data pipeline: a deterministic hash split carves out an
     * ~12.5% eval set, and every eval document reports how many of its

@@ -79,6 +79,55 @@ object EventStream {
       }(Encoders.scalaLong, Encoders.product[TypeTotal])
   }
 
+  /** Daily per-type stats computed BY THE STREAMING ENGINE over the events
+    * table — the one `queries` entry that exercises Structured Streaming
+    * inside the DuckDB-oracle correctness gate: a parquet file-source
+    * stream, a 1-day `window()` aggregation, `Trigger.AvailableNow` into a
+    * memory sink, and the bounded result returned as a DataFrame whose
+    * hash must match the batch SQL oracle.
+    *
+    * Complete output mode because this is a bounded historical replay (a
+    * single AvailableNow batch never advances the watermark before
+    * emission, so append mode would hold every window back); the
+    * watermarked append path — the actual unbounded deployment shape — is
+    * exercised multi-batch in EventStreamSpec via MemoryStream.
+    */
+  def dailyStatsStreamed(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    // events.ts is parquet TIMESTAMP(NANOS): declared LongType under the
+    // legacy nanos conf and rebuilt at microsecond precision, exactly like
+    // the batch loader (Tables.events) — schemas must be explicit for
+    // streaming reads anyway.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val name = s"graft_stream_daily_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // the file-stream source wants a directory: scan the sf dir, admit
+    // only the events table
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("day", "event_type")
+  }
+
+  val dailyStatsStreamedOracle: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Run the stream through an idempotent micro-batch sink: each batch is
     * first-wins-deduplicated on (height, type, hash) — the events-table
     * conflict key (db.go:747) — before `merge` sees it. `merge` is the

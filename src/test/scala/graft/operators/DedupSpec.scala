@@ -56,6 +56,20 @@ class DedupSpec extends SparkSpec {
       "boilerplate bucket members must be dropped by the cap, not paired")
   }
 
+  test("components collapse transitive near-dup chains to one cluster") {
+    val rows = Dedup.components(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val comp = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the component id is the kept representative: the min doc of the cluster
+    comp.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min === c, s"component $c must be its own minimum")
+    }
+    // transitivity: any two docs paired directly must share a component
+    pairs(Dedup.ngramJaccard(spark, sfDir)).foreach { case (a, b) =>
+      assert(comp(a) === comp(b), s"paired docs $a,$b split across components")
+    }
+  }
+
   test("embeddingCos output is symmetric-free and above threshold") {
     val rows = Dedup.embeddingCos(spark, sfDir).collect()
     rows.foreach { r =>

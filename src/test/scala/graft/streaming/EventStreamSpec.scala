@@ -135,4 +135,15 @@ class EventStreamSpec extends SparkSpec {
     assert(byKey(("2024-05-01 10:00", "t.A")) === 2)
     assert(byKey(("2024-05-01 10:01", "t.B")) === 1)
   }
+
+  test("streamed daily stats are row-identical to the batch aggregation") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.dailyStatsStreamed(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = graft.operators.Events.dailyStats(spark, sfDir)
+      .select(col("day"), col("event_type"), col("n_events"), col("total_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq === batch.toSeq,
+      "the streaming engine must compute exactly what the batch plan computes")
+  }
 }
