@@ -50,6 +50,7 @@ object SparkEntry {
     "ev_cohort_retention" -> (Events.cohortRetention _),
     "ev_funnel" -> (Events.funnel _),
     "ev_hll_users" -> (Events.hllUsers _),
+    "ev_anomalies" -> (Events.anomalies _),
     // Text analysis
     "text_tokens" -> (TextOps.tokens _),
     "text_quality" -> (TextOps.quality _),
@@ -70,10 +71,13 @@ object SparkEntry {
     "sim_lsh_topk" -> (Similarity.lshTopk _),
     "sim_ivf_topk" -> (Similarity.ivfTopk _),
     "emb_norms" -> (Similarity.embNorms _),
+    "emb_centroids" -> (Similarity.embCentroids _),
     "ev_decimal_totals" -> (Events.decimalTotals _),
     "mm_doc_embedding" -> (Similarity.docEmbedding _),
     // Multimodal plumbing (stubbed decode, real batch shape)
     "mm_media_stats" -> (Multimodal.mediaStats _),
+    "mm_frame_sample" -> (Multimodal.frameSample _),
+    "mm_resize" -> (Multimodal.resize _),
     // End-to-end curation pipeline (quality -> exact dedup -> near-dup)
     "pipe_clean_corpus" -> (Pipeline.cleanCorpus _),
     // Corpus sampling / training-set assembly
@@ -118,6 +122,7 @@ object SparkEntry {
     "ev_rank_delta" -> Events.dailyRankDeltaOracle,
     "ev_cohort_retention" -> Events.cohortRetentionOracle,
     "ev_funnel" -> Events.funnelOracle,
+    "ev_anomalies" -> Events.anomaliesOracle,
     "text_tokens" -> TextOps.tokensOracle,
     "text_quality" -> TextOps.qualityOracle,
     "text_langid" -> TextOps.langidOracle,
@@ -131,6 +136,7 @@ object SparkEntry {
     "dd_components" -> Dedup.componentsOracle,
     "sim_topk_bruteforce" -> Similarity.topkBruteforceOracle,
     "emb_norms" -> Similarity.embNormsOracle,
+    "emb_centroids" -> Similarity.embCentroidsOracle,
     "ev_decimal_totals" -> Events.decimalTotalsOracle,
     "mm_doc_embedding" -> Similarity.docEmbeddingOracle,
     "samp_stratified" -> Sampling.stratifiedOracle,

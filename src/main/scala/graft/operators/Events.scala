@@ -241,6 +241,33 @@ object Events {
               CAST(max(n) AS BIGINT) AS n_events
        FROM r GROUP BY user_id ORDER BY user_id"""
 
+  /** Z-score outlier detection per event type — the monitoring query over
+    * the metric stream (which events deviate > 3σ from their type's
+    * distribution). Two-pass shape: one hash aggregation produces the tiny
+    * per-type (mean, stddev) frame, which joins back against the fact scan
+    * — the stats side is O(|types|), a true dim, so the join broadcasts at
+    * any corpus size.
+    */
+  def anomalies(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val stats = e.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+    e.join(broadcast(stats), "event_type")
+      .filter(abs(col("value") - col("mu")) > lit(3) * col("sigma"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        (floor((col("value") - col("mu")) / col("sigma") * 1e4) / 1e4).as("z"))
+      .orderBy("event_id")
+  }
+
+  val anomaliesOracle: String =
+    """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+                  FROM events GROUP BY 1)
+       SELECT event_id, event_type, value,
+              floor((value - mu) / sigma * 1e4) / 1e4 AS z
+       FROM events JOIN s USING (event_type)
+       WHERE abs(value - mu) > 3 * sigma
+       ORDER BY event_id"""
+
   /** Per-day, per-type stats (time-bucketed multi-agg). */
   def dailyStats(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)

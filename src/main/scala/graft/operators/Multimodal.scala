@@ -66,6 +66,81 @@ object Multimodal {
     }(enc).toDF()
   }
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_crc", LongType),
+    StructField("frame_bytes", IntegerType)))
+
+  /** Frame sampling over "video" payloads — the 1→N batch shape (a real
+    * `mapInPandas` frame sampler returns MORE rows than it consumes): the
+    * payload is treated as fixed 16-byte frames and every 4th frame is
+    * emitted with its checksum. The iterator-in/iterator-out boundary is
+    * the same seam a codec-backed sampler plugs into; MultimodalSpec
+    * cross-checks every emitted frame against an independent native
+    * `substring`/`crc32` expression pipeline.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val frameLen = 16
+    val stride = 4
+    val d = Tables.fanout(Tables.documents(spark, dir))
+    val video = d.filter(col("doc_id") % 3 === 2) // the video/mp4 slice
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val enc = RowEncoder.encoderFor(frameSchema)
+    video.mapPartitions { rows =>
+      // per-partition init seam (demuxer/codec handle in real life)
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val nFrames = payload.length / frameLen
+        (0 until nFrames by stride).iterator.map { i =>
+          val frame = java.util.Arrays.copyOfRange(payload, i * frameLen, (i + 1) * frameLen)
+          val crc = new CRC32(); crc.update(frame)
+          Row(r.getAs[Long]("doc_id"), i, crc.getValue, frame.length)
+        }
+      }
+    }(enc).toDF().orderBy("doc_id", "frame_idx")
+  }
+
+  val thumbSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("thumb", BinaryType),
+    StructField("thumb_bytes", IntegerType),
+    StructField("thumb_crc", LongType)))
+
+  /** "Resize" over image payloads — the binary→binary transform shape: the
+    * payload is read as a 16-byte-wide pixel grid and downsampled 2×2 by
+    * byte averaging into a new binary thumbnail column. Swapping the
+    * arithmetic for a real scaler keeps schema, batching and partitioning
+    * untouched. Deterministic, so replays produce byte-identical thumbs.
+    */
+  def resize(spark: SparkSession, dir: String): DataFrame = {
+    val width = 16
+    val d = Tables.fanout(Tables.documents(spark, dir))
+    val images = d.filter(col("doc_id") % 3 === 0) // the image/png slice
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val enc = RowEncoder.encoderFor(thumbSchema)
+    images.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        val rowsIn = p.length / width
+        val thumb = Array.ofDim[Byte]((rowsIn / 2) * (width / 2))
+        var y = 0
+        while (y + 1 < rowsIn) {
+          var x = 0
+          while (x + 1 < width) {
+            val s = (p(y * width + x) & 0xFF) + (p(y * width + x + 1) & 0xFF) +
+              (p((y + 1) * width + x) & 0xFF) + (p((y + 1) * width + x + 1) & 0xFF)
+            thumb((y / 2) * (width / 2) + x / 2) = (s / 4).toByte
+            x += 2
+          }
+          y += 2
+        }
+        val crc = new CRC32(); crc.update(thumb)
+        Row(r.getAs[Long]("doc_id"), thumb, thumb.length, crc.getValue)
+      }
+    }(enc).toDF().orderBy("doc_id")
+  }
+
   /** Per-media-type rollup of the decoded features (oracle-checkable: CRC32
     * and byte stats are engine-portable).
     */

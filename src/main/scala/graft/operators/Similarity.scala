@@ -184,4 +184,26 @@ object Similarity {
          floor(max(nrm) * 1e4) / 1e4 AS max_norm,
          floor(sum(nrm) / count(*) * 1e4) / 1e4 AS avg_norm
        FROM n GROUP BY label ORDER BY label"""
+
+  /** Per-label centroid embeddings, one row per (label, dimension) — the
+    * class-prototype computation feeding classifiers and IVF seeding. A
+    * single posexplode + hash aggregation: 64 rows per vector shuffle on
+    * (label, dim), two-phase partial agg, no per-label vector collected
+    * anywhere (a skewed label streams through the aggregation).
+    */
+  def embCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanout(Tables.embeddings(spark, dir))
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "x")))
+      .groupBy(col("label"), (col("dim0") + 1).cast("long").as("dim"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        trunc4(avg(col("x").cast("double"))).as("centroid"))
+      .orderBy("label", "dim")
+  }
+
+  val embCentroidsOracle: String =
+    """SELECT label, CAST(i AS BIGINT) AS dim, count(*) AS n_vectors,
+         floor(avg(embedding[i]::DOUBLE) * 1e4) / 1e4 AS centroid
+       FROM embeddings, generate_series(1, 64) AS t(i)
+       GROUP BY 1, 2 ORDER BY 1, 2"""
 }

@@ -34,4 +34,43 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length === 3)
     assert(rows.map(_.getAs[Long]("n_docs")).sum === Tables.documents(spark, sfDir).count())
   }
+
+  test("frame sampling agrees with a native substring/crc32 pipeline") {
+    // independent path: slice every 4th 16-byte frame with pure Catalyst
+    // expressions (substring is 1-based; binary slices stay binary)
+    val native = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text").cast("binary").as("p"))
+      .filter(length(col("p")) >= 16)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), (length(col("p")) / 16).cast("int") - 1)).as("i"),
+        col("p"))
+      .filter(col("i") % 4 === 0)
+      .select(col("doc_id"), col("i").as("frame_idx"),
+        crc32(expr("substring(p, i * 16 + 1, 16)")).as("frame_crc"),
+        lit(16).as("frame_bytes"))
+    val sampled = Multimodal.frameSample(spark, sfDir)
+    assert(sampled.exceptAll(native).count() === 0)
+    assert(native.exceptAll(sampled).count() === 0)
+    // 1 -> N: a video doc must emit multiple frames
+    assert(sampled.count() > Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 2).count())
+  }
+
+  test("resize halves the pixel grid deterministically") {
+    val t1 = Multimodal.resize(spark, sfDir).collect()
+    val t2 = Multimodal.resize(spark, sfDir).collect()
+    assert(t1.length === t2.length && t1.nonEmpty)
+    t1.zip(t2).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(
+        a.getAs[Array[Byte]]("thumb"), b.getAs[Array[Byte]]("thumb")),
+        "replay must produce byte-identical thumbnails")
+    }
+    t1.foreach { r =>
+      val crc = new java.util.zip.CRC32()
+      crc.update(r.getAs[Array[Byte]]("thumb"))
+      assert(crc.getValue === r.getAs[Long]("thumb_crc"))
+      assert(r.getAs[Int]("thumb_bytes") === r.getAs[Array[Byte]]("thumb").length)
+    }
+  }
 }
