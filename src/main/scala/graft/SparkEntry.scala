@@ -32,6 +32,10 @@ object SparkEntry {
     "q18_large_orders" -> (Relational.q18LargeOrders _),
     "q13_customer_dist" -> (Relational.q13CustomerDist _),
     "q_repeat_customers" -> (Relational.qRepeatCustomers _),
+    "q07_volume_shipping" -> (Relational.q07VolumeShipping _),
+    "q08_market_share" -> (Relational.q08MarketShare _),
+    "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
+    "q19_disjunctive" -> (Relational.q19DisjunctiveRevenue _),
     // Event-pipeline semantics
     "ev_route_counts" -> (Events.routeCounts _),
     "ev_json_extract" -> (Events.jsonExtract _),
@@ -106,6 +110,10 @@ object SparkEntry {
     "q18_large_orders" -> Relational.q18Oracle,
     "q13_customer_dist" -> Relational.q13Oracle,
     "q_repeat_customers" -> Relational.qRepeatCustomersOracle,
+    "q07_volume_shipping" -> Relational.q07Oracle,
+    "q08_market_share" -> Relational.q08Oracle,
+    "q14_promo_revenue" -> Relational.q14Oracle,
+    "q19_disjunctive" -> Relational.q19Oracle,
     "ev_route_counts" -> Events.routeCountsOracle,
     "ev_json_extract" -> Events.jsonExtractOracle,
     "ev_latest_per_user" -> Events.latestPerUserOracle,

@@ -267,6 +267,170 @@ object Relational {
        ORDER BY total_qty DESC, l_orderkey LIMIT 20"""
 
   /** INTERSECT: customers active in both 1996 and 1997. */
+  /** Volume shipping (TPC-H q7 shape): bilateral trade between two nation
+    * pairs by shipment year. Two independent nation lookups (supplier's
+    * and customer's) hang off the same fact chain — both are broadcast
+    * dims; the lineitem⇄orders fact-fact join shuffles on the order key.
+    */
+  def q07VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate").between(
+        lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+    val pairOk =
+      (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
+    l.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(pairOk)
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q07Oracle: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+         AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  /** National market share (TPC-H q8 shape): one nation's revenue share of
+    * a region's market for one part type, by order year. The share is a
+    * conditional-sum / total-sum ratio inside one aggregation — no second
+    * pass over the facts.
+    */
+  def q08MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val cnat = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+    val snat = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val p = Tables.part(spark, dir).filter(col("p_type") === "PROMO")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cnat), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(snat), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_3",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)), 2)
+          .as("nation_revenue"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      .withColumn("mkt_share",
+        floor(col("nation_revenue") / col("total_revenue") * 1e4) / 1e4)
+      .orderBy("o_year")
+  }
+
+  val q08Oracle: String =
+    """WITH base AS (
+         SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                l_extendedprice * (1.0 - l_discount) AS vol,
+                n2.n_name AS supp_nation
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey)
+       SELECT o_year,
+              round(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0.0 END), 2)
+                AS nation_revenue,
+              round(sum(vol), 2) AS total_revenue,
+              floor(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0.0 END), 2)
+                    / round(sum(vol), 2) * 1e4) / 1e4 AS mkt_share
+       FROM base GROUP BY 1 ORDER BY 1"""
+
+  /** Promotion revenue share (TPC-H q14 shape): conditional aggregation
+    * over a part-type flag for one shipment month; the part side is a
+    * broadcast dim.
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+    l.join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)), 2)
+          .as("promo_revenue"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      .withColumn("promo_share",
+        floor(col("promo_revenue") / col("total_revenue") * 1e4) / 1e4)
+  }
+
+  val q14Oracle: String =
+    """SELECT
+         round(sum(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+           AS promo_revenue,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue,
+         floor(round(sum(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+               / round(sum(l_extendedprice * (1.0 - l_discount)), 2) * 1e4) / 1e4
+           AS promo_share
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+         AND l_shipdate < TIMESTAMP '1997-04-01'"""
+
+  /** Disjunctive predicate revenue (TPC-H q19 shape): three OR'd
+    * (brand, size-range, quantity-range) branches — the plan must push the
+    * common part-join key and keep the disjunction as one post-join filter
+    * rather than three scans.
+    */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val branches =
+      (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#22" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(5, 30)) ||
+        (col("p_brand") === "Brand#33" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(10, 40))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(branches)
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q19Oracle: String =
+    """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+              count(*) AS n_lines
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 1 AND 20)
+          OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+              AND l_quantity BETWEEN 5 AND 30)
+          OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50
+              AND l_quantity BETWEEN 10 AND 40)"""
+
   def qRepeatCustomers(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     def activeIn(year: Int) = o

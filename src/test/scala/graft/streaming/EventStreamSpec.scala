@@ -136,6 +136,33 @@ class EventStreamSpec extends SparkSpec {
     assert(byKey(("2024-05-01 10:01", "t.B")) === 1)
   }
 
+  test("stream-stream interval join matches purchases to preceding signups") {
+    // two live streams joined on key + event-time interval: the watermarks
+    // bound both join-state buffers, the canonical enrichment-at-ingest
+    // shape (attribute every purchase to a signup within the last hour)
+    implicit val sqlCtx = spark.sqlContext
+    val signups = MemoryStream[(Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-05-01 10:$m%02d:00")
+    signups.addData((1L, ts(0)), (2L, ts(5)))
+    purchases.addData(
+      (1L, ts(30), 9.99),   // 30 min after signup -> joins
+      (2L, ts(8), 5.0),     // 3 min after signup -> joins
+      (3L, ts(10), 7.0))    // no signup -> dropped (inner join)
+    val s = signups.toDF().toDF("s_user", "s_ts").withWatermark("s_ts", "2 hours")
+    val p = purchases.toDF().toDF("p_user", "p_ts", "amount").withWatermark("p_ts", "2 hours")
+    val joined = p.join(s,
+      expr("p_user = s_user AND p_ts >= s_ts AND p_ts <= s_ts + interval 1 hour"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("ss_join").collect()
+      .map(r => r.getAs[Long]("p_user") -> r.getAs[Double]("amount")).toMap
+    assert(rows === Map(1L -> 9.99, 2L -> 5.0))
+  }
+
   test("streamed daily stats are row-identical to the batch aggregation") {
     import org.apache.spark.sql.functions._
     val streamed = EventStream.dailyStatsStreamed(spark, sfDir)
