@@ -4,26 +4,36 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SimHash64, SortedIntersectCount}
 
-/** Session extensions registering graft's native expressions for SQL use:
+/** Session extensions registering graft's native expressions for SQL use
+  * and the custom-plan optimizations:
   *
   * {{{
   *   spark.sql.extensions=graft.GraftExtensions
   *   SELECT graft_cosine(a.embedding, b.embedding) FROM ...
+  *   SELECT sorted_intersect_count(sha, shb) FROM ...
+  *   SELECT graft_simhash64(word_hashes) FROM ...
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.cosineFunction)
+    GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopK)
   }
 }
 
 object GraftExtensions {
-  val cosineFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_cosine"),
-    new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-    (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))),
+    (FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) => SortedIntersectCount(children.head, children(1))),
+    (FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
 }

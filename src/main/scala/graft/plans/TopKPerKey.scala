@@ -105,11 +105,16 @@ object TopKStrategy extends SparkStrategy {
 
 object TopKPerKey {
 
-  private def ensureStrategy(spark: SparkSession): Unit =
+  private def ensureStrategy(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
     }
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughTopK)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughTopK
+    }
+  }
 
   /** Top `k` rows per key group, ordered by `order` (e.g. `col(x).desc`),
     * with a 1-based `rank` column appended.

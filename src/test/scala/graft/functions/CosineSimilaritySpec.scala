@@ -26,13 +26,21 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(plan.contains("*(1) Project [graft_cosine"), s"expected codegen in:\n$plan")
   }
 
-  test("graft_cosine is SQL-callable once registered") {
+  test("native expressions are SQL-callable once registered") {
     // Same registration GraftExtensions performs via spark.sql.extensions.
-    val (ident, info, builder) = GraftExtensions.cosineFunction
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
     Tables.embeddings(spark, sfDir).limit(5).createOrReplaceTempView("emb_tmp")
     val rows = spark.sql(
       "SELECT graft_cosine(embedding, embedding) AS c FROM emb_tmp").collect()
     rows.foreach(r => assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-9))
+    val ic = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS n").head()
+    assert(ic.getAs[Int]("n") === 2)
+    val sh = spark.sql(
+      "SELECT graft_simhash64(array(1L, 2L, 3L)) AS h, graft_simhash64(array(1L, 2L, 3L)) AS h2")
+      .head()
+    assert(sh.getAs[Long]("h") === sh.getAs[Long]("h2"))
   }
 }

@@ -39,4 +39,28 @@ class TopKPerKeySpec extends SparkSpec {
     val ranks = all.select("rank").collect().map(_.getInt(0)).sorted
     assert(ranks.toSeq === (1 to n.toInt))
   }
+
+  test("key-only filters push through the custom node to the scan") {
+    val e = Tables.events(spark, sfDir)
+    val topk = TopKPerKey.perKey(e, Seq(col("user_id")), Seq(col("value").desc), 3)
+    // a filter on the grouping key, applied AFTER top-k, plus one on the
+    // produced rank column that must NOT move
+    val filtered = topk.filter(col("user_id") < 5 && col("rank") <= 2)
+    val optimized = filtered.queryExecution.optimizedPlan
+    val topkNode = optimized.collect { case t: TopKPerKeyPlan => t }
+    assert(topkNode.nonEmpty, "custom node survived optimization")
+    assert(topkNode.head.child.toString.contains("user_id"),
+      s"key predicate must sit below TopKPerKey:\n$optimized")
+    // the key predicate keeps pushing all the way into the parquet scan
+    filtered.collect()
+    val physical = filtered.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(user_id), LessThan(user_id,5)"),
+      s"expected scan-level pushdown:\n$physical")
+    // semantics unchanged vs filtering the window idiom
+    val viaWindow = e.withColumn("rank",
+        row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("value").desc)))
+      .filter(col("user_id") < 5 && col("rank") <= 2)
+    assert(filtered.count() === viaWindow.count())
+  }
 }
