@@ -1,0 +1,85 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Property-style pins for the native kernels: across hundreds of
+  * seeded-random inputs the hand-written merge/fold code must agree
+  * exactly with the composed built-in-function formulation it replaces.
+  * A unit test checks the examples someone thought of; these sweep the
+  * ones nobody did (empty arrays, singletons, all-equal values, disjoint
+  * ranges, every length pairing), batched through one DataFrame so the
+  * whole sweep is a single Spark job per property.
+  */
+class KernelPropertySpec extends SparkSpec {
+
+  private val rnd = new Random(20260812L)
+
+  test("sorted_intersect_count equals size(array_intersect) across random set pairs") {
+    val cases = Seq.tabulate(300) { i =>
+      def gen(n: Int) =
+        Seq.fill(n)(rnd.between(-50L, 50L)).distinct.sorted.toArray
+      Row(i.toLong, gen(rnd.between(0, 40)), gen(rnd.between(0, 40)))
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("a", ArrayType(LongType, containsNull = false)),
+      StructField("b", ArrayType(LongType, containsNull = false))))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(cases).asJava),
+      schema)
+    val bad = df.select(
+        col("id"),
+        SortedIntersectCount(col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).as("builtin"))
+      .filter(col("native") =!= col("builtin"))
+    assert(bad.count() === 0, s"mismatching cases: ${bad.collect().mkString(", ")}")
+  }
+
+  test("graft_cosine is bit-equal to the zip_with/aggregate form across random vectors") {
+    val cases = Seq.tabulate(300) { i =>
+      val n = rnd.between(1, 17)
+      def vec() = Array.fill(n)(rnd.between(-10.0, 10.0))
+      Row(i.toLong, vec(), vec())
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("a", ArrayType(DoubleType, containsNull = false)),
+      StructField("b", ArrayType(DoubleType, containsNull = false))))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(cases).asJava),
+      schema)
+    val bad = df.select(
+        col("id"),
+        CosineSimilarity(col("a"), col("b")).as("native"),
+        Vec.cosine(col("a"), col("b")).as("composed"))
+      // bit-equality is the documented contract: compare raw bits, treating
+      // only exact equality (or both-null) as a pass
+      .filter(!(col("native") <=> col("composed")))
+    assert(bad.count() === 0, s"mismatching cases: ${bad.collect().mkString(", ")}")
+  }
+
+  test("graft_cosine returns NULL exactly when lengths differ") {
+    val cases = for (n <- 0 to 8; m <- 0 to 8 if n > 0 || m > 0)
+      yield Row(n.toLong * 100 + m, Array.fill(n)(1.0), Array.fill(m)(1.0))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("a", ArrayType(DoubleType, containsNull = false)),
+      StructField("b", ArrayType(DoubleType, containsNull = false))))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(cases.toSeq).asJava),
+      schema)
+    val rows = df.select(col("id"),
+      size(col("a")).as("n"), size(col("b")).as("m"),
+      CosineSimilarity(col("a"), col("b")).as("c")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(3) === (r.getAs[Int]("n") != r.getAs[Int]("m")),
+        s"NULL contract violated for id ${r.getLong(0)}")
+    }
+  }
+}
