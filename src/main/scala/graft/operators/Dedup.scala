@@ -255,18 +255,27 @@ object Dedup {
       .toDF("src", "dst").localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("lab", col("doc_id"))
-    var changed = 1L
+    // Labels only ever decrease, so the label sum is a strictly decreasing
+    // convergence witness: one cheap aggregate per round replaces a
+    // join-based changed-row count. Decimal(38) so the witness can't
+    // overflow on large id spaces.
+    def sumOf(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lab").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = sumOf(labels)
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val next = edges
+    var converged = false
+    while (!converged && rounds < 50) {
+      // one round = propagate across edges, union the current labels, keep
+      // the per-node minimum: a single join + single hash-agg
+      labels = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("lab")).as("nbr"))
-        .join(labels, "doc_id")
-        .select(col("doc_id"), least(col("lab"), col("nbr")).as("nlab"), col("lab"))
+        .select(col("dst").as("doc_id"), col("lab"))
+        .unionByName(labels)
+        .groupBy(col("doc_id")).agg(min(col("lab")).as("lab"))
         .localCheckpoint()
-      changed = next.filter(col("nlab") < col("lab")).count()
-      labels = next.select(col("doc_id"), col("nlab").as("lab"))
+      val s = sumOf(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       rounds += 1
     }
     labels.select(col("doc_id"), col("lab").as("component"))
