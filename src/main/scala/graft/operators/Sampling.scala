@@ -109,20 +109,40 @@ object Sampling {
   /** Token-budget packing: assign documents to fixed-budget training
     * sequences (512 whitespace tokens) within each language, in doc_id
     * order — sequence id and offset come from the running token count, so
-    * a document lands in the sequence its prefix sum starts in. Per-key
-    * window only: packing parallelizes across languages and the sort
-    * spills; no global order anywhere.
+    * a document lands in the sequence its prefix sum starts in.
+    *
+    * Scale shape — two-phase SEGMENTED prefix sum, not a per-language
+    * window: language cardinality is tiny, so `partitionBy(lang)` would
+    * sort most of a 100 TB corpus on one reducer. Instead documents are
+    * bucketed into fixed doc_id blocks; phase 1 computes per-(lang,
+    * block) token totals (a hash agg over the corpus); phase 2 runs the
+    * ordered prefix sum over the per-block totals — the bounded domain
+    * (≈ corpus/block rows) where a global window is fine; phase 3 adds
+    * the block offset to an intra-block running sum, whose window
+    * partitions are capped at `blockSize` documents. The result is
+    * bit-identical to the naive per-language window at any partitioning.
     */
   def packTokenBudget(spark: SparkSession, dir: String): DataFrame = {
     val budget = 512
-    val byLang = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-    Tables.documents(spark, dir)
+    val blockSize = 1000L // documents per segment; caps every window partition
+    val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("block", floor(col("doc_id") / blockSize))
+    val blockTotals = toks.groupBy(col("lang"), col("block"))
+      .agg(sum(col("n_tokens")).as("block_tokens"))
+    val byLangBlocks = Window.partitionBy(col("lang")).orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blockOffsets = blockTotals
+      .withColumn("block_start",
+        sum(col("block_tokens")).over(byLangBlocks) - col("block_tokens"))
+      .select(col("lang"), col("block"), col("block_start"))
+    val inBlock = Window.partitionBy(col("lang"), col("block")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .join(blockOffsets, Seq("lang", "block"))
       .withColumn("start",
-        coalesce(sum(col("n_tokens")).over(
-          byLang.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n_tokens"),
-          lit(0L)))
+        col("block_start") + sum(col("n_tokens")).over(inBlock) - col("n_tokens"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         (col("start") / budget).cast("long").as("seq_id"),
         (col("start") % budget).as("seq_offset"))

@@ -40,27 +40,46 @@ case class TopKPerKeyPlan(
     copy(child = newChild)
 }
 
+/** Per-key top-k executor. Runs in two phases, like a hash aggregate:
+  *
+  *  - `partial = true` (map side, before the key shuffle): per-partition
+  *    bounded heaps, no distribution requirement, no rank output. Each
+  *    map partition forwards at most k rows per key, so the shuffle and
+  *    the final reducer see ≤ k × partitions rows per key instead of the
+  *    whole key group — the difference between O(group) and O(k) reducer
+  *    input when one key owns most of a 100 TB table.
+  *  - `partial = false` (reduce side, after the shuffle): same heaps over
+  *    the surviving candidates, emitting the rank column.
+  *
+  * Top-k is decomposable (top-k of a union = top-k of per-part top-ks),
+  * so the two-phase result is row-identical to a single global pass.
+  */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
     rankAttr: AttributeReference,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
 
-  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override def producedAttributes: AttributeSet =
+    if (partial) AttributeSet.empty else AttributeSet(rankAttr)
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val emitRank = !partial
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering: BaseOrdering = RowOrdering.create(sortOrder, childOutput)
@@ -78,14 +97,18 @@ case class TopKPerKeyExec(
           heap.dequeue(); heap.enqueue(row.copy())
         }
       }
-      val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-      val joined = new JoinedRow
-      val outProj = UnsafeProjection.create(output, output)
-      heaps.iterator.flatMap { case (_, heap) =>
-        val sorted = heap.dequeueAll.reverse // ascending in requested order
-        sorted.iterator.zipWithIndex.map { case (row, i) =>
-          rankRow.update(0, i + 1)
-          outProj(joined(row, rankRow))
+      if (!emitRank) {
+        heaps.iterator.flatMap(_._2.iterator)
+      } else {
+        val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        val joined = new JoinedRow
+        val outProj = UnsafeProjection.create(output, output)
+        heaps.iterator.flatMap { case (_, heap) =>
+          val sorted = heap.dequeueAll.reverse // ascending in requested order
+          sorted.iterator.zipWithIndex.map { case (row, i) =>
+            rankRow.update(0, i + 1)
+            outProj(joined(row, rankRow))
+          }
         }
       }
     }
@@ -98,7 +121,11 @@ case class TopKPerKeyExec(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case t: TopKPerKeyPlan =>
-      TopKPerKeyExec(t.keys, t.order, t.k, t.rankAttr, planLater(t.child)) :: Nil
+      // two-phase: map-side partial heaps feed the key shuffle the final
+      // (rank-emitting) heaps require — the hash-aggregate pattern
+      TopKPerKeyExec(t.keys, t.order, t.k, t.rankAttr, partial = false,
+        TopKPerKeyExec(t.keys, t.order, t.k, t.rankAttr, partial = true,
+          planLater(t.child))) :: Nil
     case _ => Nil
   }
 }

@@ -29,6 +29,11 @@ class TopKPerKeySpec extends SparkSpec {
     assert(plan.contains("TopKPerKey"), s"custom node missing:\n$plan")
     assert(!plan.contains("Window"), "must not fall back to a window sort")
     assert(plan.contains("Exchange hashpartitioning"), "expects the single key shuffle")
+    // two-phase: a map-side partial heap must sit BELOW the exchange so
+    // each map partition forwards at most k rows per key into the shuffle
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(plan.indexOf("TopKPerKey") < exIdx && plan.indexOf("TopKPerKey", exIdx) > 0,
+      s"expected partial+final TopKPerKey around the exchange:\n$plan")
   }
 
   test("handles k larger than group sizes") {
