@@ -88,7 +88,7 @@ object ParquetMergeSink {
     val current =
       if (hasTable)
         Some(spark.read.parquet(path)
-          .filter(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
+          .filter(col(BucketCol).isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
           .withColumn(PrefCol, lit(0)))
       else None
 
