@@ -32,6 +32,7 @@ object SparkEntry {
     "q18_large_orders" -> (Relational.q18LargeOrders _),
     "q13_customer_dist" -> (Relational.q13CustomerDist _),
     "q_repeat_customers" -> (Relational.qRepeatCustomers _),
+    "q06_forecast_revenue" -> (Relational.q06ForecastRevenue _),
     "q07_volume_shipping" -> (Relational.q07VolumeShipping _),
     "q08_market_share" -> (Relational.q08MarketShare _),
     "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "q18_large_orders" -> Relational.q18Oracle,
     "q13_customer_dist" -> Relational.q13Oracle,
     "q_repeat_customers" -> Relational.qRepeatCustomersOracle,
+    "q06_forecast_revenue" -> Relational.q06Oracle,
     "q07_volume_shipping" -> Relational.q07Oracle,
     "q08_market_share" -> Relational.q08Oracle,
     "q14_promo_revenue" -> Relational.q14Oracle,

@@ -267,6 +267,30 @@ object Relational {
        ORDER BY total_qty DESC, l_orderkey LIMIT 20"""
 
   /** INTERSECT: customers active in both 1996 and 1997. */
+  /** Forecast-revenue change (TPC-H q6 shape): pure filter-aggregate over
+    * the fact scan — every predicate (date range, discount band, quantity
+    * cap) must reach `PushedFilters`; no join, no shuffle beyond the final
+    * single-row agg.
+    */
+  def q06ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.04) &&
+        col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  val q06Oracle: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+              count(*) AS n_lines
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l_shipdate < TIMESTAMP '1998-01-01'
+         AND l_discount BETWEEN 0.02 AND 0.04
+         AND l_quantity < 24"""
+
   /** Volume shipping (TPC-H q7 shape): bilateral trade between two nation
     * pairs by shipment year. Two independent nation lookups (supplier's
     * and customer's) hang off the same fact chain — both are broadcast
