@@ -18,15 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  private val cache = TrieMap.empty[(String, Int), Array[Array[Double]]]
+  private val cache = TrieMap.empty[(String, Int, Int, Int, Long, Int), Array[Array[Double]]]
 
   /** Trained (or cached) centroids for `corpus` (`embCol`: array<float|double>).
-    * `cacheKey` identifies the corpus (e.g. its directory path).
+    * `cacheKey` identifies the corpus SNAPSHOT (e.g. its directory path):
+    * the cache is keyed on it plus every training parameter, and an index
+    * over data that changes in place must be retrained via [[invalidate]]
+    * — the same contract as any offline-trained ANN index (append ≠
+    * retrain; serving quality degrades silently until reindex).
     */
   def centroids(corpus: DataFrame, embCol: String, k: Int,
       cacheKey: String, sampleCap: Int = 4096, iters: Int = 10,
       seed: Long = 42L, restarts: Int = 4): Array[Array[Double]] =
-    cache.getOrElseUpdate((cacheKey, k), {
+    cache.getOrElseUpdate((cacheKey, k, sampleCap, iters, seed, restarts), {
       val n = corpus.count()
       val fraction = math.min(1.0, sampleCap.toDouble / math.max(1L, n))
       val sample = corpus
@@ -148,6 +152,12 @@ object IvfIndex {
     }
     total
   }
+
+  /** Drop cached centroids for a corpus snapshot — call after in-place
+    * data changes (appends/compaction) to force retraining.
+    */
+  def invalidate(cacheKey: String): Unit =
+    cache.keys.filter(_._1 == cacheKey).foreach(cache.remove)
 
   /** Test/reset hook. */
   private[graft] def clearCache(): Unit = cache.clear()

@@ -320,11 +320,19 @@ object Routers {
     * is derived from chain state deterministically: ids are sequential, so
     * the n-th creation message in chain order (height, then message hash
     * within a block — the landing format carries no intra-block tx index)
-    * gets id n. A landing zone pre-enriched with the true `topic_id`
-    * always wins via coalesce, which also covers out-of-order ingestion
-    * of historical ranges.
+    * gets id `nextTopicId + n − 1`. A landing zone pre-enriched with the
+    * true `topic_id` always wins via coalesce.
+    *
+    * CONTRACT for the derived path: `messages` must carry the creation
+    * messages from `nextTopicId` onward contiguously (the full-history
+    * default is `nextTopicId = 1`). Incremental catch-up callers pass the
+    * table's current max id + 1 — the numbering restarts per invocation,
+    * exactly like the reference's per-run RPC probe. Mixing pre-enriched
+    * and unenriched creations in ONE range is not supported (the derived
+    * counter cannot know which ids the enriched rows consumed); enrich
+    * all or none per batch.
     */
-  def topics(messages: DataFrame): DataFrame = {
+  def topics(messages: DataFrame, nextTopicId: Long = 1L): DataFrame = {
     val schema = StructType(Seq(
       "topic_id", "creator", "metadata", "loss_logic", "loss_method",
       "inference_logic", "inference_method", "epoch_length",
@@ -338,8 +346,9 @@ object Routers {
       .select(
         coalesce(
           col("p.topic_id").cast(IntegerType),
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("message_height"), col("message_id")))
+          (lit(nextTopicId - 1) + row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("message_height"), col("message_id"))))
             .cast(IntegerType)).as("id"),
         col("p.creator").as("creator"), col("p.metadata").as("metadata"),
         col("p.loss_method").as("loss_method"),

@@ -278,6 +278,12 @@ object Dedup {
       prevSum = s
       rounds += 1
     }
+    // Unconverged labels are WRONG labels (a >50-hop chain would be split
+    // into several clusters) — fail loudly rather than under-deduplicate.
+    if (!converged)
+      throw new IllegalStateException(
+        s"component propagation did not converge in $rounds rounds " +
+          "(pair-graph diameter exceeds the cap); raise the round cap")
     labels.select(col("doc_id"), col("lab").as("component"))
       .orderBy("doc_id")
   }

@@ -240,13 +240,14 @@ object Relational {
     val l = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
-    // The HAVING-filtered aggregate is the small side — broadcast it into
-    // both joins (a handful of qualifying orders at any SF), never the
-    // customer table, which grows with the fact data.
-    val big = broadcast(
-      l.groupBy(col("l_orderkey"))
-        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
-        .filter(col("total_qty") > 150.0))
+    // The HAVING-filtered aggregate is the smallest side, but it is still
+    // a FRACTION of all orders — O(SF), not a dim — so it is not
+    // broadcast-pinned: AQE broadcasts it while it measures small and
+    // falls back to a shuffle join at scale. (Never broadcast customer
+    // either; it grows with the fact data.)
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 150.0)
     big.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .select(

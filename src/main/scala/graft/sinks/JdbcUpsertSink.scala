@@ -3,7 +3,7 @@ package graft.sinks
 import java.sql.{Connection, DriverManager, SQLException}
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, xxhash64}
 import org.apache.spark.sql.types._
 
 import graft.indexer.Upsert
@@ -61,7 +61,11 @@ object JdbcUpsertSink {
 
   def upsert(batch: DataFrame, url: String, table: String,
       keys: Seq[String], version: String): Unit = {
-    val resolved = Upsert.latestWins(batch, keys, col(version))
+    // Version ties within a batch break on a CONTENT hash, not partition
+    // order: the same batch always elects the same survivor, so replays
+    // converge even when the version column collides (e.g. version = key).
+    val contentTie = xxhash64(batch.columns.map(col).toIndexedSeq: _*)
+    val resolved = Upsert.latestWins(batch, keys, col(version), contentTie.desc)
     val schema = resolved.schema
     val conn0 = DriverManager.getConnection(url)
     try ensureTable(conn0, table, schema, keys) finally conn0.close()
@@ -95,13 +99,20 @@ object JdbcUpsertSink {
                 fields.zipWithIndex.foreach { case (c, i) =>
                   ins.setObject(i + 1, row.getAs[AnyRef](c))
                 }
-                try ins.executeUpdate()
+                // Savepoint around the INSERT: on PostgreSQL any error
+                // aborts the surrounding transaction (25P02 on every later
+                // statement), so a swallowed duplicate-key exception must
+                // roll back to the savepoint to keep the partition's
+                // transaction usable. Derby tolerates either way.
+                val sp = conn.setSavepoint()
+                try { ins.executeUpdate(); conn.releaseSavepoint(sp) }
                 catch {
                   // duplicate key: the stored row is strictly newer than the
                   // incoming one (the guarded UPDATE already declined) —
                   // stale input, correctly ignored
                   case e: SQLException if e.getSQLState != null
-                      && e.getSQLState.startsWith("23") => ()
+                      && e.getSQLState.startsWith("23") =>
+                    conn.rollback(sp)
                 }
               }
             }

@@ -31,9 +31,19 @@ import graft.indexer.Upsert
   * (a source-precedence tie-break, so version collisions like
   * version = key are still deterministic).
   *
+  * The bucket count is persisted in a `.graft-buckets` marker at the
+  * table root on creation and read back on every merge — a caller's
+  * `nBuckets` only applies to a NEW table, so two writers can never
+  * bucket the same key differently (which would silently duplicate keys
+  * across buckets).
+  *
   * All I/O goes through the Hadoop FileSystem API, so `path` may be
-  * file://, hdfs:// or s3a://. On a transactional store (Delta/Iceberg)
-  * `merge` becomes a MERGE INTO with the same key/version semantics.
+  * file://, hdfs:// or s3a://. The swap's atomicity relies on directory
+  * rename being atomic, which holds on HDFS and local filesystems; S3A
+  * renames are copy+delete, so on object stores run single-writer with
+  * idempotent replay as the recovery story — or use a transactional
+  * format (Delta/Iceberg), where `merge` becomes a MERGE INTO with the
+  * same key/version semantics.
   */
 object ParquetMergeSink {
 
@@ -68,6 +78,28 @@ object ParquetMergeSink {
     }
   }
 
+  private val BucketsMarker = ".graft-buckets"
+
+  /** The table's committed bucket count: the marker wins over the caller's
+    * `requested` (which only sizes a NEW table). A mismatched count would
+    * route a key to a different bucket than its existing row — silent
+    * duplicates — so layout is table state, not a per-call choice.
+    */
+  private def bucketCount(fs: FileSystem, table: Path, requested: Int): Int = {
+    val marker = new Path(table, BucketsMarker)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      finally in.close()
+    } else requested
+  }
+
+  private def writeBucketMarker(fs: FileSystem, table: Path, n: Int): Unit = {
+    val out = fs.create(new Path(table, BucketsMarker), true)
+    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   def merge(batch: DataFrame, path: String, keys: Seq[String], version: String,
       nBuckets: Int = 16): Unit = {
     val spark = batch.sparkSession
@@ -75,7 +107,8 @@ object ParquetMergeSink {
     val fs = fsFor(batch, table)
     recover(fs, table)
 
-    val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
+    val buckets = bucketCount(fs, table, nBuckets)
+    val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(buckets)).cast("int")
     val batchB = batch.withColumn(BucketCol, bucketOf)
       .withColumn(PrefCol, lit(1)) // incoming outranks current on version ties
       .localCheckpoint() // bucket list + merge input: compute the batch once
@@ -122,5 +155,6 @@ object ParquetMergeSink {
       }
     }
     fs.delete(staging, true)
+    writeBucketMarker(fs, table, buckets)
   }
 }

@@ -131,21 +131,36 @@ class BlockScan(
       .map(f => BlockFilePartition(fs.makeQualified(f.getPath).toUri.toString): InputPartition)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new BlockReaderFactory(required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Ship the driver's Hadoop configuration to the executors: a bare
+    // executor-side `new Configuration()` would see only classpath
+    // *-site.xml and silently drop spark.hadoop.* settings (s3a
+    // credentials, endpoints) — the scan would then plan fine on the
+    // driver and fail auth in every task.
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    val entries = new java.util.ArrayList[(String, String)]()
+    conf.iterator().forEachRemaining(e => entries.add(e.getKey -> e.getValue))
+    new BlockReaderFactory(required,
+      scala.jdk.CollectionConverters.ListHasAsScala(entries).asScala.toArray)
+  }
 }
 
 case class BlockFilePartition(file: String) extends InputPartition
 
-class BlockReaderFactory(required: StructType) extends PartitionReaderFactory {
+class BlockReaderFactory(required: StructType, hadoopConf: Array[(String, String)])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[BlockFilePartition].file
     new PartitionReader[InternalRow] {
-      // Executor-side Hadoop open: a fresh Configuration picks up the
-      // cluster's core-site from the executor classpath, so s3a/hdfs URIs
-      // resolve the same way the planning side saw them.
+      // Executor-side Hadoop open with the DRIVER's configuration
+      // re-applied, so s3a/hdfs URIs resolve with the same credentials
+      // and endpoints the planning side used.
       private val fsPath = new org.apache.hadoop.fs.Path(new java.net.URI(file))
-      private val fs = fsPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      private val fs = {
+        val c = new org.apache.hadoop.conf.Configuration()
+        hadoopConf.foreach { case (k, v) => c.set(k, v) }
+        fsPath.getFileSystem(c)
+      }
       private val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(fs.open(fsPath), java.nio.charset.StandardCharsets.UTF_8))
       private var row: InternalRow = _

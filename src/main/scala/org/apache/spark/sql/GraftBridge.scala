@@ -21,15 +21,24 @@ object GraftBridge {
     */
   def estimateScanPartitions(df: DataFrame): Option[Int] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val maxBytes = math.max(1L,
-      df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val conf = df.sparkSession.sessionState.conf
+    // Mirror FilePartition.maxSplitBytes: the effective split size shrinks
+    // below maxPartitionBytes when totalBytes/defaultParallelism is
+    // smaller — a raw maxPartitionBytes division would undercount the
+    // partitions Spark actually plans for large files.
+    val defaultMax = math.max(1L, conf.filesMaxPartitionBytes)
+    val openCost = conf.filesOpenCostInBytes
+    val minPartNum = conf.filesMinPartitionNum
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
     val scans = df.queryExecution.analyzed.collect {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
-        lr.relation.asInstanceOf[HadoopFsRelation]
+        val sizes = lr.relation.asInstanceOf[HadoopFsRelation]
           .location.listFiles(Nil, Nil).iterator
-          .flatMap(_.files.iterator)
-          .map(f => (f.getLen + maxBytes - 1) / maxBytes)
-          .sum
+          .flatMap(_.files.iterator).map(_.getLen).toSeq
+        val totalBytes = sizes.map(_ + openCost).sum
+        val bytesPerCore = totalBytes / math.max(1, minPartNum)
+        val maxSplit = math.max(1L, math.min(defaultMax, math.max(openCost, bytesPerCore)))
+        (totalBytes + maxSplit - 1) / maxSplit
     }
     if (scans.isEmpty) None else Some(scans.sum.min(Int.MaxValue).toInt)
   }

@@ -214,6 +214,10 @@ class IndexerSpec extends SparkSpec {
     assert(ts.map(_.getAs[Int]("id")).toSeq === Seq(1, 2, 3))
     assert(ts.map(_.getAs[String]("metadata")).toSeq === Seq("m1", "m2", "m3"),
       "ids must follow chain (height) order, not input order")
+    // incremental catch-up: the caller passes the table's next id so a
+    // later batch continues the sequence instead of restarting at 1
+    val t2 = Routers.topics(msgs, nextTopicId = 4L).collect().sortBy(_.getAs[Int]("id"))
+    assert(t2.map(_.getAs[Int]("id")).toSeq === Seq(4, 5, 6))
   }
 
   test("reputer payloads normalize across single and bulk shapes") {
