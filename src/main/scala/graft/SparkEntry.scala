@@ -33,6 +33,7 @@ object SparkEntry {
     "q13_customer_dist" -> (Relational.q13CustomerDist _),
     "q_repeat_customers" -> (Relational.qRepeatCustomers _),
     "q06_forecast_revenue" -> (Relational.q06ForecastRevenue _),
+    "q15_top_supplier" -> (Relational.q15TopSupplier _),
     "q07_volume_shipping" -> (Relational.q07VolumeShipping _),
     "q08_market_share" -> (Relational.q08MarketShare _),
     "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
@@ -56,6 +57,7 @@ object SparkEntry {
     "ev_funnel" -> (Events.funnel _),
     "ev_hll_users" -> (Events.hllUsers _),
     "ev_anomalies" -> (Events.anomalies _),
+    "ev_histogram" -> (Events.histogram _),
     // Text analysis
     "text_tokens" -> (TextOps.tokens _),
     "text_quality" -> (TextOps.quality _),
@@ -112,6 +114,7 @@ object SparkEntry {
     "q13_customer_dist" -> Relational.q13Oracle,
     "q_repeat_customers" -> Relational.qRepeatCustomersOracle,
     "q06_forecast_revenue" -> Relational.q06Oracle,
+    "q15_top_supplier" -> Relational.q15Oracle,
     "q07_volume_shipping" -> Relational.q07Oracle,
     "q08_market_share" -> Relational.q08Oracle,
     "q14_promo_revenue" -> Relational.q14Oracle,
@@ -133,6 +136,7 @@ object SparkEntry {
     "ev_cohort_retention" -> Events.cohortRetentionOracle,
     "ev_funnel" -> Events.funnelOracle,
     "ev_anomalies" -> Events.anomaliesOracle,
+    "ev_histogram" -> Events.histogramOracle,
     "text_tokens" -> TextOps.tokensOracle,
     "text_quality" -> TextOps.qualityOracle,
     "text_langid" -> TextOps.langidOracle,

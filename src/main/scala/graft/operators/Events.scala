@@ -268,6 +268,29 @@ object Events {
        WHERE abs(value - mu) > 3 * sigma
        ORDER BY event_id"""
 
+  /** Fixed-width value histogram per event type — the distribution probe
+    * behind dashboards and drift monitors. Bucketing is a pure projection
+    * (`floor(value / width)`), so the whole histogram is one map-side
+    * partial-aggregated groupBy; bucket cardinality is bounded by the
+    * value range, never the row count.
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val width = 10.0
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        floor(col("value") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("bucket_sum"))
+      .withColumn("lo", col("bucket") * width)
+      .orderBy("event_type", "bucket")
+  }
+
+  val histogramOracle: String =
+    """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+              count(*) AS n_events, round(sum(value), 2) AS bucket_sum,
+              CAST(floor(value / 10.0) AS BIGINT) * 10.0 AS lo
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Per-day, per-type stats (time-bucketed multi-agg). */
   def dailyStats(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)

@@ -268,6 +268,38 @@ object Relational {
        ORDER BY total_qty DESC, l_orderkey LIMIT 20"""
 
   /** INTERSECT: customers active in both 1996 and 1997. */
+  /** Top supplier (TPC-H q15 shape): suppliers whose quarterly revenue
+    * equals the maximum — a per-supplier aggregate compared against a
+    * 1-row scalar aggregate of itself (broadcast, the q22 pattern). The
+    * revenue frame is computed once and reused by both sides.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val best = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+    revenue.join(broadcast(best), col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15Oracle: String =
+    """WITH revenue AS (
+         SELECT l_suppkey,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1997-04-01'
+         GROUP BY 1)
+       SELECT s_suppkey, s_name, total_revenue
+       FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+       WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+       ORDER BY s_suppkey"""
+
   /** Forecast-revenue change (TPC-H q6 shape): pure filter-aggregate over
     * the fact scan — every predicate (date range, discount band, quantity
     * cap) must reach `PushedFilters`; no join, no shuffle beyond the final

@@ -64,6 +64,43 @@ class ParquetMergeSinkSpec extends SparkSpec {
     assert(rows.size === 40 && rows(7L) === "v7-new" && rows(8L) === "v8")
   }
 
+  test("streaming foreachBatch drives the merge sink end to end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink-stream").toString + "/t"
+    val input = MemoryStream[(Long, String, Long)]
+    input.addData((1L, "a1", 10L), (2L, "b1", 10L))
+    input.addData((1L, "a2", 20L), (3L, "c1", 10L)) // update + insert
+    val q = input.toDF().toDF("k", "v", "ver").writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        ParquetMergeSink.merge(batch, dir, Seq("k"), "ver", nBuckets = 4)
+      }
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(rows === Map(1L -> "a2", 2L -> "b1", 3L -> "c1"),
+      "micro-batches must merge latest-wins into the lake table")
+  }
+
+  test("a mismatched nBuckets cannot split the table layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink-marker").toString + "/t"
+    ParquetMergeSink.merge(
+      (1L to 20L).map(k => (k, s"v$k", 1L)).toDF("k", "v", "ver"),
+      dir, Seq("k"), "ver", nBuckets = 8)
+    // second writer passes a DIFFERENT bucket count: the persisted marker
+    // must win, so the key's existing bucket is still read and merged
+    ParquetMergeSink.merge(
+      Seq((7L, "v7-new", 2L)).toDF("k", "v", "ver"),
+      dir, Seq("k"), "ver", nBuckets = 2)
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(rows.size === 20 && rows(7L) === "v7-new",
+      "no duplicate key across buckets, update applied in place")
+  }
+
   test("incoming row wins a version tie (ON CONFLICT DO UPDATE)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink-tie").toString + "/t"
     val b1 = Seq((100L, "old", 100L)).toDF("height", "v", "ver")
