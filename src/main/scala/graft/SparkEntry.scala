@@ -87,6 +87,7 @@ object SparkEntry {
     "mm_resize" -> (Multimodal.resize _),
     // End-to-end curation pipeline (quality -> exact dedup -> near-dup)
     "pipe_clean_corpus" -> (Pipeline.cleanCorpus _),
+    "pipe_training_set" -> (Pipeline.trainingSet _),
     // Corpus sampling / training-set assembly
     "samp_stratified" -> (Sampling.stratified _),
     "samp_reservoir" -> (Sampling.reservoir _),

@@ -31,4 +31,30 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("source"), col("quality"))
       .orderBy("doc_id")
   }
+
+  /** The full training-set assembly on top of [[cleanCorpus]]:
+    *
+    *   clean corpus  →  deterministic stratified sample  →  token-budget
+    *   sequence packing over the survivors
+    *
+    * i.e. every round-2 sampling stage composed with the curation chain —
+    * the output is the (doc → training sequence) assignment a loader
+    * would consume. Packing runs on the SURVIVORS' running token counts,
+    * so sequences are dense (no holes from dropped docs); the sampling
+    * draw and the packing order are both deterministic, making the whole
+    * pipeline replay-stable end to end.
+    */
+  def trainingSet(spark: SparkSession, dir: String): DataFrame = {
+    val kept = cleanCorpus(spark, dir).select(col("doc_id"), col("lang"))
+      // stratified draw, same hash-threshold family as Sampling.stratified
+      .filter(
+        substring(md5(concat(lit("train:"), col("doc_id").cast("string")).cast("binary")), 1, 8)
+          < when(col("lang") === "en", lit("80000000")).otherwise(lit("e0000000")))
+    val toks = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    // packing runs the same segmented prefix sum as pack_token_budget —
+    // no per-language window at any stage of the composition
+    Sampling.packDocs(kept.join(toks, "doc_id"), budget = 512)
+  }
 }

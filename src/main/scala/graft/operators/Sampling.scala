@@ -122,13 +122,20 @@ object Sampling {
     * partitions are capped at `blockSize` documents. The result is
     * bit-identical to the naive per-language window at any partitioning.
     */
-  def packTokenBudget(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 512
+  def packTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    packDocs(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
+      budget = 512)
+
+  /** The segmented-prefix-sum packing core over any (doc_id, lang,
+    * n_tokens) frame — shared by [[packTokenBudget]] and
+    * [[Pipeline.trainingSet]].
+    */
+  private[operators] def packDocs(toksIn: DataFrame, budget: Int): DataFrame = {
     val blockSize = 1000L // documents per segment; caps every window partition
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-      .withColumn("block", floor(col("doc_id") / blockSize))
+    val toks = toksIn.withColumn("block", floor(col("doc_id") / blockSize))
     val blockTotals = toks.groupBy(col("lang"), col("block"))
       .agg(sum(col("n_tokens")).as("block_tokens"))
     val byLangBlocks = Window.partitionBy(col("lang")).orderBy(col("block"))

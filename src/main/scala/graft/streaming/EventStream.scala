@@ -79,6 +79,67 @@ object EventStream {
       }(Encoders.scalaLong, Encoders.product[TypeTotal])
   }
 
+  /** Session state for [[sessionized]]: bounds per key are one (start,
+    * last, count) triple regardless of session length.
+    */
+  case class SessionState(start: Long, last: Long, n: Int)
+
+  /** A closed session emitted when its gap times out. */
+  case class Session(userId: Long, startSec: Long, endSec: Long, nEvents: Int)
+
+  /** Streaming sessionization — the batch `ev_sessionize` gap rule as
+    * live state: per-user sessions accumulate in `flatMapGroupsWithState`
+    * and CLOSE via event-time timeout once the watermark passes the
+    * session gap, which is exactly when no in-order event can extend them.
+    * State per user is one (start, last, count) triple — bounded however
+    * long the session — and eviction is driven by the watermark, so
+    * abandoned keys cannot accumulate state.
+    *
+    * Input: (user_id long, ts timestamp). Output: one row per CLOSED
+    * session.
+    */
+  def sessionized(events: DataFrame, gap: java.time.Duration): Dataset[Session] = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val gapMs = gap.toMillis
+    events
+      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      // keep the watermarked timestamp COLUMN itself through the typed
+      // boundary — casting it away would strip the event-time watermark
+      // the timeout needs
+      .select(col("user_id"), col("ts"))
+      .as(Encoders.product[(Long, java.sql.Timestamp)])
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: no in-order event can extend it
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.start, s.last, s.n))
+          } else {
+            val sorted = rows.map(_._2.getTime / 1000L).toSeq.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { sec =>
+              cur = cur match {
+                case Some(s) if sec * 1000L - s.last * 1000L <= gapMs =>
+                  Some(SessionState(s.start, sec, s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(user, s.start, s.last, s.n)
+                  Some(SessionState(sec, sec, 1))
+                case None => Some(SessionState(sec, sec, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last * 1000L + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }(Encoders.product[SessionState], Encoders.product[Session])
+  }
+
   /** Daily per-type stats computed BY THE STREAMING ENGINE over the events
     * table — the one `queries` entry that exercises Structured Streaming
     * inside the DuckDB-oracle correctness gate: a parquet file-source

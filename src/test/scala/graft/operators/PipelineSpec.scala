@@ -27,4 +27,25 @@ class PipelineSpec extends SparkSpec {
     val exactKept = Dedup.exact(spark, sfDir).collect().map(_.getAs[Long]("doc_id")).toSet
     assert(kept.subsetOf(exactKept))
   }
+
+  test("training set packs only sampled survivors into dense sequences") {
+    val rows = Pipeline.trainingSet(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val cleanedIds = cleaned.map(_.getAs[Long]("doc_id")).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet.subsetOf(cleanedIds),
+      "packed docs must come from the cleaned corpus")
+    assert(rows.length < cleaned.length, "the stratified draw must thin the corpus")
+    // sequences are dense over survivors: offsets chain exactly
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("seq_id") === cum / 512)
+        assert(r.getAs[Long]("seq_offset") === cum % 512)
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+    // replay-stable end to end
+    val again = Pipeline.trainingSet(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }

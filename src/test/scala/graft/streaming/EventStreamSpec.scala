@@ -163,6 +163,31 @@ class EventStreamSpec extends SparkSpec {
     assert(rows === Map(1L -> 9.99, 2L -> 5.0))
   }
 
+  test("flatMapGroupsWithState sessionizer closes sessions on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(m: Int, s: Int = 0) = java.sql.Timestamp.valueOf(f"2024-05-01 10:$m%02d:$s%02d")
+    // user 1: two bursts separated by > gap; user 2: one burst
+    input.addData((1L, ts(0)), (1L, ts(0, 30)), (2L, ts(1)))
+    input.addData((1L, ts(10)), (2L, ts(1, 20)))
+    // advance the watermark far past every session's gap so all close
+    input.addData((9L, ts(59)))
+    val sessions = EventStream.sessionized(
+      input.toDF().toDF("user_id", "ts"), java.time.Duration.ofMinutes(2))
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("sess_out").collect()
+      .map(r => (r.getAs[Long]("userId"), r.getAs[Int]("nEvents")))
+    // user 1: burst one (2 events) closed by the second burst's gap, burst
+    // two (1 event) closed by timeout; user 2: one 2-event session
+    assert(rows.count(_ == (1L, 2)) === 1, s"got ${rows.mkString(",")}")
+    assert(rows.count(_ == (1L, 1)) === 1, s"got ${rows.mkString(",")}")
+    assert(rows.count(_ == (2L, 2)) === 1, s"got ${rows.mkString(",")}")
+  }
+
   test("streamed daily stats are row-identical to the batch aggregation") {
     import org.apache.spark.sql.functions._
     val streamed = EventStream.dailyStatsStreamed(spark, sfDir)
