@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Partition-invariance pins: every deterministic operator must produce
+  * IDENTICAL rows whatever the shuffle layout — on a cluster, partition
+  * counts change with executor counts, AQE coalescing, and retries, so
+  * any partition-order dependence is a latent wrong-results bug (the
+  * class of failure behind nondeterministic tie-breaks and fold-order
+  * floats). Representative operators from each family run under three
+  * shuffle-partition settings and must match exactly.
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private def withPartitions[T](n: Int)(f: => T): T = {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  private def rowsOf(f: => org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    f.collect().map(_.toSeq.map {
+      case a: Array[_] => a.toSeq
+      case x => x
+    }.toSeq).toSeq
+
+  test("representative operators are identical under 3, 8 and 32 shuffle partitions") {
+    val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "ema" -> (() => Events.ema(spark, sfDir)),
+      "ngram_jaccard" -> (() => Dedup.ngramJaccard(spark, sfDir)),
+      "components" -> (() => Dedup.components(spark, sfDir)),
+      "pack_token_budget" -> (() => Sampling.packTokenBudget(spark, sfDir)),
+      "reservoir" -> (() => Sampling.reservoir(spark, sfDir)),
+      "tfidf" -> (() => TextOps.tfidf(spark, sfDir)),
+      "contamination" -> (() => TextOps.contamination(spark, sfDir)))
+    ops.foreach { case (name, op) =>
+      val results = Seq(3, 8, 32).map(n => withPartitions(n) { rowsOf(op()) })
+      assert(results(0) === results(1),
+        s"$name differs between 3 and 8 shuffle partitions")
+      assert(results(1) === results(2),
+        s"$name differs between 8 and 32 shuffle partitions")
+    }
+  }
+}
