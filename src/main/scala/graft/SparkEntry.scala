@@ -34,6 +34,8 @@ object SparkEntry {
     "q_repeat_customers" -> (Relational.qRepeatCustomers _),
     "q06_forecast_revenue" -> (Relational.q06ForecastRevenue _),
     "q15_top_supplier" -> (Relational.q15TopSupplier _),
+    "q16_parts_suppliers" -> (Relational.q16PartsSuppliers _),
+    "q17_small_quantity" -> (Relational.q17SmallQuantity _),
     "q07_volume_shipping" -> (Relational.q07VolumeShipping _),
     "q08_market_share" -> (Relational.q08MarketShare _),
     "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
@@ -116,6 +118,8 @@ object SparkEntry {
     "q_repeat_customers" -> Relational.qRepeatCustomersOracle,
     "q06_forecast_revenue" -> Relational.q06Oracle,
     "q15_top_supplier" -> Relational.q15Oracle,
+    "q16_parts_suppliers" -> Relational.q16Oracle,
+    "q17_small_quantity" -> Relational.q17Oracle,
     "q07_volume_shipping" -> Relational.q07Oracle,
     "q08_market_share" -> Relational.q08Oracle,
     "q14_promo_revenue" -> Relational.q14Oracle,

@@ -300,6 +300,56 @@ object Relational {
        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
        ORDER BY s_suppkey"""
 
+  /** Supplier diversity (TPC-H q16 shape): DISTINCT supplier counts per
+    * part brand and size band. count(DISTINCT) plans as a two-level
+    * aggregate — dedup on (group, suppkey) then count — so the heavy
+    * dedup stage still partial-aggregates map-side.
+    */
+  def q16PartsSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_size") <= 30)
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), (floor(col("p_size") / 10) * 10).cast("int").as("size_band"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("size_band"))
+  }
+
+  val q16Oracle: String =
+    """SELECT p_brand, CAST(floor(p_size / 10) * 10 AS INT) AS size_band,
+              count(DISTINCT l_suppkey) AS supplier_cnt, count(*) AS n_lines
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE p_size <= 30
+       GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, size_band"""
+
+  /** Small-quantity revenue (TPC-H q17 shape): lineitems whose quantity is
+    * below 20% of their part's average — a per-part aggregate joined back
+    * against the same fact scan (the correlated-subquery decorrelation
+    * Catalyst would produce, written directly). The per-part averages
+    * frame is keyed by partkey — O(|part|), a dim — so the join-back
+    * broadcasts while it fits and AQE decides beyond that.
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    l.join(avgQty, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.2)
+      .agg(
+        round(sum(col("l_extendedprice")), 2).as("total_price"),
+        count(lit(1)).as("n_lines"))
+      .select((floor(col("total_price") / 7.0 * 1e2) / 1e2).as("avg_yearly"),
+        col("n_lines"))
+  }
+
+  val q17Oracle: String =
+    """WITH a AS (SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
+                  FROM lineitem GROUP BY 1)
+       SELECT floor(round(sum(l_extendedprice), 2) / 7.0 * 1e2) / 1e2 AS avg_yearly,
+              count(*) AS n_lines
+       FROM lineitem JOIN a ON l_partkey = ap_partkey
+       WHERE l_quantity < avg_qty * 0.2"""
+
   /** Forecast-revenue change (TPC-H q6 shape): pure filter-aggregate over
     * the fact scan — every predicate (date range, discount band, quantity
     * cap) must reach `PushedFilters`; no join, no shuffle beyond the final
