@@ -188,6 +188,43 @@ class EventStreamSpec extends SparkSpec {
     assert(rows.count(_ == (2L, 2)) === 1, s"got ${rows.mkString(",")}")
   }
 
+  test("streaming sessionizer agrees with the batch gap rule on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // replay the events table through the live sessionizer with the batch
+    // operator's 30-minute gap, then compare per-user session stats
+    val events = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts")))
+    val maxTs = events.map(_._2.getTime).max
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    input.addData(events.toIndexedSeq)
+    // two sentinel batches push the watermark past every session's gap and
+    // give the timeout a batch to fire in
+    input.addData((Long.MaxValue, new java.sql.Timestamp(maxTs + 86400000L)))
+    input.addData((Long.MaxValue, new java.sql.Timestamp(maxTs + 2 * 86400000L)))
+    val q = EventStream.sessionized(
+        input.toDF().toDF("user_id", "ts"), java.time.Duration.ofMinutes(30))
+      .writeStream.format("memory").queryName("sess_eq")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sess_eq")
+      .filter(col("userId") =!= Long.MaxValue)
+      .groupBy(col("userId"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("nEvents")).as("n_events"))
+      .collect()
+      .map(r => r.getAs[Long]("userId") -> (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events")))
+      .toMap
+    val batch = graft.operators.Events.sessionize(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events")))
+      .toMap
+    assert(streamed === batch,
+      "live sessionization must reproduce the batch gap rule exactly")
+  }
+
   test("streamed daily stats are row-identical to the batch aggregation") {
     import org.apache.spark.sql.functions._
     val streamed = EventStream.dailyStatsStreamed(spark, sfDir)
