@@ -93,6 +93,7 @@ object SparkEntry {
     // Corpus sampling / training-set assembly
     "samp_stratified" -> (Sampling.stratified _),
     "samp_reservoir" -> (Sampling.reservoir _),
+    "samp_weighted" -> (Sampling.weighted _),
     "samp_topp_sources" -> (Sampling.topPSources _),
     "pack_token_budget" -> (Sampling.packTokenBudget _),
     "text_contamination" -> (TextOps.contamination _),
@@ -160,6 +161,7 @@ object SparkEntry {
     "mm_doc_embedding" -> Similarity.docEmbeddingOracle,
     "samp_stratified" -> Sampling.stratifiedOracle,
     "samp_reservoir" -> Sampling.reservoirOracle,
+    "samp_weighted" -> Sampling.weightedOracle,
     "samp_topp_sources" -> Sampling.topPSourcesOracle,
     "pack_token_budget" -> Sampling.packTokenBudgetOracle,
     "text_contamination" -> TextOps.contaminationOracle,

@@ -68,6 +68,33 @@ object Sampling {
          FROM documents)
        WHERE rank <= 20 ORDER BY lang, rank"""
 
+  /** Importance (quality-weighted) sampling: a document's keep
+    * probability is its quality score scaled by a base rate — high-quality
+    * text is oversampled, junk is thinned, the standard quality-mixing
+    * step before training. Deterministic: the hash draw (mapped into
+    * [0, 1)) is kept iff below `rate × quality`, so replays keep the same
+    * rows. One scan, one filter, no shuffle; the quality score itself is
+    * the codegen'd TextOps projection.
+    */
+  def weighted(spark: SparkSession, dir: String): DataFrame = {
+    val rate = 0.9
+    // first 8 md5 hex chars as a fraction of 16^8 — uniform in [0, 1)
+    val u = conv(draw("wsamp"), 16, 10).cast("double") / lit(4294967296.0)
+    TextOps.quality(spark, dir).select(col("doc_id"), col("quality"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .filter(u < lit(rate) * col("quality"))
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  val weightedOracle: String =
+    """WITH q AS (%s)
+       SELECT q.doc_id, d.lang, q.quality
+       FROM q JOIN documents d ON q.doc_id = d.doc_id
+       WHERE ('0x' || substring(md5('wsamp:' || CAST(q.doc_id AS VARCHAR)), 1, 8))::BIGINT
+             / 4294967296.0 < 0.9 * q.quality
+       ORDER BY q.doc_id""".format(TextOps.qualityOracle)
+
   /** Nucleus (top-p) source selection: rank sources by document count and
     * keep the smallest set covering 80% of the corpus — the "trim the
     * long tail of scrapes" step. The window is global but runs over the

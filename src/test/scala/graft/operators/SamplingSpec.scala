@@ -36,6 +36,18 @@ class SamplingSpec extends SparkSpec {
     assert(r.map(_.getLong(1)).toSet === again.map(_.getLong(1)).toSet)
   }
 
+  test("weighted sampling favors high-quality documents deterministically") {
+    val s1 = Sampling.weighted(spark, sfDir).collect()
+    val s2 = Sampling.weighted(spark, sfDir).collect()
+    assert(s1.map(_.getLong(0)).toSeq === s2.map(_.getLong(0)).toSeq, "replay-stable")
+    val keptQ = s1.map(_.getAs[Double]("quality"))
+    val allQ = TextOps.quality(spark, sfDir).collect().map(_.getAs[Double]("quality"))
+    assert(s1.length > 0 && s1.length < allQ.length)
+    // importance sampling must tilt the kept distribution upward
+    assert(keptQ.sum / keptQ.length > allQ.sum / allQ.length,
+      "kept average quality must exceed the corpus average")
+  }
+
   test("top-p sources cover at least p and drop the tail") {
     val rows = Sampling.topPSources(spark, sfDir).collect()
     val cums = rows.map(_.getAs[Double]("cum_share"))
