@@ -14,6 +14,7 @@ import graft.functions.{CosineSimilarity, SimHash64, SortedIntersectCount}
   *  - MinHash + LSH banding                       → `minhashLsh`
   *  - SimHash + hamming banding                   → `simhash`
   *  - embedding-cosine near-dup (probe vs corpus) → `embeddingCos`
+  *  - near-dup clusters (connected components)    → `components`
   *
   * Scale design: exact dedup groups by a 16-byte digest, never the payload.
   * Exact pairwise Jaccard is the correctness baseline (its shared-shingle

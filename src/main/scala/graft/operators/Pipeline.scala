@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
   * actually runs, built entirely from the operators in this package —
   *
   *   quality gate  →  exact dedup  →  near-dup removal (MinHash-LSH)
+  *   [cleanCorpus], then → stratified draw → sequence packing
+  *   [trainingSet]
   *
   * Each stage is the scalable variant: the quality gate is a codegen'd
   * projection + filter, exact dedup shuffles on a digest, and near-dup
