@@ -98,6 +98,7 @@ object SparkEntry {
     "pack_token_budget" -> (Sampling.packTokenBudget _),
     "text_contamination" -> (TextOps.contamination _),
     "text_tfidf" -> (TextOps.tfidf _),
+    "text_lm_score" -> (TextOps.lmScore _),
     // Structured Streaming inside the correctness gate (bounded replay)
     "stream_daily_stats" -> (graft.streaming.EventStream.dailyStatsStreamed _)
   )
@@ -166,6 +167,7 @@ object SparkEntry {
     "pack_token_budget" -> Sampling.packTokenBudgetOracle,
     "text_contamination" -> TextOps.contaminationOracle,
     "text_tfidf" -> TextOps.tfidfOracle,
+    "text_lm_score" -> TextOps.lmScoreOracle,
     "stream_daily_stats" -> graft.streaming.EventStream.dailyStatsStreamedOracle
     // dd_minhash_lsh / dd_simhash / sim_lsh_topk: hash families are not
     // SQL-portable — rows-only check; pinned against exact baselines in

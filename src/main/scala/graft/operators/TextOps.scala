@@ -274,6 +274,61 @@ object TextOps {
               floor(score * 1e4) / 1e4 AS score, CAST(rank AS BIGINT) AS rank
        FROM ranked WHERE rank <= 5 ORDER BY lang, rank"""
 
+  /** Unigram LM fluency scoring — the perplexity-filter step of corpus
+    * curation (score each held-out document by its cross-entropy under a
+    * language model fit on the train split; high cross-entropy = unusual
+    * text = filter candidate). The LM is add-one-smoothed unigram counts
+    * from the same deterministic hash split as [[contamination]].
+    *
+    * Determinism trick: each token's log-probability is scaled and
+    * FLOORED to an integer (micro-nats) before summation, so the per-doc
+    * sum is exact integer arithmetic — immune to float summation order
+    * across partitions AND bit-identical between engines. Joins and aggs
+    * all partition on the term or the doc id; the 1-row (total, vocab)
+    * frame is the only broadcast.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanout(Tables.documents(spark, dir))
+    val toks = d.select(col("doc_id"), explode(words(col("text"))).as("term"),
+        (substring(md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")),
+          1, 1) < "2").as("is_eval"))
+    val train = toks.filter(!col("is_eval"))
+    val counts = train.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    val evalCounts = toks.filter(col("is_eval"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("k"))
+    evalCounts
+      .join(counts, Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      // floor(ln(p) * 1e6): integer micro-nats, exact under any sum order
+      .withColumn("mnats",
+        col("k") * floor(log((coalesce(col("c"), lit(0L)) + 1) / (col("t") + col("v")))
+          * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"), sum(col("mnats")).as("mn"))
+      .select(col("doc_id"), col("n_tokens"),
+        trunc4(-col("mn") / 1e6 / col("n_tokens")).as("cross_entropy"))
+      .orderBy("doc_id")
+  }
+
+  val lmScoreOracle: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term,
+                substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) < '2' AS is_eval
+         FROM documents),
+       counts AS (SELECT term, count(*) AS c FROM toks WHERE NOT is_eval GROUP BY 1),
+       totals AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM counts),
+       ev AS (SELECT doc_id, term, count(*) AS k FROM toks WHERE is_eval GROUP BY 1, 2),
+       scored AS (
+         SELECT doc_id, k,
+                k * CAST(floor(ln((coalesce(c, 0) + 1) * 1.0 / (t + v)) * 1e6) AS BIGINT)
+                  AS mnats
+         FROM ev LEFT JOIN counts USING (term) CROSS JOIN totals)
+       SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+              floor(-CAST(sum(mnats) AS BIGINT) / 1e6 / sum(k) * 1e4) / 1e4
+                AS cross_entropy
+       FROM scored GROUP BY 1 ORDER BY 1"""
+
   /** Train/eval contamination check — the decontamination step of a
     * training-data pipeline: a deterministic hash split carves out an
     * ~12.5% eval set, and every eval document reports how many of its

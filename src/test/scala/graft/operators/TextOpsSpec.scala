@@ -32,4 +32,21 @@ class TextOpsSpec extends SparkSpec {
     val rows = TextOps.fingerprint(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum === Tables.documents(spark, sfDir).count())
   }
+
+  test("lm cross-entropy is positive, bounded, and replay-stable") {
+    val r1 = TextOps.lmScore(spark, sfDir).collect()
+    assert(r1.nonEmpty)
+    // add-one smoothing bounds every token's surprisal by ln(T + V), so
+    // cross-entropy lives in (0, ln(T+V)]
+    r1.foreach { r =>
+      val ce = r.getAs[Double]("cross_entropy")
+      assert(ce > 0.0 && ce < 25.0, s"implausible cross-entropy $ce")
+    }
+    val r2 = TextOps.lmScore(spark, sfDir).collect()
+    assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq, "replay-stable")
+    // in-vocabulary synthetic text must score far below the OOV ceiling:
+    // the corpus shares one small vocabulary, so the average doc is fluent
+    val mean = r1.map(_.getAs[Double]("cross_entropy")).sum / r1.length
+    assert(mean < 10.0, s"mean cross-entropy $mean looks like an OOV-only score")
+  }
 }
