@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, SimHash64, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, MinKLongs, SimHash64, SortedIntersectCount}
 
 /** Session extensions registering graft's native expressions for SQL use
   * and the custom-plan optimizations:
@@ -35,5 +35,14 @@ object GraftExtensions {
       (children: Seq[Expression]) => SortedIntersectCount(children.head, children(1))),
     (FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head)))
+      (children: Seq[Expression]) => SimHash64(children.head)),
+    (FunctionIdentifier("min_k_longs"),
+      new ExpressionInfo(classOf[MinKLongs].getName, "min_k_longs"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case _ => throw new IllegalArgumentException("min_k_longs: k must be a literal")
+        }
+        MinKLongs(children.head, k).toAggregateExpression()
+      }))
 }

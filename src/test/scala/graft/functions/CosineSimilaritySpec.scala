@@ -42,5 +42,8 @@ class CosineSimilaritySpec extends SparkSpec {
       "SELECT graft_simhash64(array(1L, 2L, 3L)) AS h, graft_simhash64(array(1L, 2L, 3L)) AS h2")
       .head()
     assert(sh.getAs[Long]("h") === sh.getAs[Long]("h2"))
+    val mk = spark.sql(
+      "SELECT min_k_longs(v, 2) AS m FROM VALUES (5L), (1L), (9L), (3L) AS t(v)").head()
+    assert(mk.getSeq[Long](0).toSeq === Seq(1L, 3L))
   }
 }
