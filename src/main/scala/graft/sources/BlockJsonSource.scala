@@ -44,25 +44,136 @@ object BlockJsonSource {
     StructField("height", LongType, nullable = false),
     StructField("block_json", StringType)))
 
-  /** `blocks-<lo>-<hi>.jsonl` → (lo, hi); files that don't match are kept
-    * conservatively (no pruning possible).
+  /** `blocks-<lo>-<hi>[-p<task>].jsonl` → (lo, hi); files that don't match
+    * are kept conservatively (no pruning possible). The optional task
+    * suffix is what [[BlockBatchWrite]] appends so concurrent writer tasks
+    * with overlapping ranges never collide on a name.
     */
   private[sources] def rangeOf(name: String): Option[(Long, Long)] = {
-    val m = "^blocks-([0-9]+)-([0-9]+)\\.jsonl$".r
+    val m = "^blocks-([0-9]+)-([0-9]+)(?:-p[0-9]+)?\\.jsonl$".r
     name match {
       case m(lo, hi) => Some((lo.toLong, hi.toLong))
       case _ => None
     }
   }
+
+  private[sources] def hadoopConfEntries(
+      spark: org.apache.spark.sql.SparkSession): Array[(String, String)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val entries = new java.util.ArrayList[(String, String)]()
+    conf.iterator().forEachRemaining(e => entries.add(e.getKey -> e.getValue))
+    scala.jdk.CollectionConverters.ListHasAsScala(entries).asScala.toArray
+  }
+
+  private[sources] def fsWith(
+      entries: Array[(String, String)], p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    entries.foreach { case (k, v) => c.set(k, v) }
+    p.getFileSystem(c)
+  }
 }
 
-class BlockJsonTable(path: String) extends Table with SupportsRead {
+class BlockJsonTable(path: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"blocks($path)"
   override def schema(): StructType = BlockJsonSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BlockScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(info.schema().fieldNames.toSeq == Seq("height", "block_json"),
+      s"landing writes need (height, block_json), got ${info.schema().catalogString}")
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new BlockBatchWrite(path,
+              BlockJsonSource.hadoopConfEntries(org.apache.spark.sql.SparkSession.active))
+        }
+    }
+  }
+}
+
+/** Two-phase-commit landing writer (the write half of the DSv2 table):
+  * each task streams its rows to a private file under `<dir>/.staging-*`
+  * and reports (path, minHeight, maxHeight) in its commit message; the
+  * DRIVER's `commit` renames every staged file into the landing dir as
+  * `blocks-<lo>-<hi>-p<task>.jsonl` — the reader's zone-map naming, so
+  * written files are height-prunable — and `abort` deletes the staging
+  * dir. A failed/speculative task never publishes: its file stays in
+  * staging until commit (only messages that REACHED commit are renamed)
+  * or abort wipes it.
+  */
+class BlockBatchWrite(path: String, hadoopConf: Array[(String, String)])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  private val stagingName = s".staging-${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new BlockWriterFactory(path, stagingName, hadoopConf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = BlockJsonSource.fsWith(hadoopConf, dir)
+    messages.foreach {
+      case BlockCommit(staged, lo, hi, task) if staged.nonEmpty =>
+        val target = new org.apache.hadoop.fs.Path(dir, s"blocks-$lo-$hi-p$task.jsonl")
+        require(fs.rename(new org.apache.hadoop.fs.Path(staged), target),
+          s"landing publish failed: $staged -> $target")
+      case _ => () // empty task: nothing staged
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(dir, stagingName), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = BlockJsonSource.fsWith(hadoopConf, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, stagingName), true)
+  }
+}
+
+case class BlockCommit(staged: String, lo: Long, hi: Long, task: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class BlockWriterFactory(path: String, stagingName: String, hadoopConf: Array[(String, String)])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.connector.write._
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val staged = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(path, stagingName), s"task-$partitionId-$taskId.jsonl")
+      private val fs = BlockJsonSource.fsWith(hadoopConf, staged)
+      private var out: java.io.BufferedWriter = _
+      private var lo = Long.MaxValue
+      private var hi = Long.MinValue
+
+      override def write(row: InternalRow): Unit = {
+        if (out == null)
+          out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            fs.create(staged, true), java.nio.charset.StandardCharsets.UTF_8))
+        val h = row.getLong(0)
+        lo = math.min(lo, h); hi = math.max(hi, h)
+        out.write(h.toString); out.write('\t')
+        out.write(if (row.isNullAt(1)) "" else row.getUTF8String(1).toString)
+        out.write('\n')
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (out == null) BlockCommit("", 0L, 0L, taskId)
+        else { out.close(); out = null; BlockCommit(staged.toString, lo, hi, taskId) }
+      }
+
+      override def abort(): Unit = {
+        if (out != null) out.close()
+        fs.delete(staged, false)
+      }
+
+      override def close(): Unit = if (out != null) { out.close(); out = null }
+    }
 }
 
 class BlockScanBuilder(path: String)

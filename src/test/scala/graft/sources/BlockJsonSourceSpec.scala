@@ -21,6 +21,32 @@ class BlockJsonSourceSpec extends SparkSpec {
     d
   }
 
+  test("write path round-trips and written files stay height-prunable") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-blocks-write").toString
+    val rows = (1L to 200L).map(h => (h, s"""{"h":$h}"""))
+    rows.toDF("height", "block_json")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("height"))
+      .write.format("graft.sources.BlockJsonSource").mode("append").save(d)
+    // staging must be fully published
+    assert(!new java.io.File(d).listFiles().exists(_.getName.startsWith(".staging")),
+      "no staging leftovers after commit")
+    val back = spark.read.format("graft.sources.BlockJsonSource").load(d)
+    assert(back.count() === 200)
+    assert(back.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      rows.toMap, "round trip must be lossless")
+    // range-partitioned writes produce range-named files -> the reader's
+    // zone map prunes them for a height predicate
+    val pruned = back.filter(org.apache.spark.sql.functions.col("height") > 190L)
+    assert(pruned.count() === 10)
+    assert(pruned.rdd.getNumPartitions < 4,
+      "height predicate must prune whole written files from the scan")
+    // a second append adds, never overwrites
+    Seq((201L, """{"h":201}""")).toDF("height", "block_json")
+      .write.format("graft.sources.BlockJsonSource").mode("append").save(d)
+    assert(spark.read.format("graft.sources.BlockJsonSource").load(d).count() === 201)
+  }
+
   test("corrupt landing lines are skipped, not nulled or fatal") {
     val d = java.nio.file.Files.createTempDirectory("graft-blocks-corrupt").toString
     java.nio.file.Files.write(
