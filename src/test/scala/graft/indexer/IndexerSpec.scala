@@ -296,6 +296,13 @@ class IndexerSpec extends SparkSpec {
     assert(IndexerFlow.runBatch(spark, landing, table) === 2)
     val heights = spark.read.parquet(table).select("height").collect().map(_.getLong(0)).sorted
     assert(heights.toSeq === (100L to 104L))
+    // the landing zone can also be FED by the source's own write path
+    // (e.g. an upstream Spark job republishing an RPC dump): the flow
+    // must pick the published delta up exactly like hand-written files
+    Seq((105L, block(105L))).toDF("height", "block_json")
+      .write.format("graft.sources.BlockJsonSource").mode("append").save(landing)
+    assert(IndexerFlow.runBatch(spark, landing, table) === 1)
+    assert(spark.read.parquet(table).count() === 6)
   }
 
   test("upsert operators are idempotent under replay") {
