@@ -39,8 +39,15 @@ object GraftExtensions {
     (FunctionIdentifier("min_k_longs"),
       new ExpressionInfo(classOf[MinKLongs].getName, "min_k_longs"),
       (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"min_k_longs(col, k) takes 2 arguments, got ${children.length}")
         val k = children(1) match {
-          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case e if e.foldable => e.eval() match {
+            case n: Number if n.intValue() > 0 => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"min_k_longs: k must be a positive integer literal, got $other")
+          }
           case _ => throw new IllegalArgumentException("min_k_longs: k must be a literal")
         }
         MinKLongs(children.head, k).toAggregateExpression()

@@ -48,10 +48,9 @@ object Pipeline {
     */
   def trainingSet(spark: SparkSession, dir: String): DataFrame = {
     val kept = cleanCorpus(spark, dir).select(col("doc_id"), col("lang"))
-      // stratified draw, same hash-threshold family as Sampling.stratified
-      .filter(
-        substring(md5(concat(lit("train:"), col("doc_id").cast("string")).cast("binary")), 1, 8)
-          < when(col("lang") === "en", lit("80000000")).otherwise(lit("e0000000")))
+      // stratified draw, same hash family as Sampling.stratified
+      .filter(Sampling.draw("train") <
+        when(col("lang") === "en", lit("80000000")).otherwise(lit("e0000000")))
     val toks = graft.Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))

@@ -280,6 +280,9 @@ object Relational {
       .groupBy(col("l_suppkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
         .as("total_revenue"))
+      // both the max subquery and the join side read this — materialize
+      // once, or the fact scan + aggregate run twice
+      .localCheckpoint()
     val best = revenue.agg(max(col("total_revenue")).as("max_revenue"))
     revenue.join(broadcast(best), col("total_revenue") === col("max_revenue"))
       .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))

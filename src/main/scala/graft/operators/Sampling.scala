@@ -24,7 +24,7 @@ object Sampling {
   private def trunc4(c: Column): Column = floor(c * lit(1e4)) / lit(1e4)
 
   /** First 8 md5 hex chars of `seed:doc_id` — a uniform draw in [0, 16^8). */
-  private def draw(seed: String): Column =
+  private[operators] def draw(seed: String): Column =
     substring(md5(concat(lit(seed + ":"), col("doc_id").cast("string")).cast("binary")), 1, 8)
 
   /** Stratified downsampling with per-language rates: high-resource

@@ -99,13 +99,21 @@ class BlockJsonTable(path: String) extends Table
 
 /** Two-phase-commit landing writer (the write half of the DSv2 table):
   * each task streams its rows to a private file under `<dir>/.staging-*`
-  * and reports (path, minHeight, maxHeight) in its commit message; the
-  * DRIVER's `commit` renames every staged file into the landing dir as
-  * `blocks-<lo>-<hi>-p<task>.jsonl` — the reader's zone-map naming, so
-  * written files are height-prunable — and `abort` deletes the staging
-  * dir. A failed/speculative task never publishes: its file stays in
-  * staging until commit (only messages that REACHED commit are renamed)
-  * or abort wipes it.
+  * and reports (path, minHeight, maxHeight, partition) in its commit
+  * message; the DRIVER's `commit` renames every staged file into the
+  * landing dir as `blocks-<lo>-<hi>-p<partition>.jsonl` — the reader's
+  * zone-map naming, so written files are height-prunable — and `abort`
+  * deletes the staging dir. A failed/speculative task never publishes:
+  * its file stays in staging until commit (only messages that REACHED
+  * commit are renamed) or abort wipes it.
+  *
+  * Failure contract: each file rename is atomic (HDFS/local), but the
+  * commit loop as a whole is not — a crash mid-commit can publish a
+  * prefix. Published names are DETERMINISTIC in the partition id and
+  * replace on republish, so re-running the same append converges instead
+  * of duplicating; for stronger guarantees land into a transactional
+  * format. Every rename is attempted before any failure is thrown, so
+  * one bad rename cannot strand the rest in staging.
   */
 class BlockBatchWrite(path: String, hadoopConf: Array[(String, String)])
     extends org.apache.spark.sql.connector.write.BatchWrite {
@@ -118,14 +126,18 @@ class BlockBatchWrite(path: String, hadoopConf: Array[(String, String)])
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = BlockJsonSource.fsWith(hadoopConf, dir)
-    messages.foreach {
-      case BlockCommit(staged, lo, hi, task) if staged.nonEmpty =>
-        val target = new org.apache.hadoop.fs.Path(dir, s"blocks-$lo-$hi-p$task.jsonl")
-        require(fs.rename(new org.apache.hadoop.fs.Path(staged), target),
-          s"landing publish failed: $staged -> $target")
-      case _ => () // empty task: nothing staged
+    val failures = messages.flatMap {
+      case BlockCommit(staged, lo, hi, part) if staged.nonEmpty =>
+        val target = new org.apache.hadoop.fs.Path(dir, s"blocks-$lo-$hi-p$part.jsonl")
+        if (fs.exists(target)) fs.delete(target, false) // idempotent republish
+        if (fs.rename(new org.apache.hadoop.fs.Path(staged), target)) None
+        else Some(s"$staged -> $target")
+      case _ => None // empty task: nothing staged
     }
     fs.delete(new org.apache.hadoop.fs.Path(dir, stagingName), true)
+    if (failures.nonEmpty)
+      throw new java.io.IOException(
+        s"landing publish failed for ${failures.length} file(s): ${failures.mkString(", ")}")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -135,7 +147,7 @@ class BlockBatchWrite(path: String, hadoopConf: Array[(String, String)])
   }
 }
 
-case class BlockCommit(staged: String, lo: Long, hi: Long, task: Long)
+case class BlockCommit(staged: String, lo: Long, hi: Long, partition: Int)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class BlockWriterFactory(path: String, stagingName: String, hadoopConf: Array[(String, String)])
@@ -156,15 +168,27 @@ class BlockWriterFactory(path: String, stagingName: String, hadoopConf: Array[(S
           out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
             fs.create(staged, true), java.nio.charset.StandardCharsets.UTF_8))
         val h = row.getLong(0)
+        // The landing format is line-oriented: a payload with an embedded
+        // newline would silently split into a truncated row plus corrupt
+        // lines on read-back, and NULL is unrepresentable (the reader
+        // yields ""). Fail loudly instead of corrupting the round trip —
+        // single-line JSON (the landing contract) never hits either.
+        if (row.isNullAt(1))
+          throw new IllegalArgumentException(
+            s"block_json must not be NULL (height $h): the landing format cannot round-trip it")
+        val json = row.getUTF8String(1).toString
+        if (json.indexOf('\n') >= 0 || json.indexOf('\r') >= 0)
+          throw new IllegalArgumentException(
+            s"block_json must be single-line (height $h carries an embedded newline)")
         lo = math.min(lo, h); hi = math.max(hi, h)
         out.write(h.toString); out.write('\t')
-        out.write(if (row.isNullAt(1)) "" else row.getUTF8String(1).toString)
+        out.write(json)
         out.write('\n')
       }
 
       override def commit(): WriterCommitMessage = {
-        if (out == null) BlockCommit("", 0L, 0L, taskId)
-        else { out.close(); out = null; BlockCommit(staged.toString, lo, hi, taskId) }
+        if (out == null) BlockCommit("", 0L, 0L, partitionId)
+        else { out.close(); out = null; BlockCommit(staged.toString, lo, hi, partitionId) }
       }
 
       override def abort(): Unit = {
@@ -242,18 +266,14 @@ class BlockScan(
       .map(f => BlockFilePartition(fs.makeQualified(f.getPath).toUri.toString): InputPartition)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  override def createReaderFactory(): PartitionReaderFactory =
     // Ship the driver's Hadoop configuration to the executors: a bare
     // executor-side `new Configuration()` would see only classpath
     // *-site.xml and silently drop spark.hadoop.* settings (s3a
     // credentials, endpoints) — the scan would then plan fine on the
     // driver and fail auth in every task.
-    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
-    val entries = new java.util.ArrayList[(String, String)]()
-    conf.iterator().forEachRemaining(e => entries.add(e.getKey -> e.getValue))
     new BlockReaderFactory(required,
-      scala.jdk.CollectionConverters.ListHasAsScala(entries).asScala.toArray)
-  }
+      BlockJsonSource.hadoopConfEntries(org.apache.spark.sql.SparkSession.active))
 }
 
 case class BlockFilePartition(file: String) extends InputPartition
@@ -267,11 +287,7 @@ class BlockReaderFactory(required: StructType, hadoopConf: Array[(String, String
       // re-applied, so s3a/hdfs URIs resolve with the same credentials
       // and endpoints the planning side used.
       private val fsPath = new org.apache.hadoop.fs.Path(new java.net.URI(file))
-      private val fs = {
-        val c = new org.apache.hadoop.conf.Configuration()
-        hadoopConf.foreach { case (k, v) => c.set(k, v) }
-        fsPath.getFileSystem(c)
-      }
+      private val fs = BlockJsonSource.fsWith(hadoopConf, fsPath)
       private val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(fs.open(fsPath), java.nio.charset.StandardCharsets.UTF_8))
       private var row: InternalRow = _

@@ -102,7 +102,7 @@ object EventStream {
     import org.apache.spark.sql.streaming.OutputMode
     val gapMs = gap.toMillis
     events
-      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      .withWatermark("ts", s"$gapMs milliseconds")
       // keep the watermarked timestamp COLUMN itself through the typed
       // boundary — casting it away would strip the event-time watermark
       // the timeout needs
@@ -118,13 +118,21 @@ object EventStream {
             state.remove()
             Iterator.single(Session(user, s.start, s.last, s.n))
           } else {
-            val sorted = rows.map(_._2.getTime / 1000L).toSeq.sorted
+            // flatMapGroupsWithState does NOT filter late input itself —
+            // drop rows behind the watermark explicitly. Every admitted
+            // event then satisfies sec >= watermark >= last − gap, so an
+            // out-of-order event either extends the open session
+            // (min/max update, matching the batch rule, which sorts all
+            // events before computing gaps) or starts a new one.
+            val cw = state.getCurrentWatermarkMs()
+            val sorted = rows.map(_._2.getTime)
+              .filter(_ >= cw).map(_ / 1000L).toSeq.sorted
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { sec =>
               cur = cur match {
                 case Some(s) if sec * 1000L - s.last * 1000L <= gapMs =>
-                  Some(SessionState(s.start, sec, s.n + 1))
+                  Some(SessionState(math.min(s.start, sec), math.max(s.last, sec), s.n + 1))
                 case Some(s) =>
                   closed ::= Session(user, s.start, s.last, s.n)
                   Some(SessionState(sec, sec, 1))
