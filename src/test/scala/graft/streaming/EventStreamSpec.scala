@@ -188,6 +188,33 @@ class EventStreamSpec extends SparkSpec {
     assert(rows.count(_ == (2L, 2)) === 1, s"got ${rows.mkString(",")}")
   }
 
+  test("an in-watermark out-of-order event extends the session, never shrinks it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-05-01 10:$m%02d:00")
+    // batch 1: events at 10:00 and 10:01 (watermark after batch: 10:01 - 2m)
+    input.addData((1L, ts(0)), (1L, ts(1)))
+    // batch 2: a LATE event at 10:00 (within watermark) must fold into the
+    // open session without moving its end back to 10:00 — then an event at
+    // 10:02 still belongs to the same session (gap from true last 10:01)
+    input.addData((1L, ts(0)), (1L, ts(2)))
+    // close everything
+    input.addData((9L, ts(30)))
+    input.addData((9L, ts(59)))
+    val q = EventStream.sessionized(
+        input.toDF().toDF("user_id", "ts"), java.time.Duration.ofMinutes(2))
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("sess_ooo").filter(col("userId") === 1L).collect()
+    assert(rows.length === 1, s"one session expected, got ${rows.mkString(",")}")
+    assert(rows(0).getAs[Int]("nEvents") === 4)
+    assert(rows(0).getAs[Long]("endSec") - rows(0).getAs[Long]("startSec") === 120L,
+      "session must span 10:00-10:02 despite the late arrival")
+  }
+
   test("streaming sessionizer agrees with the batch gap rule on real events") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
