@@ -26,13 +26,18 @@ object Bench {
     // Warmup: one untimed pass over every query.
     selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      Tables.releaseIntermediates(spark)
     }
     // Min of two timed runs per query: steady-state throughput, robust to
-    // one-off GC/scheduler noise.
+    // one-off GC/scheduler noise. Checkpoint blocks are released AFTER the
+    // clock stops — each query still pays its own materialization cost,
+    // but queries don't tax each other through block-manager pressure.
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      Tables.releaseIntermediates(spark)
+      dt
     }
     val results = selected.map { case (name, fn) =>
       name -> math.min(timeOnce(fn), timeOnce(fn))

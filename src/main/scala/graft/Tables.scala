@@ -50,4 +50,20 @@ object Tables {
     val scanParts = org.apache.spark.sql.GraftBridge.estimateScanPartitions(df)
     if (scanParts.exists(_ < target)) df.repartition(target) else df
   }
+
+  /** Release every persisted block the last query left behind.
+    *
+    * Operators materialize plan-reuse barriers with `localCheckpoint()`
+    * (eager, persisted at MEMORY_AND_DISK); the blocks belong to the
+    * returned plan, so the OPERATOR can't release them — the caller must,
+    * once the result is consumed. A long-lived session running many
+    * queries without this (a bench loop, a query service) accumulates
+    * dead blocks until the block manager evicts under pressure — which
+    * taxes every later query's shuffles and caches. Bench and Verify call
+    * it between queries; any embedding application should do the same.
+    */
+  def releaseIntermediates(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = false))
+  }
 }

@@ -1,7 +1,5 @@
 package graft.functions
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -18,7 +16,32 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  private val cache = TrieMap.empty[(String, Int, Int, Int, Long, Int), Array[Array[Double]]]
+  private type CacheKey = (String, Int, Int, Int, Long, Int)
+
+  /** Bounded access-order LRU: a long-lived session indexing many corpus
+    * snapshots evicts the coldest centroids instead of growing without
+    * limit (each entry is k × dim doubles — small, but unbounded × small
+    * is still a leak).
+    */
+  private val maxCacheEntries = 64
+  private val cache =
+    new java.util.LinkedHashMap[CacheKey, Array[Array[Double]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[CacheKey, Array[Array[Double]]]): Boolean =
+        size() > maxCacheEntries
+    }
+
+  private def cached(key: CacheKey)(train: => Array[Array[Double]]): Array[Array[Double]] = {
+    val hit = cache.synchronized(cache.get(key))
+    if (hit != null) hit
+    else {
+      // trained outside the lock: concurrent first-queries may duplicate
+      // work but never block each other on a multi-second training run
+      val v = train
+      cache.synchronized(cache.put(key, v))
+      v
+    }
+  }
 
   /** Trained (or cached) centroids for `corpus` (`embCol`: array<float|double>).
     * `cacheKey` identifies the corpus SNAPSHOT (e.g. its directory path):
@@ -30,18 +53,26 @@ object IvfIndex {
   def centroids(corpus: DataFrame, embCol: String, k: Int,
       cacheKey: String, sampleCap: Int = 4096, iters: Int = 10,
       seed: Long = 42L, restarts: Int = 4): Array[Array[Double]] =
-    cache.getOrElseUpdate((cacheKey, k, sampleCap, iters, seed, restarts), {
-      val n = corpus.count()
-      val fraction = math.min(1.0, sampleCap.toDouble / math.max(1L, n))
+    cached((cacheKey, k, sampleCap, iters, seed, restarts)) {
+      // Content-deterministic sample: every row draws a hash of its OWN
+      // vector (seed folded in) and the `sampleCap` smallest draws win —
+      // the min-k pattern. Unlike `sample(fraction).limit(cap)`, which
+      // picks rows per-partition (so centroids depend on file/partition
+      // layout), the selected CONTENT is a pure function of the corpus
+      // rows + seed: repartitioned, compacted or re-written corpora train
+      // identical quantizers. Plans as TakeOrderedAndProject — a
+      // per-partition bounded top-k plus a driver merge, one scan, no
+      // count() pre-pass.
       val sample = corpus
         .select(col(embCol).cast("array<double>").as("e"))
-        .sample(withReplacement = false, fraction, seed)
+        .withColumn("__draw", xxhash64(lit(seed), col("e")))
+        .orderBy(col("__draw"), col("e"))
         .limit(sampleCap)
         .collect()
         .map(_.getSeq[Double](0).toArray)
-      // Collect order depends on partitioning and Lloyd's is order-sensitive
-      // (seeding draws by index, FP sums are non-associative) — sort the
-      // sample so training is deterministic for a given corpus + seed.
+      // Min-k output order is (draw, e) — re-sort by content so Lloyd's
+      // (order-sensitive: seeding draws by index, FP sums non-associative)
+      // sees a canonical order independent of the draw hashes.
       val ordered = sample.sortWith { (a, b) =>
         var i = 0
         val n = math.min(a.length, b.length)
@@ -53,7 +84,7 @@ object IvfIndex {
       (0 until restarts)
         .map(r => lloyd(ordered, k, iters, seed + r))
         .minBy(sse(ordered, _))
-    })
+    }
 
   /** Plain Lloyd's k-means with k-means++ seeding — deterministic under a
     * fixed seed, milliseconds at the capped sample size.
@@ -156,9 +187,10 @@ object IvfIndex {
   /** Drop cached centroids for a corpus snapshot — call after in-place
     * data changes (appends/compaction) to force retraining.
     */
-  def invalidate(cacheKey: String): Unit =
-    cache.keys.filter(_._1 == cacheKey).foreach(cache.remove)
+  def invalidate(cacheKey: String): Unit = cache.synchronized {
+    cache.keySet().removeIf(_._1 == cacheKey)
+  }
 
   /** Test/reset hook. */
-  private[graft] def clearCache(): Unit = cache.clear()
+  private[graft] def clearCache(): Unit = cache.synchronized(cache.clear())
 }

@@ -72,8 +72,14 @@ object JdbcUpsertSink {
 
     val fields = schema.fieldNames.toSeq
     val nonKeys = fields.filterNot(keys.contains)
+    // All-key rows have nothing to UPDATE ("UPDATE t SET WHERE ..." is
+    // malformed SQL): upsert degenerates to insert-ignore, so skip the
+    // UPDATE leg entirely and let the duplicate-key handler absorb
+    // re-inserts of existing keys.
+    val hasUpdate = nonKeys.nonEmpty
     val updateSql =
-      s"UPDATE $table SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} " +
+      if (!hasUpdate) ""
+      else s"UPDATE $table SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} " +
         s"WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")} AND $version <= ?"
     val insertSql =
       s"INSERT INTO $table (${fields.mkString(", ")}) " +
@@ -84,18 +90,21 @@ object JdbcUpsertSink {
         val conn = DriverManager.getConnection(url)
         try {
           conn.setAutoCommit(false)
-          val up = conn.prepareStatement(updateSql)
+          val up = if (hasUpdate) conn.prepareStatement(updateSql) else null
           val ins = conn.prepareStatement(insertSql)
           try {
             rows.foreach { row =>
-              nonKeys.zipWithIndex.foreach { case (c, i) =>
-                up.setObject(i + 1, row.getAs[AnyRef](c))
+              val updated = hasUpdate && {
+                nonKeys.zipWithIndex.foreach { case (c, i) =>
+                  up.setObject(i + 1, row.getAs[AnyRef](c))
+                }
+                keys.zipWithIndex.foreach { case (c, i) =>
+                  up.setObject(nonKeys.size + i + 1, row.getAs[AnyRef](c))
+                }
+                up.setObject(nonKeys.size + keys.size + 1, row.getAs[AnyRef](version))
+                up.executeUpdate() > 0
               }
-              keys.zipWithIndex.foreach { case (c, i) =>
-                up.setObject(nonKeys.size + i + 1, row.getAs[AnyRef](c))
-              }
-              up.setObject(nonKeys.size + keys.size + 1, row.getAs[AnyRef](version))
-              if (up.executeUpdate() == 0) {
+              if (!updated) {
                 fields.zipWithIndex.foreach { case (c, i) =>
                   ins.setObject(i + 1, row.getAs[AnyRef](c))
                 }
@@ -120,7 +129,8 @@ object JdbcUpsertSink {
           } catch {
             case t: Throwable => conn.rollback(); throw t
           } finally {
-            up.close(); ins.close()
+            if (up != null) up.close()
+            ins.close()
           }
         } finally conn.close()
       }

@@ -84,6 +84,12 @@ object ParquetMergeSink {
     * `requested` (which only sizes a NEW table). A mismatched count would
     * route a key to a different bucket than its existing row — silent
     * duplicates — so layout is table state, not a per-call choice.
+    *
+    * Bucket dirs WITHOUT a marker mean the layout is unknowable (e.g. a
+    * marker lost to manual deletion): guessing `requested` could re-bucket
+    * existing keys and silently duplicate them, so fail loudly instead.
+    * The marker itself is written BEFORE any bucket dir is published
+    * (see [[merge]]), so a crash can never produce this state.
     */
   private def bucketCount(fs: FileSystem, table: Path, requested: Int): Int = {
     val marker = new Path(table, BucketsMarker)
@@ -91,6 +97,12 @@ object ParquetMergeSink {
       val in = fs.open(marker)
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toInt
       finally in.close()
+    } else if (fs.exists(table) &&
+        fs.listStatus(table).exists(_.getPath.getName.startsWith(s"$BucketCol="))) {
+      throw new IllegalStateException(
+        s"$table has $BucketCol= dirs but no $BucketsMarker marker: bucket " +
+          "count unknowable; refusing to guess (re-bucketing would silently " +
+          "duplicate keys). Restore the marker with the original count.")
     } else requested
   }
 
@@ -108,6 +120,14 @@ object ParquetMergeSink {
     recover(fs, table)
 
     val buckets = bucketCount(fs, table, nBuckets)
+    // Marker lands at TABLE CREATION, before any bucket dir exists: a crash
+    // mid-first-merge then leaves published buckets WITH their marker, so a
+    // later merge (even with a different requested nBuckets) reads the
+    // committed count instead of silently re-bucketing keys.
+    if (!fs.exists(new Path(table, BucketsMarker))) {
+      fs.mkdirs(table)
+      writeBucketMarker(fs, table, buckets)
+    }
     val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(buckets)).cast("int")
     val batchB = batch.withColumn(BucketCol, bucketOf)
       .withColumn(PrefCol, lit(1)) // incoming outranks current on version ties
@@ -155,6 +175,5 @@ object ParquetMergeSink {
       }
     }
     fs.delete(staging, true)
-    writeBucketMarker(fs, table, buckets)
   }
 }

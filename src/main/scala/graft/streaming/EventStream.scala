@@ -162,34 +162,59 @@ object EventStream {
     * exercised multi-batch in EventStreamSpec via MemoryStream.
     */
   def dailyStatsStreamed(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.types._
+    // Session-conf mutations are scoped to this call and restored in the
+    // finally: repeated invocations (bench warmup + timed runs, long-lived
+    // sessions) must not accumulate global state.
+    val conf = spark.conf
+    val prevNanos = conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    val prevTz = conf.getOption("spark.sql.session.timeZone")
     // events.ts is parquet TIMESTAMP(NANOS): declared LongType under the
     // legacy nanos conf and rebuilt at microsecond precision, exactly like
     // the batch loader (Tables.events) — schemas must be explicit for
     // streaming reads anyway.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `window(ts, '1 day')` buckets in the SESSION timezone while the
+    // oracle's strftime buckets the raw UTC timestamp — they agree only
+    // under UTC, so pin it for the computation.
+    conf.set("spark.sql.session.timeZone", "UTC")
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val name = s"graft_stream_daily_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    // the file-stream source wants a directory: scan the sf dir, admit
-    // only the events table
-    val q = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
-      .select(
-        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
-        col("event_type"), col("n_events"), col("total_value"))
-      .writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).orderBy("day", "event_type")
+    try {
+      // the file-stream source wants a directory: scan the sf dir, admit
+      // only the events table
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // Materialize the bounded result (day × type domain) into a local
+      // frame so the memory-sink table can be DROPPED before returning —
+      // otherwise every invocation leaks a UUID-named temp view holding
+      // the full result in driver memory.
+      val out = spark.table(name).orderBy("day", "event_type")
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(rows.asJava, out.schema)
+    } finally {
+      spark.catalog.dropTempView(name)
+      prevNanos.fold(conf.unset("spark.sql.legacy.parquet.nanosAsLong"))(
+        conf.set("spark.sql.legacy.parquet.nanosAsLong", _))
+      prevTz.fold(conf.unset("spark.sql.session.timeZone"))(
+        conf.set("spark.sql.session.timeZone", _))
+    }
   }
 
   val dailyStatsStreamedOracle: String =

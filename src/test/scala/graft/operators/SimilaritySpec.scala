@@ -40,6 +40,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"ivf recall $recall below floor")
   }
 
+  test("ivf centroids are invariant to corpus partition layout") {
+    import graft.functions.IvfIndex
+    val e = graft.Tables.embeddings(spark, sfDir)
+    // Same rows, three different physical layouts: the min-k content draw
+    // must select the same sample, hence train identical centroids.
+    // (Distinct cache keys so each call actually trains.)
+    IvfIndex.clearCache()
+    val base = IvfIndex.centroids(e, "embedding", 8, cacheKey = "layout-a")
+    val shuffled = IvfIndex.centroids(e.repartition(13), "embedding", 8, cacheKey = "layout-b")
+    val single = IvfIndex.centroids(e.coalesce(1), "embedding", 8, cacheKey = "layout-c")
+    def flat(c: Array[Array[Double]]): Seq[Double] = c.flatten.toSeq
+    assert(flat(base) === flat(shuffled), "repartitioned corpus trained different centroids")
+    assert(flat(base) === flat(single), "coalesced corpus trained different centroids")
+    IvfIndex.clearCache()
+  }
+
   test("embNorms produces one row per label with sane norms") {
     val rows = Similarity.embNorms(spark, sfDir).collect()
     assert(rows.length === 10)

@@ -68,4 +68,31 @@ class TopKPerKeySpec extends SparkSpec {
       .filter(col("user_id") < 5 && col("rank") <= 2)
     assert(filtered.count() === viaWindow.count())
   }
+
+  test("filters do NOT push through computed keys (commute is unsound there)") {
+    val e = Tables.events(spark, sfDir)
+    // key = user_id % 7: a predicate on user_id references the key's input
+    // attribute but cuts rows WITHIN key groups — pushing it would rank
+    // only the surviving rows and silently change the top-k result
+    val key = pmod(col("user_id"), lit(7))
+    val topk = TopKPerKey.perKey(e, Seq(key), Seq(col("value").desc, col("event_id")), 3)
+    val filtered = topk.filter(col("user_id") >= 50)
+    val topkNode = filtered.queryExecution.optimizedPlan
+      .collect { case t: TopKPerKeyPlan => t }
+    assert(topkNode.nonEmpty, "custom node survived optimization")
+    assert(topkNode.head.child.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.toString.contains("50") => f
+      }.isEmpty,
+      s"predicate must STAY ABOVE a computed-key top-k:\n${filtered.queryExecution.optimizedPlan}")
+    // row-identical to the window idiom with the filter applied after
+    val viaWindow = e.withColumn("rank",
+        row_number().over(
+          Window.partitionBy(key).orderBy(col("value").desc, col("event_id"))))
+      .filter(col("rank") <= 3 && col("user_id") >= 50)
+      .select("user_id", "event_id", "rank")
+    val got = filtered.select("user_id", "event_id", "rank")
+    assert(got.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(got).count() === 0)
+  }
 }

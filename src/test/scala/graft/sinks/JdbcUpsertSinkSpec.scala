@@ -40,6 +40,23 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     assert(tableRows(t)(1L) === ("rewrite", 20L))
   }
 
+  test("all-key rows degrade to insert-ignore (no malformed UPDATE)") {
+    val t = "upsert_allkey"
+    // every column is part of the key: there is nothing to UPDATE, so the
+    // upsert must become insert-ignore instead of preparing "UPDATE t SET "
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    JdbcUpsertSink.upsert(b1, url, t, Seq("k", "v"), "k")
+    // replay + an overlapping batch: existing keys ignored, new ones land
+    JdbcUpsertSink.upsert(Seq((1L, "a"), (3L, "c")).toDF("k", "v"), url, t, Seq("k", "v"), "k")
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(s"SELECT k, v FROM $t ORDER BY k")
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      while (rs.next()) got += ((rs.getLong(1), rs.getString(2)))
+      assert(got.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally conn.close()
+  }
+
   test("streamed micro-batches sink to jdbc through foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

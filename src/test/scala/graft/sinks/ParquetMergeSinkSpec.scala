@@ -101,6 +101,26 @@ class ParquetMergeSinkSpec extends SparkSpec {
       "no duplicate key across buckets, update applied in place")
   }
 
+  test("marker lands at creation; bucket dirs without one fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink-crash").toString + "/t"
+    ParquetMergeSink.merge(
+      (1L to 20L).map(k => (k, s"v$k", 1L)).toDF("k", "v", "ver"),
+      dir, Seq("k"), "ver", nBuckets = 8)
+    val marker = new java.io.File(dir, ".graft-buckets")
+    assert(marker.isFile, "marker must exist after the creating merge")
+    assert(java.nio.file.Files.readString(marker.toPath).trim === "8")
+    // Simulate the unknowable state (marker lost while bucket dirs exist):
+    // a merge with a DIFFERENT requested count must refuse rather than
+    // re-bucket — silently splitting existing keys across buckets.
+    assert(marker.delete())
+    val ex = intercept[IllegalStateException] {
+      ParquetMergeSink.merge(
+        Seq((7L, "v7-new", 2L)).toDF("k", "v", "ver"),
+        dir, Seq("k"), "ver", nBuckets = 2)
+    }
+    assert(ex.getMessage.contains(".graft-buckets"))
+  }
+
   test("incoming row wins a version tie (ON CONFLICT DO UPDATE)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink-tie").toString + "/t"
     val b1 = Seq((100L, "old", 100L)).toDF("height", "v", "ver")

@@ -262,4 +262,16 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq,
       "the streaming engine must compute exactly what the batch plan computes")
   }
+
+  test("dailyStatsStreamed leaves no memory-sink table or conf change behind") {
+    val tzBefore = spark.conf.getOption("spark.sql.session.timeZone")
+    val viewsBefore = spark.catalog.listTables().collect().map(_.name).toSet
+    val out = EventStream.dailyStatsStreamed(spark, sfDir)
+    assert(out.count() > 0)
+    val viewsAfter = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(viewsAfter === viewsBefore,
+      s"memory-sink table leaked: ${(viewsAfter -- viewsBefore).mkString(",")}")
+    assert(spark.conf.getOption("spark.sql.session.timeZone") === tzBefore,
+      "session timezone must be restored after the bounded replay")
+  }
 }
