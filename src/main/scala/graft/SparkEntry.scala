@@ -40,6 +40,9 @@ object SparkEntry {
     "q08_market_share" -> (Relational.q08MarketShare _),
     "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
     "q19_disjunctive" -> (Relational.q19DisjunctiveRevenue _),
+    "q09_nation_profit" -> (Relational.q09NationProfit _),
+    "q12_ship_delay" -> (Relational.q12ShipDelay _),
+    "q21_sole_late_supplier" -> (Relational.q21SoleLateSupplier _),
     // Event-pipeline semantics
     "ev_route_counts" -> (Events.routeCounts _),
     "ev_json_extract" -> (Events.jsonExtract _),
@@ -60,6 +63,9 @@ object SparkEntry {
     "ev_hll_users" -> (Events.hllUsers _),
     "ev_anomalies" -> (Events.anomalies _),
     "ev_histogram" -> (Events.histogram _),
+    "ev_gap_fill" -> (Events.gapFill _),
+    "ev_user_lifecycle" -> (Events.userLifecycle _),
+    "ev_purchase_context" -> (Events.purchaseContext _),
     // Text analysis
     "text_tokens" -> (TextOps.tokens _),
     "text_quality" -> (TextOps.quality _),
@@ -68,6 +74,7 @@ object SparkEntry {
     "doc_stats" -> (TextOps.docStats _),
     "text_len_quantiles" -> (TextOps.lengthQuantiles _),
     "text_bigrams" -> (TextOps.bigrams _),
+    "text_ttr" -> (TextOps.ttr _),
     // Dedup suite
     "dd_exact" -> (Dedup.exact _),
     "dd_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -75,12 +82,14 @@ object SparkEntry {
     "dd_simhash" -> (Dedup.simhash _),
     "dd_embedding_cos" -> (Dedup.embeddingCos _),
     "dd_components" -> (Dedup.components _),
+    "dd_exact_clusters" -> (Dedup.exactClusters _),
     // Similarity search
     "sim_topk_bruteforce" -> (Similarity.topkBruteforce _),
     "sim_lsh_topk" -> (Similarity.lshTopk _),
     "sim_ivf_topk" -> (Similarity.ivfTopk _),
     "emb_norms" -> (Similarity.embNorms _),
     "emb_centroids" -> (Similarity.embCentroids _),
+    "emb_quantize" -> (Similarity.embQuantize _),
     "ev_decimal_totals" -> (Events.decimalTotals _),
     "mm_doc_embedding" -> (Similarity.docEmbedding _),
     // Multimodal plumbing (stubbed decode, real batch shape)
@@ -95,6 +104,7 @@ object SparkEntry {
     "samp_reservoir" -> (Sampling.reservoir _),
     "samp_weighted" -> (Sampling.weighted _),
     "samp_topp_sources" -> (Sampling.topPSources _),
+    "samp_temperature" -> (Sampling.temperature _),
     "pack_token_budget" -> (Sampling.packTokenBudget _),
     "text_contamination" -> (TextOps.contamination _),
     "text_tfidf" -> (TextOps.tfidf _),
@@ -126,6 +136,9 @@ object SparkEntry {
     "q08_market_share" -> Relational.q08Oracle,
     "q14_promo_revenue" -> Relational.q14Oracle,
     "q19_disjunctive" -> Relational.q19Oracle,
+    "q09_nation_profit" -> Relational.q09Oracle,
+    "q12_ship_delay" -> Relational.q12Oracle,
+    "q21_sole_late_supplier" -> Relational.q21Oracle,
     "ev_route_counts" -> Events.routeCountsOracle,
     "ev_json_extract" -> Events.jsonExtractOracle,
     "ev_latest_per_user" -> Events.latestPerUserOracle,
@@ -144,6 +157,9 @@ object SparkEntry {
     "ev_funnel" -> Events.funnelOracle,
     "ev_anomalies" -> Events.anomaliesOracle,
     "ev_histogram" -> Events.histogramOracle,
+    "ev_gap_fill" -> Events.gapFillOracle,
+    "ev_user_lifecycle" -> Events.userLifecycleOracle,
+    "ev_purchase_context" -> Events.purchaseContextOracle,
     "text_tokens" -> TextOps.tokensOracle,
     "text_quality" -> TextOps.qualityOracle,
     "text_langid" -> TextOps.langidOracle,
@@ -151,19 +167,23 @@ object SparkEntry {
     "doc_stats" -> TextOps.docStatsOracle,
     "text_len_quantiles" -> TextOps.lengthQuantilesOracle,
     "text_bigrams" -> TextOps.bigramsOracle,
+    "text_ttr" -> TextOps.ttrOracle,
     "dd_exact" -> Dedup.exactOracle,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dd_embedding_cos" -> Dedup.embeddingCosOracle,
     "dd_components" -> Dedup.componentsOracle,
+    "dd_exact_clusters" -> Dedup.exactClustersOracle,
     "sim_topk_bruteforce" -> Similarity.topkBruteforceOracle,
     "emb_norms" -> Similarity.embNormsOracle,
     "emb_centroids" -> Similarity.embCentroidsOracle,
+    "emb_quantize" -> Similarity.embQuantizeOracle,
     "ev_decimal_totals" -> Events.decimalTotalsOracle,
     "mm_doc_embedding" -> Similarity.docEmbeddingOracle,
     "samp_stratified" -> Sampling.stratifiedOracle,
     "samp_reservoir" -> Sampling.reservoirOracle,
     "samp_weighted" -> Sampling.weightedOracle,
     "samp_topp_sources" -> Sampling.topPSourcesOracle,
+    "samp_temperature" -> Sampling.temperatureOracle,
     "pack_token_budget" -> Sampling.packTokenBudgetOracle,
     "text_contamination" -> TextOps.contaminationOracle,
     "text_tfidf" -> TextOps.tfidfOracle,

@@ -305,6 +305,30 @@ object Dedup {
       "SELECT doc_a, doc_b FROM (" + ngramJaccardOracle
         .replace("ORDER BY doc_a, doc_b", "") + ")")
 
+  /** Exact-duplicate cluster report: one row per content-hash group with
+    * more than one member — the "what did dedup remove" audit view
+    * ([[exact]] keeps the representatives; this names the clusters). The
+    * aggregation runs on the 16-byte digest, so at 100 TB the shuffle
+    * carries (digest, doc_id, lang) rows, never document text.
+    */
+  def exactClusters(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), md5(col("text").cast("binary")).as("h"))
+      .groupBy(col("h"))
+      .agg(
+        min(col("doc_id")).as("rep_doc"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("lang")).as("n_langs"))
+      .filter(col("n_copies") > 1)
+      .select(col("rep_doc"), col("n_copies"), col("n_langs"))
+      .orderBy("rep_doc")
+
+  val exactClustersOracle: String =
+    """SELECT min(doc_id) AS rep_doc, count(*) AS n_copies,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       FROM documents GROUP BY md5(text)
+       HAVING count(*) > 1 ORDER BY 1"""
+
   /** 64-bit SimHash over word frequencies + 16-bit band blocking; pairs at
     * hamming distance ≤ 3 are near-duplicates. No SQL oracle (hash family
     * not portable); spec-pinned against `ngramJaccard`.

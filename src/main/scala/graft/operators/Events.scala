@@ -546,4 +546,114 @@ object Events {
        count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
        count(CASE WHEN event_type = 'view' THEN 1 END) AS view
        FROM events GROUP BY user_id ORDER BY user_id"""
+
+  /** Gap-filled daily activity: a dense (user × day) spine with zero rows
+    * for inactive days — the densification step reports and ML feature
+    * frames need (a raw groupBy silently drops absent days). The spine is
+    * generated, not scanned: the day range comes from a 1-row global
+    * aggregate, `sequence()` explodes it into the bounded day domain, and
+    * the user dim cross-joins it broadcast — O(users × days) rows, never a
+    * function of the event count. The left join back to the per-(user,
+    * day) aggregate is a broadcast join on the tiny spine side at any
+    * corpus scale.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("user_id") < 10)
+    val days = Tables.events(spark, dir)
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day_d"))
+    val users = e.select(col("user_id")).distinct()
+    val spine = users.crossJoin(broadcast(days))
+    val daily = e.groupBy(col("user_id"), to_date(col("ts")).as("day_d"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+    spine.join(daily, Seq("user_id", "day_d"), "left")
+      .select(
+        col("user_id"),
+        date_format(col("day_d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+      .orderBy("user_id", "day")
+  }
+
+  val gapFillOracle: String =
+    """WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+                  FROM events),
+       days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                  AS day_d FROM b),
+       u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+       daily AS (SELECT user_id, CAST(ts AS DATE) AS day_d,
+                   count(*) AS n, round(sum(value), 2) AS tv
+                 FROM events WHERE user_id < 10 GROUP BY 1, 2)
+       SELECT u.user_id, strftime(days.day_d, '%Y-%m-%d') AS day,
+              CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events,
+              coalesce(daily.tv, 0.0) AS total_value
+       FROM u CROSS JOIN days
+       LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day_d = days.day_d
+       ORDER BY 1, 2"""
+
+  /** Per-user lifecycle summary: first/last activity, active days, tenure
+    * and intensity — the account-level rollup the reference's per-actor
+    * tables serve (addresses first/last seen). One hash aggregation over
+    * the event scan; active days is a count-distinct on the date, which
+    * Spark plans as a two-phase partial aggregate on (user, day).
+    */
+  def userLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("user_id"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd").as("first_day"),
+        date_format(max(col("ts")), "yyyy-MM-dd").as("last_day"),
+        countDistinct(to_date(col("ts"))).as("active_days"),
+        count(lit(1)).as("n_events"),
+        (datediff(to_date(max(col("ts"))), to_date(min(col("ts")))) + 1)
+          .cast("long").as("span_days"))
+      .withColumn("events_per_active_day",
+        floor(col("n_events") / col("active_days") * 1e4) / 1e4)
+      .orderBy("user_id")
+  }
+
+  val userLifecycleOracle: String =
+    """SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d') AS first_day,
+       strftime(max(ts), '%Y-%m-%d') AS last_day,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+       count(*) AS n_events,
+       CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) + 1
+            AS BIGINT) AS span_days,
+       floor(count(*) * 1.0 / count(DISTINCT CAST(ts AS DATE)) * 1e4) / 1e4
+         AS events_per_active_day
+       FROM events GROUP BY user_id ORDER BY user_id"""
+
+  /** Interval context join: for every purchase, how many views the same
+    * user made in the preceding hour — the event-context feature an
+    * attribution or recommendation pipeline derives. The range predicate
+    * rides on a user_id equi-join (never a cross product): both sides
+    * shuffle once on user_id and the time window filters within the
+    * joined key group, whose size is bounded per user. Purchases with no
+    * preceding views survive the left join with a zero count.
+    */
+  def purchaseContext(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("ts").as("vts"))
+    purchases.join(views,
+        col("user_id") === col("v_uid") &&
+          col("vts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+          col("vts") < col("pts"),
+        "left")
+      .groupBy(col("purchase_id"))
+      .agg(count(col("vts")).as("n_views_1h"))
+      .orderBy("purchase_id")
+  }
+
+  val purchaseContextOracle: String =
+    """SELECT p.event_id AS purchase_id, count(v.ts) AS n_views_1h
+       FROM events p
+       LEFT JOIN events v
+         ON v.user_id = p.user_id AND v.event_type = 'view'
+        AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+       WHERE p.event_type = 'purchase'
+       GROUP BY 1 ORDER BY 1"""
 }

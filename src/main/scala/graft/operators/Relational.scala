@@ -601,4 +601,124 @@ object Relational {
        round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_lines
        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
        ORDER BY 1, 2"""
+
+  /** Product-type profit (TPC-H q9 shape, adapted: the testdata has no
+    * partsupp, so supply cost is proxied as 60% of the part's retail
+    * price — same structure, revenue minus cost × quantity, grouped by
+    * supplier nation and order year). The part filter prunes at the
+    * broadcast dim; the lineitem⇄orders fact-fact join shuffles on the
+    * order key; nation/supplier/part are broadcast.
+    */
+  def q09NationProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val snat = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(snat), col("s_nationkey") === col("s_nk"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          lit(0.6) * col("p_retailprice") * col("l_quantity")), 2).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q09Oracle: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(l_extendedprice * (1.0 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS profit
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       GROUP BY 1, 2 ORDER BY 1, 2 DESC"""
+
+  /** Shipping-delay priority report (TPC-H q12 shape, adapted: the
+    * testdata has no shipmode/commitdate/receiptdate, so lines are
+    * bucketed by order-to-ship delay instead of shipmode). One fact-fact
+    * join on the order key, then a conditional two-counter aggregation
+    * per delay bucket — the CASE sums run inside one hash agg, no second
+    * pass.
+    */
+  def q12ShipDelay(spark: SparkSession, dir: String): DataFrame = {
+    val highPrio = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_bucket",
+        when(datediff(col("l_shipdate"), col("o_orderdate")) > 120, "slow")
+          .when(datediff(col("l_shipdate"), col("o_orderdate")) > 60, "late")
+          .otherwise("on_time"))
+      .groupBy(col("delay_bucket"))
+      .agg(
+        sum(when(highPrio, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(highPrio, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("delay_bucket")
+  }
+
+  val q12Oracle: String =
+    """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 120 THEN 'slow'
+                   WHEN date_diff('day', o_orderdate, l_shipdate) > 60 THEN 'late'
+                   ELSE 'on_time' END AS delay_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY 1 ORDER BY 1"""
+
+  /** Suppliers who alone delayed a multi-supplier order (TPC-H q21 shape,
+    * adapted: "late" is ship > 90 days after order, the only date pair the
+    * testdata carries). The EXISTS (another supplier on the order) is a
+    * left-semi self-join and the NOT EXISTS (another LATE supplier) a
+    * left-anti self-join — both shuffle on the order key the fact join
+    * already clustered by, so the three joins share one partitioning.
+    */
+  def q21SoleLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    // one row per (order, supplier): the self-joins and the count run on
+    // the deduplicated pair set, not raw lines
+    val pairs = l.join(Tables.orders(spark, dir)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .agg(max(
+        datediff(col("l_shipdate"), col("o_orderdate")) > 90).as("late"))
+      // three plan branches (probe + semi + anti) read this — materialize
+      // the fact join + agg once instead of three times
+      .localCheckpoint()
+    val latePairs = pairs.filter(col("late"))
+    val othersExist = latePairs.as("x").join(
+      pairs.select(col("ok").as("o2"), col("sk").as("s2")).as("y"),
+      col("x.ok") === col("o2") && col("x.sk") =!= col("s2"), "left_semi")
+    val soleLate = othersExist.as("x").join(
+      latePairs.select(col("ok").as("o3"), col("sk").as("s3")).as("z"),
+      col("x.ok") === col("o3") && col("x.sk") =!= col("s3"), "left_anti")
+    soleLate
+      .join(broadcast(Tables.supplier(spark, dir)), col("sk") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  val q21Oracle: String =
+    """WITH pairs AS (
+         SELECT l_orderkey AS ok, l_suppkey AS sk,
+                max(date_diff('day', o_orderdate, l_shipdate) > 90) AS late
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F'
+         GROUP BY 1, 2)
+       SELECT s_name, count(*) AS numwait
+       FROM pairs p JOIN supplier ON p.sk = s_suppkey
+       WHERE p.late
+         AND EXISTS (SELECT 1 FROM pairs q WHERE q.ok = p.ok AND q.sk <> p.sk)
+         AND NOT EXISTS (SELECT 1 FROM pairs r
+                         WHERE r.ok = p.ok AND r.sk <> p.sk AND r.late)
+       GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10"""
 }

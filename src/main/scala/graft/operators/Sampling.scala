@@ -183,6 +183,39 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Temperature-balanced multilingual sampling (α = 0.5): per-language
+    * keep rates flatten the language distribution toward p^α — the
+    * standard rebalancing for multilingual training corpora, where
+    * high-resource languages are thinned and the rarest is kept whole.
+    * rate(l) = sqrt(n_min / n_l): derived from p^(α−1) normalized so the
+    * smallest language keeps 100%. The rates frame is one row per
+    * language (a 1-row global min cross-joined in), so the whole operator
+    * is two tiny broadcast joins over a single corpus scan plus the
+    * deterministic per-doc hash draw — no shuffle of document rows.
+    */
+  def temperature(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_l")).as("n_min"))))
+      .select(col("lang"), sqrt(col("n_min") / col("n_l")).as("rate"))
+    val u = conv(draw("temp"), 16, 10).cast("double") / lit(4294967296.0)
+    d.join(broadcast(rates), "lang")
+      .filter(u < col("rate"))
+      .select(col("doc_id"), col("lang"), trunc4(col("rate")).as("keep_rate"))
+      .orderBy("doc_id")
+  }
+
+  val temperatureOracle: String =
+    """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+       r AS (SELECT lang, sqrt((SELECT min(n_l) FROM c) * 1.0 / n_l) AS rate
+             FROM c)
+       SELECT doc_id, d.lang, floor(rate * 1e4) / 1e4 AS keep_rate
+       FROM documents d JOIN r ON d.lang = r.lang
+       WHERE ('0x' || substring(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             / 4294967296.0 < rate
+       ORDER BY doc_id"""
+
   val packTokenBudgetOracle: String =
     """WITH t AS (SELECT doc_id, lang,
                     len(string_split_regex(trim(text), '\s+')) AS n_tokens

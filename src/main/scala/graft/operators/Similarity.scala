@@ -206,4 +206,53 @@ object Similarity {
          floor(avg(embedding[i]::DOUBLE) * 1e4) / 1e4 AS centroid
        FROM embeddings, generate_series(1, 64) AS t(i)
        GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Int8 scalar-quantization error audit: per vector, the symmetric
+    * scale (max |x| / 127) and the worst reconstruction error of
+    * round-to-nearest int8 quantization; per label, the count / average /
+    * max — the "can we store embeddings at 4× less" check a 100 TB vector
+    * corpus runs before committing to a compressed layout. Everything is
+    * a per-row projection (two higher-order folds, codegen'd) feeding one
+    * hash aggregation; averages sum exact integer micro-units
+    * (floor(x·1e9)) so the result is reduction-order-free and
+    * engine-exact. Rounding is floor(x + 0.5), not round(): both engines
+    * compute it identically on doubles (`round` half-up vs banker's would
+    * diverge).
+    */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanout(Tables.embeddings(spark, dir))
+    val perVec = e
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))) / lit(127.0))
+      .filter(col("scale") > 0)
+      .withColumn("err",
+        aggregate(col("v"), lit(0.0), (a, x) =>
+          greatest(a, abs(x - floor(x / col("scale") + lit(0.5)) * col("scale")))))
+    perVec.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        (floor(sum(floor(col("scale") * 1e9).cast("long")) / count(lit(1)) / 1e9 * 1e6)
+          / 1e6).as("avg_scale"),
+        (floor(max(col("err")) * 1e6) / 1e6).as("max_err"),
+        (floor(sum(floor(col("err") * 1e9).cast("long")) / count(lit(1)) / 1e9 * 1e6)
+          / 1e6).as("avg_err"))
+      .orderBy("label")
+  }
+
+  val embQuantizeOracle: String =
+    """WITH q AS (
+         SELECT label, embedding,
+           list_max([abs(x::DOUBLE) FOR x IN embedding]) / 127.0 AS scale
+         FROM embeddings),
+       e AS (
+         SELECT label, scale,
+           list_max([abs((x::DOUBLE) - floor((x::DOUBLE) / scale + 0.5) * scale)
+                     FOR x IN embedding]) AS err
+         FROM q WHERE scale > 0)
+       SELECT label, count(*) AS n_vectors,
+         floor(sum(floor(scale * 1e9)) * 1.0 / count(*) / 1e9 * 1e6) / 1e6 AS avg_scale,
+         floor(max(err) * 1e6) / 1e6 AS max_err,
+         floor(sum(floor(err * 1e9)) * 1.0 / count(*) / 1e9 * 1e6) / 1e6 AS avg_err
+       FROM e GROUP BY 1 ORDER BY 1"""
 }

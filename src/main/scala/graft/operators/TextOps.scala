@@ -384,4 +384,36 @@ object TextOps {
               floor(coalesce(h.n_contam, 0) * 1.0 / len(g.gs) * 1e4) / 1e4 AS contam_rate
        FROM g LEFT JOIN h ON g.doc_id = h.doc_id
        WHERE g.is_eval ORDER BY g.doc_id"""
+
+  /** Per-language lexical-diversity profile: token volume, vocabulary
+    * size and type-token ratio — the corpus-health metric that catches
+    * boilerplate floods (TTR collapses) before they hit training. One
+    * explode feeds one hash aggregation; the distinct-word count is a
+    * two-phase partial aggregate on (lang, word), so no reducer ever
+    * holds a language's whole vocabulary list.
+    */
+  def ttr(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanout(Tables.documents(spark, dir))
+    val w = d.select(col("lang"), explode(words(col("text"))).as("w"))
+    val tok = w.groupBy(col("lang"))
+      .agg(count(lit(1)).as("total_tokens"),
+        countDistinct(col("w")).as("distinct_words"))
+    val docs = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    docs.join(tok, "lang")
+      .select(col("lang"), col("n_docs"), col("total_tokens"), col("distinct_words"),
+        (floor(col("distinct_words") / col("total_tokens") * 1e4) / 1e4).as("ttr"))
+      .orderBy("lang")
+  }
+
+  val ttrOracle: String =
+    """WITH w AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+                  FROM documents),
+       t AS (SELECT lang, count(*) AS total_tokens,
+               count(DISTINCT w) AS distinct_words FROM w GROUP BY 1),
+       d AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1)
+       SELECT d.lang, d.n_docs, t.total_tokens,
+              CAST(t.distinct_words AS BIGINT) AS distinct_words,
+              floor(t.distinct_words * 1.0 / t.total_tokens * 1e4) / 1e4 AS ttr
+       FROM d JOIN t ON d.lang = t.lang ORDER BY 1"""
 }
