@@ -83,6 +83,7 @@ object SparkEntry {
     "dd_embedding_cos" -> (Dedup.embeddingCos _),
     "dd_components" -> (Dedup.components _),
     "dd_exact_clusters" -> (Dedup.exactClusters _),
+    "dd_embedding_blocked" -> (Dedup.embeddingCosBlocked _),
     // Similarity search
     "sim_topk_bruteforce" -> (Similarity.topkBruteforce _),
     "sim_lsh_topk" -> (Similarity.lshTopk _),

@@ -361,6 +361,39 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Corpus-scale embedding near-dup: the ALL-PAIRS semantic-dedup pass
+    * [[embeddingCos]] cannot be (its probe side must stay small enough to
+    * broadcast). Blocking comes from the IVF coarse quantizer: every
+    * vector is assigned to its `nprobe = 2` nearest cells (multi-probe, so
+    * near-dups straddling a cell boundary still land in a shared cell),
+    * and candidate pairs are generated by a cell equi-join — candidates
+    * per vector are bounded by cell occupancy, never corpus size. Each
+    * candidate is then verified with the exact native cosine, so
+    * precision is 1.0 by construction and the only approximation is
+    * recall (pairs whose two cells are all disjoint), spec-floored
+    * against the exact all-pairs baseline in DedupSpec.
+    *
+    * No SQL oracle: the k-means quantizer is not SQL-portable.
+    */
+  def embeddingCosBlocked(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanout(Tables.embeddings(spark, dir))
+    val cents = graft.functions.IvfIndex.centroids(
+      e, "embedding", 16, cacheKey = s"$dir#cosdedup")
+    val assigned = e.select(col("vec_id"), col("embedding"),
+        explode(graft.functions.NearestCells(col("embedding"), cents, 2)).as("cell"))
+      // both self-join sides read the assignment — materialize once
+      .localCheckpoint()
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        CosineSimilarity(col("a.embedding"), col("b.embedding")).as("cos"))
+      .dropDuplicates("vec_a", "vec_b")
+      .filter(col("cos") >= 0.3)
+      .select(col("vec_a"), col("vec_b"), trunc4(col("cos")).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Embedding-cosine near-dup: a probe batch (vec_id < 100) checked
     * against the whole corpus — the incremental-ingest dedup shape. The
     * probe side is broadcast; the corpus is scanned once.

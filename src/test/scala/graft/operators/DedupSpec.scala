@@ -77,4 +77,23 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Double]("cosine") >= 0.3)
     }
   }
+
+  test("blocked embedding near-dup is an exact-cosine subset with recall") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.CosineSimilarity
+    val e = graft.Tables.embeddings(spark, sfDir)
+    // exact all-pairs ground truth (only viable at spec scale)
+    val exact = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .join(e.select(col("vec_id").as("ib"), col("embedding").as("eb")),
+        col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), CosineSimilarity(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.embeddingCosBlocked(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    // precision 1.0 by construction: every reported pair is exact-verified
+    assert(blocked.subsetOf(exact), "blocked pairs must be a subset of exact pairs")
+    val recall = if (exact.isEmpty) 1.0 else (exact & blocked).size.toDouble / exact.size
+    assert(recall >= 0.5, s"blocked recall $recall below floor (exact ${exact.size})")
+  }
 }
