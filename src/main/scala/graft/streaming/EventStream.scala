@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{
+  GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig,
+  TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.indexer.{Model, Upsert}
 
@@ -147,6 +149,61 @@ object EventStream {
           }
       }(Encoders.product[SessionState], Encoders.product[Session])
   }
+
+  /** Live EMA per user for [[emaScores]]. */
+  case class EmaScore(userId: Long, ema: Double, nEvents: Long)
+
+  /** The EMA fold as a Spark 4 `StatefulProcessor` — the arbitrary-state
+    * API that supersedes `mapGroupsWithState`: typed named state
+    * (`ValueState`) living in the RocksDB state store, optional TTL, and
+    * timers. State per user is ONE (ema, count) pair no matter how long
+    * the stream runs — the same bounded-state shape as the batch
+    * `Events.ema` closed form, maintained incrementally.
+    *
+    * Events fold in `event_id` order (assigned in timestamp order by the
+    * generator — the within-batch sort makes a replayed batch fold
+    * identically; cross-batch order is the source's append order, as in
+    * the reference's pump, which processes heights as they land).
+    */
+  private class EmaProcessor(alpha: Double)
+      extends StatefulProcessor[Long, (Long, Long, Double), EmaScore] {
+    @transient private var state: ValueState[(Double, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Double, Long)](
+        "ema", Encoders.product[(Double, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Double)],
+        timerValues: TimerValues): Iterator[EmaScore] = {
+      var (ema, n) = if (state.exists()) state.get() else (0.0, 0L)
+      rows.toArray.sortBy(_._2).foreach { case (_, _, v) =>
+        ema = if (n == 0L) v else alpha * v + (1 - alpha) * ema
+        n += 1
+      }
+      state.update((ema, n))
+      Iterator.single(EmaScore(key, ema, n))
+    }
+  }
+
+  /** Per-user EMA scores maintained live — the reference's `ema_scores`
+    * latest-wins table (db.go:1334-1339) as an incrementally-updated
+    * stream. Emits the key's refreshed (ema, count) each micro-batch it
+    * appears in; the downstream sink applies latest-wins, exactly like
+    * the batch `ev_ema` + upsert pair.
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — transformWithState does not
+    * run on the default HDFS-backed store.
+    *
+    * Input columns: `user_id` long, `event_id` long, `value` double.
+    */
+  def emaScores(events: DataFrame, alpha: Double = 0.2): Dataset[EmaScore] =
+    events.select(col("user_id"), col("event_id"), col("value"))
+      .as(Encoders.product[(Long, Long, Double)])
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new EmaProcessor(alpha), TimeMode.None(),
+        OutputMode.Update())(Encoders.product[EmaScore])
 
   /** Daily per-type stats computed BY THE STREAMING ENGINE over the events
     * table — the one `queries` entry that exercises Structured Streaming

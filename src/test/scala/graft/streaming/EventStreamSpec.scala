@@ -263,6 +263,42 @@ class EventStreamSpec extends SparkSpec {
       "the streaming engine must compute exactly what the batch plan computes")
   }
 
+  test("transformWithState maintains per-user EMA across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val name = "graft_tws_ema"
+    try {
+      val input = MemoryStream[(Long, Long, Double)]
+      val ema = EventStream.emaScores(
+        input.toDF().toDF("user_id", "event_id", "value"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-tws").toString
+      val q = ema.writeStream.format("memory").queryName(name)
+        .outputMode("update").option("checkpointLocation", ckpt).start()
+      // batch 1: out-of-order within the batch (event_id 2 before 1) — the
+      // processor must fold in event_id order: 10 then 0.2*20+0.8*10 = 12
+      input.addData((1L, 2L, 20.0), (1L, 1L, 10.0), (2L, 3L, 5.0))
+      q.processAllAvailable()
+      // batch 2: state carries across batches: 0.2*30+0.8*12 = 15.6
+      input.addData((1L, 4L, 30.0))
+      q.processAllAvailable()
+      q.stop()
+      val byUser = spark.table(name).collect()
+        .map(r => (r.getAs[Long]("userId"), (r.getAs[Double]("ema"), r.getAs[Long]("nEvents"))))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._2) }
+      assert(byUser(2L) === ((5.0, 1L)))
+      val (ema1, n1) = byUser(1L)
+      assert(n1 === 3L)
+      assert(math.abs(ema1 - 15.6) < 1e-9, s"ema $ema1 != 15.6")
+    } finally {
+      spark.catalog.dropTempView(name)
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("dailyStatsStreamed leaves no memory-sink table or conf change behind") {
     val tzBefore = spark.conf.getOption("spark.sql.session.timeZone")
     val viewsBefore = spark.catalog.listTables().collect().map(_.name).toSet
