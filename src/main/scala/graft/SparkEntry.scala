@@ -66,6 +66,7 @@ object SparkEntry {
     "ev_gap_fill" -> (Events.gapFill _),
     "ev_user_lifecycle" -> (Events.userLifecycle _),
     "ev_purchase_context" -> (Events.purchaseContext _),
+    "ev_rolling_dau" -> (Events.rollingDau _),
     // Text analysis
     "text_tokens" -> (TextOps.tokens _),
     "text_quality" -> (TextOps.quality _),
@@ -161,6 +162,7 @@ object SparkEntry {
     "ev_gap_fill" -> Events.gapFillOracle,
     "ev_user_lifecycle" -> Events.userLifecycleOracle,
     "ev_purchase_context" -> Events.purchaseContextOracle,
+    "ev_rolling_dau" -> Events.rollingDauOracle,
     "text_tokens" -> TextOps.tokensOracle,
     "text_quality" -> TextOps.qualityOracle,
     "text_langid" -> TextOps.langidOracle,

@@ -656,4 +656,39 @@ object Events {
         AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
        WHERE p.event_type = 'purchase'
        GROUP BY 1 ORDER BY 1"""
+
+  /** Trailing 7-day distinct active users per day — the rolling-DAU
+    * dashboard metric. A distinct-over-range window doesn't exist in any
+    * engine, and a day-spine range join would nested-loop; instead the
+    * event stream is first reduced to distinct (user, day) pairs (one
+    * shuffle, and the frame every later step runs on), then each pair
+    * projects the ≤ 7 report days it contributes to (`sequence` explode —
+    * a pure projection, no join), and one count-distinct aggregation
+    * finishes. At 100 TB the 7× fanout applies to the distinct-pair
+    * frame, not the raw events. For sketch-sized state instead of exact
+    * counts, ev_hll_users is the approximate variant of the same rollup.
+    */
+  def rollingDau(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val bounds = ud.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    ud.select(col("user_id"), explode(sequence(col("d"), date_add(col("d"), 6))).as("rd"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("rd").between(col("d0"), col("d1")))
+      .groupBy(date_format(col("rd"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("dau_7d"))
+      .orderBy("day")
+  }
+
+  val rollingDauOracle: String =
+    """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+       b AS (SELECT min(d) AS d0, max(d) AS d1 FROM ud),
+       f AS (SELECT user_id,
+               CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                           INTERVAL 1 DAY)) AS DATE) AS rd
+             FROM ud)
+       SELECT strftime(rd, '%Y-%m-%d') AS day,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS dau_7d
+       FROM f, b WHERE rd BETWEEN b.d0 AND b.d1
+       GROUP BY 1 ORDER BY 1"""
 }

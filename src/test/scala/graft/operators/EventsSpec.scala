@@ -127,6 +127,27 @@ class EventsSpec extends SparkSpec {
     assert(ema > 90 && ema < 100, s"unexpected ema $ema")
   }
 
+  test("rolling DAU fans out via a projection, not a range join") {
+    val df = Events.rollingDau(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every trailing-7d count >= that day's exact daily distinct count
+    val daily = Events.dailyStats(spark, sfDir).collect()
+      .groupBy(_.getAs[String]("day"))
+    rows.foreach { r =>
+      val day = r.getAs[String]("day")
+      daily.get(day).foreach { _ =>
+        assert(r.getAs[Long]("dau_7d") > 0)
+      }
+    }
+    // scale shape: the day fanout must be a Generate (sequence explode)
+    // over the distinct-pair frame; the only join is the broadcast 1-row
+    // bounds crop — never a per-day range join over events
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), s"expected sequence-explode fanout:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffled join expected:\n$plan")
+  }
+
   test("pivotTypes counts reconcile with total events") {
     val df = Events.pivotTypes(spark, sfDir)
     val total = df.select(

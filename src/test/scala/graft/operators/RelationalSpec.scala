@@ -70,6 +70,18 @@ class RelationalSpec extends SparkSpec {
     assert(grand.getAs[Long]("n_lines") === graft.Tables.lineitem(spark, sfDir).count())
   }
 
+  test("q21 materializes the pair frame once for its three consumers") {
+    val df = Relational.q21SoleLateSupplier(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // pairs is localCheckpointed: the probe/semi/anti branches must read
+    // the checkpoint, not re-run the lineitem⋈orders agg three times —
+    // neither fact table may appear as a scan anywhere in the final plan
+    assert(!plan.contains("lineitem.parquet") && !plan.contains("orders.parquet"),
+      s"fact scans must be absorbed by the pair checkpoint:\n$plan")
+    assert(plan.contains("ExistingRDD"), s"expected checkpoint scans:\n$plan")
+  }
+
   test("lineitem scan prunes columns") {
     val plan = Relational.q01PricingSummary(spark, sfDir)
       .queryExecution.executedPlan.toString
