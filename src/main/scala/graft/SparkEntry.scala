@@ -112,7 +112,10 @@ object SparkEntry {
     "text_tfidf" -> (TextOps.tfidf _),
     "text_lm_score" -> (TextOps.lmScore _),
     // Structured Streaming inside the correctness gate (bounded replay)
-    "stream_daily_stats" -> (graft.streaming.EventStream.dailyStatsStreamed _)
+    "stream_daily_stats" -> (graft.streaming.EventStream.dailyStatsStreamed _),
+    // transformWithState (RocksDB store) over the events table; rows-only
+    // check — EventStreamSpec pins it against the batch ev_ema
+    "stream_ema_scores" -> (graft.streaming.EventStream.emaScoresStreamed _)
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

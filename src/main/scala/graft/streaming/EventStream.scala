@@ -205,6 +205,53 @@ object EventStream {
       .transformWithState(new EmaProcessor(alpha), TimeMode.None(),
         OutputMode.Update())(Encoders.product[EmaScore])
 
+  /** [[emaScores]] driven over the events TABLE as a bounded file-stream
+    * replay — the `queries` entry that exercises transformWithState (and
+    * the RocksDB state store it requires) end-to-end inside the driver
+    * gate. One final row per user: the last state emission, selected with
+    * `max_by` on the event count. Rows-only check (a sequential
+    * recurrence has no order-free SQL form); EventStreamSpec pins it
+    * numerically against the batch `ev_ema` closed form.
+    */
+  def emaScoresStreamed(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val conf = spark.conf
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = conf.getOption(provKey)
+    conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // only the columns the fold needs — parquet prunes the rest (this also
+    // sidesteps the TIMESTAMP(NANOS) ts column entirely)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val name = s"graft_stream_ema_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    try {
+      val q = emaScores(
+          spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir))
+        .toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = spark.table(name)
+        .groupBy(col("userId").as("user_id"))
+        .agg(
+          expr("max_by(ema, nEvents)").as("ema"),
+          max(col("nEvents")).as("n_events"))
+        .select(col("user_id"), (floor(col("ema") * 1e4) / 1e4).as("ema"), col("n_events"))
+        .orderBy("user_id")
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(rows.asJava, out.schema)
+    } finally {
+      spark.catalog.dropTempView(name)
+      prevProv.fold(conf.unset(provKey))(conf.set(provKey, _))
+    }
+  }
+
   /** Daily per-type stats computed BY THE STREAMING ENGINE over the events
     * table — the one `queries` entry that exercises Structured Streaming
     * inside the DuckDB-oracle correctness gate: a parquet file-source

@@ -299,6 +299,23 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streamed EMA scores agree with the batch closed form") {
+    val streamed = EventStream.emaScoresStreamed(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Double]("ema"), r.getAs[Long]("n_events")))).toMap
+    val batch = graft.operators.Events.ema(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Double]("ema"), r.getAs[Long]("n_events")))).toMap
+    assert(streamed.keySet === batch.keySet)
+    batch.foreach { case (u, (bEma, bN)) =>
+      val (sEma, sN) = streamed(u)
+      assert(sN === bN, s"user $u event count")
+      // sequential recurrence vs closed-form sum: same math, different FP
+      // association — equal to well beyond the 1e-4 output precision
+      assert(math.abs(sEma - bEma) <= 2e-4, s"user $u: streamed $sEma vs batch $bEma")
+    }
+  }
+
   test("dailyStatsStreamed leaves no memory-sink table or conf change behind") {
     val tzBefore = spark.conf.getOption("spark.sql.session.timeZone")
     val viewsBefore = spark.catalog.listTables().collect().map(_.name).toSet
