@@ -67,6 +67,7 @@ object SparkEntry {
     "ev_user_lifecycle" -> (Events.userLifecycle _),
     "ev_purchase_context" -> (Events.purchaseContext _),
     "ev_rolling_dau" -> (Events.rollingDau _),
+    "ev_quantiles_approx" -> (Events.valueQuantilesApprox _),
     // Text analysis
     "text_tokens" -> (TextOps.tokens _),
     "text_quality" -> (TextOps.quality _),
@@ -98,6 +99,7 @@ object SparkEntry {
     "mm_media_stats" -> (Multimodal.mediaStats _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "mm_resize" -> (Multimodal.resize _),
+    "mm_audio_energy" -> (Multimodal.audioEnergy _),
     // End-to-end curation pipeline (quality -> exact dedup -> near-dup)
     "pipe_clean_corpus" -> (Pipeline.cleanCorpus _),
     "pipe_training_set" -> (Pipeline.trainingSet _),

@@ -184,6 +184,54 @@ object IvfIndex {
     total
   }
 
+  /** Persist trained centroids as a tiny parquet table `(cell, centroid)`
+    * — the offline half of the IVF contract: a 100 TB corpus trains ONCE
+    * (a scheduled index build), and every serving session loads the
+    * cells instead of retraining. Parquet via the session's Hadoop
+    * filesystem, so the index lives next to the data on file://, hdfs://
+    * or s3a://.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Array[Array[Double]]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val rows = centroids.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c.toSeq)
+    }.toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    spark.createDataFrame(rows.asJava, schema)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load previously [[save]]d centroids, in cell order. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(path).orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** Serving entry: load the persisted index if present, else train from
+    * the corpus and persist — so the first session after an index build
+    * (or a cold cache) pays training once and every later session reads
+    * k × dim doubles.
+    */
+  def loadOrBuild(corpus: DataFrame, embCol: String, k: Int, indexPath: String,
+      sampleCap: Int = 4096, iters: Int = 10, seed: Long = 42L,
+      restarts: Int = 4): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) load(spark, indexPath)
+    else {
+      val c = centroids(corpus, embCol, k, cacheKey = indexPath,
+        sampleCap = sampleCap, iters = iters, seed = seed, restarts = restarts)
+      save(spark, indexPath, c)
+      c
+    }
+  }
+
   /** Drop cached centroids for a corpus snapshot — call after in-place
     * data changes (appends/compaction) to force retraining.
     */

@@ -657,6 +657,29 @@ object Events {
        WHERE p.event_type = 'purchase'
        GROUP BY 1 ORDER BY 1"""
 
+  /** Approximate per-type value quantiles via `approx_percentile`
+    * (Greenwald-Khanna sketch): the mergeable-summary path for quantiles
+    * at 100 TB, where the exact `percentile` (used by text_len_quantiles
+    * on a bounded domain) would buffer whole groups. The sketch is
+    * partial-aggregated map-side and merged — O(1/ε log εN) state per
+    * group, never the group's row count. No SQL oracle (sketch internals
+    * are not engine-portable); EventsSpec bounds each approximate
+    * quantile's RANK error against the exact distribution — the guarantee
+    * the sketch actually makes.
+    */
+  def valueQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (floor(approx_percentile(col("value"), lit(0.5), lit(1000)) * 1e4) / 1e4)
+          .as("p50"),
+        (floor(approx_percentile(col("value"), lit(0.95), lit(1000)) * 1e4) / 1e4)
+          .as("p95"),
+        (floor(approx_percentile(col("value"), lit(0.99), lit(1000)) * 1e4) / 1e4)
+          .as("p99"))
+      .orderBy("event_type")
+
   /** Trailing 7-day distinct active users per day — the rolling-DAU
     * dashboard metric. A distinct-over-range window doesn't exist in any
     * engine, and a day-spine range join would nested-loop; instead the

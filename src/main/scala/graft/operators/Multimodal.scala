@@ -141,6 +141,49 @@ object Multimodal {
     }(enc).toDF().orderBy("doc_id")
   }
 
+  val energySchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("window_idx", IntegerType),
+    StructField("rms", DoubleType),
+    StructField("peak", IntegerType)))
+
+  /** Windowed energy over "audio" payloads — the signal-feature batch
+    * shape (a real pipeline computes RMS/loudness per PCM window for
+    * silence trimming and segmentation). Payload bytes stand in for 8-bit
+    * PCM samples; each 64-"sample" window emits RMS and peak — the 1→N
+    * iterator-out boundary again, with the decoder init seam per
+    * partition. MultimodalSpec cross-checks every window against an
+    * independent native expression pipeline, exactly like frameSample.
+    */
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    val window = 64
+    val d = Tables.fanout(Tables.documents(spark, dir))
+    val audio = d.filter(col("doc_id") % 3 === 1) // the audio/wav slice
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val enc = RowEncoder.encoderFor(energySchema)
+    audio.mapPartitions { rows =>
+      // per-partition init seam (codec/resampler handle in real life)
+      rows.flatMap { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        val nWin = p.length / window
+        (0 until nWin).iterator.map { w =>
+          var sumSq = 0.0
+          var peak = 0
+          var i = w * window
+          val end = (w + 1) * window
+          while (i < end) {
+            val s = p(i) & 0xFF
+            sumSq += s.toDouble * s
+            if (s > peak) peak = s
+            i += 1
+          }
+          val rms = math.floor(math.sqrt(sumSq / window) * 1e4) / 1e4
+          Row(r.getAs[Long]("doc_id"), w, rms, peak)
+        }
+      }
+    }(enc).toDF().orderBy("doc_id", "window_idx")
+  }
+
   /** Per-media-type rollup of the decoded features (oracle-checkable: CRC32
     * and byte stats are engine-portable).
     */

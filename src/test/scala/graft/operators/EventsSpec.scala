@@ -127,6 +127,28 @@ class EventsSpec extends SparkSpec {
     assert(ema > 90 && ema < 100, s"unexpected ema $ema")
   }
 
+  test("approx quantile sketch stays within rank-error bounds of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = Events.valueQuantilesApprox(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        Seq(r.getAs[Double]("p50"), r.getAs[Double]("p95"), r.getAs[Double]("p99"))).toMap
+    val values = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.map(_.getDouble(1)).sorted }
+    // GK accuracy 1000 => rank error <= 1/1000; allow 2/1000 for the
+    // truncation at the output edge
+    approx.foreach { case (t, qs) =>
+      val sorted = values(t)
+      val n = sorted.length
+      qs.zip(Seq(0.5, 0.95, 0.99)).foreach { case (est, p) =>
+        val rank = sorted.count(_ <= est).toDouble / n
+        assert(math.abs(rank - p) <= 0.002 + 1.0 / n,
+          s"$t p$p: est $est has rank $rank")
+      }
+    }
+  }
+
   test("rolling DAU fans out via a projection, not a range join") {
     val df = Events.rollingDau(spark, sfDir)
     val rows = df.collect()

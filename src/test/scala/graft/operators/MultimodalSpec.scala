@@ -57,6 +57,31 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("doc_id") % 3 === 2).count())
   }
 
+  test("audio energy windows agree with a native aggregate pipeline") {
+    // independent path: explode 64-byte windows and fold RMS/peak with
+    // pure Catalyst higher-order functions over the unsigned bytes
+    val native = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text").cast("binary").as("p"))
+      .filter(length(col("p")) >= 64)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), (length(col("p")) / 64).cast("int") - 1)).as("w"),
+        col("p"))
+      .select(col("doc_id"), col("w").as("window_idx"),
+        expr("transform(split(hex(substring(p, w * 64 + 1, 64)), '(?<=\\\\G..)'), " +
+          "h -> conv(h, 16, 10))").as("hx"))
+      .filter(size(col("hx")) >= 64)
+      .select(col("doc_id"), col("window_idx"),
+        (floor(sqrt(expr(
+          "aggregate(slice(hx, 1, 64), 0.0D, (a, x) -> a + double(x) * double(x))")
+          / 64) * 1e4) / 1e4).as("rms"),
+        expr("int(array_max(transform(slice(hx, 1, 64), x -> int(x))))").as("peak"))
+    val energy = Multimodal.audioEnergy(spark, sfDir)
+    assert(energy.exceptAll(native).count() === 0)
+    assert(native.exceptAll(energy).count() === 0)
+    assert(energy.count() > 0)
+  }
+
   test("resize halves the pixel grid deterministically") {
     val t1 = Multimodal.resize(spark, sfDir).collect()
     val t2 = Multimodal.resize(spark, sfDir).collect()

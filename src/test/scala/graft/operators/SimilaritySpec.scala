@@ -56,6 +56,21 @@ class SimilaritySpec extends SparkSpec {
     IvfIndex.clearCache()
   }
 
+  test("ivf index persists and reloads identically (offline build contract)") {
+    import graft.functions.IvfIndex
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    IvfIndex.clearCache()
+    val built = IvfIndex.loadOrBuild(e, "embedding", 8, dir)
+    // a different session state (cold cache) must LOAD, not retrain: feed
+    // it a corpus that would train differently and expect the saved cells
+    IvfIndex.clearCache()
+    val reloaded = IvfIndex.loadOrBuild(e.limit(50), "embedding", 8, dir)
+    assert(built.flatten.toSeq === reloaded.flatten.toSeq,
+      "second session must serve the persisted index, not retrain")
+    IvfIndex.clearCache()
+  }
+
   test("embNorms produces one row per label with sane norms") {
     val rows = Similarity.embNorms(spark, sfDir).collect()
     assert(rows.length === 10)
