@@ -41,6 +41,7 @@ object SparkEntry {
     "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
     "q19_disjunctive" -> (Relational.q19DisjunctiveRevenue _),
     "q09_nation_profit" -> (Relational.q09NationProfit _),
+    "q11_important_nations" -> (Relational.q11ImportantNations _),
     "q12_ship_delay" -> (Relational.q12ShipDelay _),
     "q21_sole_late_supplier" -> (Relational.q21SoleLateSupplier _),
     // Event-pipeline semantics
@@ -144,6 +145,7 @@ object SparkEntry {
     "q14_promo_revenue" -> Relational.q14Oracle,
     "q19_disjunctive" -> Relational.q19Oracle,
     "q09_nation_profit" -> Relational.q09Oracle,
+    "q11_important_nations" -> Relational.q11Oracle,
     "q12_ship_delay" -> Relational.q12Oracle,
     "q21_sole_late_supplier" -> Relational.q21Oracle,
     "ev_route_counts" -> Events.routeCountsOracle,

@@ -638,6 +638,44 @@ object Relational {
        JOIN nation ON s_nationkey = n_nationkey
        GROUP BY 1, 2 ORDER BY 1, 2 DESC"""
 
+  /** Nations carrying an outsized share of shipped value (TPC-H q11
+    * shape, adapted: no partsupp, so the "inventory" is shipped revenue
+    * by supplier nation). The structural piece is the HAVING against a
+    * GLOBAL aggregate: the per-nation frame (bounded by the nation dim)
+    * cross-joins the broadcast 1-row total and filters on the fraction —
+    * the decorrelated form of q11's scalar subquery, with no second scan
+    * of the facts.
+    */
+  def q11ImportantNations(spark: SparkSession, dir: String): DataFrame = {
+    val snat = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
+    val rev = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(snat), col("s_nationkey") === col("s_nk"))
+      .groupBy(col("nation"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("value"))
+    val total = rev.agg(sum(col("value")).as("total"))
+    rev.crossJoin(broadcast(total))
+      .filter(col("value") > col("total") * 0.05)
+      .select(col("nation"), round(col("value"), 2).as("value"),
+        (floor(col("value") / col("total") * 1e4) / 1e4).as("share"))
+      .orderBy(col("value").desc, col("nation"))
+  }
+
+  val q11Oracle: String =
+    """WITH r AS (
+         SELECT n_name AS nation,
+                sum(l_extendedprice * (1.0 - l_discount)) AS value
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1),
+       t AS (SELECT sum(value) AS total FROM r)
+       SELECT nation, round(value, 2) AS value,
+              floor(value / total * 1e4) / 1e4 AS share
+       FROM r, t WHERE value > total * 0.05
+       ORDER BY value DESC, nation"""
+
   /** Shipping-delay priority report (TPC-H q12 shape, adapted: the
     * testdata has no shipmode/commitdate/receiptdate, so lines are
     * bucketed by order-to-ship delay instead of shipmode). One fact-fact
