@@ -44,6 +44,7 @@ object SparkEntry {
     "q11_important_nations" -> (Relational.q11ImportantNations _),
     "q12_ship_delay" -> (Relational.q12ShipDelay _),
     "q21_sole_late_supplier" -> (Relational.q21SoleLateSupplier _),
+    "q02_min_cost_supplier" -> (Relational.q02MinCostSupplier _),
     // Event-pipeline semantics
     "ev_route_counts" -> (Events.routeCounts _),
     "ev_json_extract" -> (Events.jsonExtract _),
@@ -69,6 +70,8 @@ object SparkEntry {
     "ev_purchase_context" -> (Events.purchaseContext _),
     "ev_rolling_dau" -> (Events.rollingDau _),
     "ev_quantiles_approx" -> (Events.valueQuantilesApprox _),
+    "ev_day_deciles" -> (Events.dayDeciles _),
+    "ev_grouping_sets" -> (Events.groupingSetsStats _),
     // Text analysis
     "text_tokens" -> (TextOps.tokens _),
     "text_quality" -> (TextOps.quality _),
@@ -148,6 +151,7 @@ object SparkEntry {
     "q11_important_nations" -> Relational.q11Oracle,
     "q12_ship_delay" -> Relational.q12Oracle,
     "q21_sole_late_supplier" -> Relational.q21Oracle,
+    "q02_min_cost_supplier" -> Relational.q02Oracle,
     "ev_route_counts" -> Events.routeCountsOracle,
     "ev_json_extract" -> Events.jsonExtractOracle,
     "ev_latest_per_user" -> Events.latestPerUserOracle,
@@ -170,6 +174,8 @@ object SparkEntry {
     "ev_user_lifecycle" -> Events.userLifecycleOracle,
     "ev_purchase_context" -> Events.purchaseContextOracle,
     "ev_rolling_dau" -> Events.rollingDauOracle,
+    "ev_day_deciles" -> Events.dayDecilesOracle,
+    "ev_grouping_sets" -> Events.groupingSetsOracle,
     "text_tokens" -> TextOps.tokensOracle,
     "text_quality" -> TextOps.qualityOracle,
     "text_langid" -> TextOps.langidOracle,

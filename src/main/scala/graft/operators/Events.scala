@@ -714,4 +714,82 @@ object Events {
               CAST(count(DISTINCT user_id) AS BIGINT) AS dau_7d
        FROM f, b WHERE rd BETWEEN b.d0 AND b.d1
        GROUP BY 1 ORDER BY 1"""
+
+  /** Days ranked into quartile buckets by total daily value (the
+    * "which days carry the volume" report). `ntile` needs a global sort,
+    * so it runs strictly AFTER the per-day aggregation — the window input
+    * is the bounded day domain (one row per calendar day, regardless of
+    * event volume), the same bounded-domain rule every other global
+    * window here follows. Totals are summed as exact integer cents so the
+    * sort order (and hence bucket boundaries) is engine-portable — a
+    * double sum's last bits are fold-order-dependent, and ntile turns a
+    * 1-ulp difference into a different bucket. Reference analog: the
+    * per-day tokenomics ranking the DB serves off daily aggregates.
+    */
+  def dayDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    daily
+      .withColumn("bucket",
+        ntile(4).over(Window.orderBy(col("cents"), col("day"))))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        (min(col("cents")) / 100.0).as("min_total"),
+        (max(col("cents")) / 100.0).as("max_total"))
+      .orderBy("bucket")
+  }
+
+  val dayDecilesOracle: String =
+    """WITH daily AS (
+         SELECT strftime(ts, '%Y-%m-%d') AS day,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events GROUP BY 1),
+       ranked AS (
+         SELECT *, ntile(4) OVER (ORDER BY cents, day) AS bucket FROM daily)
+       SELECT bucket, CAST(count(*) AS BIGINT) AS n_days,
+              min(cents) / 100.0 AS min_total,
+              max(cents) / 100.0 AS max_total
+       FROM ranked GROUP BY 1 ORDER BY 1"""
+
+  /** Explicit GROUPING SETS — the (type × day), (type), (grand total)
+    * rollup in ONE aggregation pass (Spark expands the sets below a
+    * single Aggregate; each input row is partial-aggregated map-side for
+    * every set it belongs to, so there is still exactly one shuffle).
+    * Complements q_rollup/ev_cube_stats: sets here are hand-picked, not
+    * the full lattice. `grouping(...)` flags distinguish "NULL because
+    * rolled up" from a genuine NULL, exactly as in ANSI SQL.
+    */
+  def groupingSetsStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value"))
+    ev.groupingSets(
+        Seq(Seq(col("event_type"), col("day")), Seq(col("event_type")), Seq()),
+        col("event_type"), col("day"))
+      .agg(
+        // grouping() flags are only resolvable inside the Aggregate node
+        (grouping(col("event_type")) * 2 + grouping(col("day")))
+          .cast("int").as("gid"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("gid"), col("n_events"), col("total_value"))
+      .orderBy(col("gid"), col("event_type"), col("day"))
+  }
+
+  val groupingSetsOracle: String =
+    """SELECT coalesce(event_type, 'ALL') AS event_type,
+              coalesce(day, 'ALL') AS day,
+              CAST(GROUPING(event_type) * 2 + GROUPING(day) AS INT) AS gid,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 2) AS total_value
+       FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+             FROM events)
+       GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+       ORDER BY gid, event_type, day"""
 }

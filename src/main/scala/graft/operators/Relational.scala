@@ -759,4 +759,65 @@ object Relational {
          AND NOT EXISTS (SELECT 1 FROM pairs r
                          WHERE r.ok = p.ok AND r.sk <> p.sk AND r.late)
        GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10"""
+
+  /** Cheapest supplier per part (TPC-H q2 shape, adapted: no partsupp, so
+    * a (part, supplier) supply cost is aggregated from lineitem; the dim
+    * filter is a (type, size) band as in q2). The correlated `cost =
+    * min(cost) per part` subquery is decorrelated as a per-part window min
+    * over the aggregated pair frame — the window partitions on the part
+    * key the aggregate just clustered by, so no extra shuffle. Ties keep
+    * every minimal supplier, exactly like q2.
+    *
+    * Portability: costs are summed as exact integer cents (2 dp inputs),
+    * because the min-equality filter compares sums — double sums are
+    * fold-order-dependent and would flake across engines; cents are exact.
+    * Reference analog: per-topic minimum-loss actor selection off the
+    * scores table (db.go:842-937 populates; the DB serves the argmin).
+    */
+  def q02MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "ECONOMY" && col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_brand"))
+    val cost = Tables.lineitem(spark, dir)
+      // semi-filter the facts on the tiny filtered dim before aggregating:
+      // the agg then runs on ~1/60th of the lines
+      .join(broadcast(p.select(col("p_partkey").as("pk"))),
+        col("l_partkey") === col("pk"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cost_cents"))
+    cost
+      .withColumn("min_cents",
+        min(col("cost_cents")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("cost_cents") === col("min_cents"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"),
+        col("n_name"), (col("cost_cents") / 100.0).as("supply_cost"))
+      .orderBy(col("p_partkey"), col("s_name"))
+  }
+
+  val q02Oracle: String =
+    """WITH cost AS (
+         SELECT l_partkey, l_suppkey,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cost_cents
+         FROM lineitem
+         WHERE l_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_type = 'ECONOMY' AND p_size <= 5)
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT *, min(cost_cents) OVER (PARTITION BY l_partkey) AS min_cents
+         FROM cost)
+       SELECT p_partkey, p_brand, s_name, n_name,
+              cost_cents / 100.0 AS supply_cost
+       FROM ranked
+       JOIN part ON l_partkey = p_partkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE cost_cents = min_cents
+       ORDER BY p_partkey, s_name"""
 }
