@@ -44,6 +44,7 @@ object SparkEntry {
     "q11_important_nations" -> (Relational.q11ImportantNations _),
     "q12_ship_delay" -> (Relational.q12ShipDelay _),
     "q21_sole_late_supplier" -> (Relational.q21SoleLateSupplier _),
+    "q20_dominant_suppliers" -> (Relational.q20DominantSuppliers _),
     "q02_min_cost_supplier" -> (Relational.q02MinCostSupplier _),
     // Event-pipeline semantics
     "ev_route_counts" -> (Events.routeCounts _),
@@ -72,6 +73,7 @@ object SparkEntry {
     "ev_quantiles_approx" -> (Events.valueQuantilesApprox _),
     "ev_day_deciles" -> (Events.dayDeciles _),
     "ev_grouping_sets" -> (Events.groupingSetsStats _),
+    "ev_band_join" -> (Events.bandJoin _),
     // Text analysis
     "text_tokens" -> (TextOps.tokens _),
     "text_quality" -> (TextOps.quality _),
@@ -81,6 +83,7 @@ object SparkEntry {
     "text_len_quantiles" -> (TextOps.lengthQuantiles _),
     "text_bigrams" -> (TextOps.bigrams _),
     "text_ttr" -> (TextOps.ttr _),
+    "text_chunk" -> (TextOps.chunk _),
     // Dedup suite
     "dd_exact" -> (Dedup.exact _),
     "dd_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -151,6 +154,7 @@ object SparkEntry {
     "q11_important_nations" -> Relational.q11Oracle,
     "q12_ship_delay" -> Relational.q12Oracle,
     "q21_sole_late_supplier" -> Relational.q21Oracle,
+    "q20_dominant_suppliers" -> Relational.q20Oracle,
     "q02_min_cost_supplier" -> Relational.q02Oracle,
     "ev_route_counts" -> Events.routeCountsOracle,
     "ev_json_extract" -> Events.jsonExtractOracle,
@@ -176,6 +180,7 @@ object SparkEntry {
     "ev_rolling_dau" -> Events.rollingDauOracle,
     "ev_day_deciles" -> Events.dayDecilesOracle,
     "ev_grouping_sets" -> Events.groupingSetsOracle,
+    "ev_band_join" -> Events.bandJoinOracle,
     "text_tokens" -> TextOps.tokensOracle,
     "text_quality" -> TextOps.qualityOracle,
     "text_langid" -> TextOps.langidOracle,
@@ -184,6 +189,7 @@ object SparkEntry {
     "text_len_quantiles" -> TextOps.lengthQuantilesOracle,
     "text_bigrams" -> TextOps.bigramsOracle,
     "text_ttr" -> TextOps.ttrOracle,
+    "text_chunk" -> TextOps.chunkOracle,
     "dd_exact" -> Dedup.exactOracle,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dd_embedding_cos" -> Dedup.embeddingCosOracle,

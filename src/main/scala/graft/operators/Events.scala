@@ -782,6 +782,56 @@ object Events {
       .orderBy(col("gid"), col("event_type"), col("day"))
   }
 
+  /** Events labelled by data-derived value bands via a RANGE join — the
+    * "which irregular bucket does each reading fall in" shape (rate
+    * tiers, SLA bands, per-topic score brackets). Bands here are 8
+    * equal-width slices of each type's [min, max] so the oracle can
+    * rebuild them; the JOIN itself is the general mechanism:
+    * [[Scale.rangeJoinBucketed]] turns the non-equi `value ∈ [lo, hi)`
+    * predicate into a hash equi-join on fixed-width integer buckets
+    * (nested-loop → hash; see Scale.scala for the cost model). Band
+    * boundaries stay as raw IEEE doubles computed by the identical
+    * expression tree in both engines, so the residual comparisons agree
+    * bit-for-bit.
+    */
+  def bandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val bands = ev.groupBy(col("event_type"))
+      .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(lit(1), lit(8))).as("band_id"), col("mn"), col("mx"))
+      .select(col("event_type"), col("band_id").cast("long").as("band_id"),
+        (col("mn") + (col("band_id") - 1) * ((col("mx") - col("mn")) / lit(8.0)))
+          .as("lo"),
+        when(col("band_id") === 8, col("mx") + lit(1.0))
+          .otherwise(col("mn") + col("band_id") * ((col("mx") - col("mn")) / lit(8.0)))
+          .as("hi"))
+    Scale.rangeJoinBucketed(ev, "value", bands, "lo", "hi",
+        width = 25.0, keys = Seq("event_type"))
+      .groupBy(col("event_type"), col("band_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("band_sum"))
+      .orderBy("event_type", "band_id")
+  }
+
+  val bandJoinOracle: String =
+    """WITH s AS (
+         SELECT event_type, min(value) AS mn, max(value) AS mx
+         FROM events GROUP BY 1),
+       bands AS (
+         SELECT event_type, i AS band_id,
+                mn + (i - 1) * ((mx - mn) / 8.0) AS lo,
+                CASE WHEN i = 8 THEN mx + 1.0
+                     ELSE mn + i * ((mx - mn) / 8.0) END AS hi
+         FROM s, generate_series(1, 8) AS g(i))
+       SELECT e.event_type, band_id,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(e.value), 2) AS band_sum
+       FROM events e
+       JOIN bands b ON e.event_type = b.event_type
+                   AND e.value >= b.lo AND e.value < b.hi
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val groupingSetsOracle: String =
     """SELECT coalesce(event_type, 'ALL') AS event_type,
               coalesce(day, 'ALL') AS day,

@@ -760,6 +760,68 @@ object Relational {
                          WHERE r.ok = p.ok AND r.sk <> p.sk AND r.late)
        GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10"""
 
+  /** Suppliers dominating a part's 1996 volume (TPC-H q20 shape, adapted:
+    * no partsupp, so "availability" is the supplier's shipped quantity and
+    * the correlated `0.5 * sum(l_quantity)` threshold compares against the
+    * part's total across all suppliers that year). The correlated scalar
+    * subquery is decorrelated as a window sum over the part key the
+    * aggregate just clustered by — the window reuses the aggregation's
+    * hash partitioning, so the whole qualification pipeline is ONE
+    * shuffle. The `p_name LIKE 'red%'` dim filter semi-joins the fact scan
+    * BEFORE aggregating (broadcast, ~1/8 of parts), and quantities are
+    * summed as exact integer cents so the `2·q > total` comparison is
+    * reduction-order-free on both engines.
+    * Reference analog: the dominant-actor-per-topic reports served off
+    * per-topic aggregates (db.go:842-937 score tables).
+    */
+  def q20DominantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val redParts = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("red"))
+      .select(col("p_partkey"))
+    val pairQty = Tables.lineitem(spark, dir)
+      .filter(year(col("l_shipdate")) === 1996)
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+    val qualified = pairQty
+      .withColumn("part_cents",
+        sum(col("qty_cents")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("qty_cents") * 2 > col("part_cents"))
+    qualified
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        (sum(col("qty_cents")) / 100.0).as("total_qty"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"), col("n_parts"), col("total_qty"))
+      .orderBy(col("n_parts").desc, col("s_name"))
+  }
+
+  val q20Oracle: String =
+    """WITH pair AS (
+         SELECT l_partkey, l_suppkey,
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                  AS qty_cents
+         FROM lineitem
+         WHERE year(l_shipdate) = 1996
+           AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+         GROUP BY 1, 2),
+       q AS (
+         SELECT *, sum(qty_cents) OVER (PARTITION BY l_partkey) AS part_cents
+         FROM pair)
+       SELECT s_name, n_name,
+              CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+              sum(qty_cents) / 100.0 AS total_qty
+       FROM q
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE qty_cents * 2 > part_cents
+       GROUP BY 1, 2
+       ORDER BY 3 DESC, 1"""
+
   /** Cheapest supplier per part (TPC-H q2 shape, adapted: no partsupp, so
     * a (part, supplier) supply cost is aggregated from lineitem; the dim
     * filter is a (type, size) band as in q2). The correlated `cost =

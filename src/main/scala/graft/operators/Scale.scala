@@ -55,4 +55,33 @@ object Scale {
     val replicated = small.withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Range join via integer bucketing. A naive `v >= lo AND v < hi` join
+    * has no equi-key, so Spark plans a nested-loop — O(|big| · |ranges|)
+    * comparisons even when broadcast. This rewrites it as a hash join:
+    * every range row is exploded to the fixed-width integer buckets
+    * [floor(lo/w), floor(hi/w)] it overlaps, the big side computes its
+    * single bucket, and the exact range predicate runs as a residual on
+    * the (bucket-matched) pairs only. Cost drops to O(|big| + |ranges| ·
+    * spans + |candidate pairs|). `keys` are extra equi-columns (joined
+    * alongside the bucket); `broadcastRanges = false` switches to a
+    * shuffle hash join on (keys, bucket) for range tables too big to
+    * broadcast — the 100 TB interval-join path. Pick `width` near the
+    * median range span: too small replicates ranges, too wide inflates
+    * candidate pairs.
+    */
+  def rangeJoinBucketed(
+      big: DataFrame, valueCol: String, ranges: DataFrame, loCol: String,
+      hiCol: String, width: Double, keys: Seq[String] = Nil,
+      broadcastRanges: Boolean = true): DataFrame = {
+    val exploded = ranges.withColumn("__bucket",
+      explode(sequence(
+        floor(col(loCol) / width).cast("long"),
+        floor(col(hiCol) / width).cast("long"))))
+    val rangeSide = if (broadcastRanges) broadcast(exploded) else exploded
+    big.withColumn("__bucket", floor(col(valueCol) / width).cast("long"))
+      .join(rangeSide, keys :+ "__bucket")
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bucket")
+  }
 }

@@ -416,4 +416,49 @@ object TextOps {
               CAST(t.distinct_words AS BIGINT) AS distinct_words,
               floor(t.distinct_words * 1.0 / t.total_tokens * 1e4) / 1e4 AS ttr
        FROM d JOIN t ON d.lang = t.lang ORDER BY 1"""
+
+  /** Fixed-size overlapping token chunks — the standard pre-tokenization
+    * step of an LLM training pipeline (context windows of C tokens,
+    * stride S < C so windows overlap by C−S and no boundary text is
+    * lost). One document explodes into ceil(n/S) chunks; everything is a
+    * per-row projection + explode (no shuffle until the final sort), so
+    * at 100 TB chunking is a single embarrassingly-parallel scan whose
+    * output partitioning is inherited from the input. Chunks are
+    * identified by (doc_id, chunk_id) and carried as an md5 so the
+    * oracle compares content without hauling the text through the diff.
+    */
+  def chunk(spark: SparkSession, dir: String): DataFrame = {
+    val C = 50 // chunk size (tokens)
+    val S = 40 // stride (tokens) → 10-token overlap
+    Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        floor((size(col("toks")) - 1) / lit(S.toDouble)).cast("long"))))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("toks"), (col("chunk_id") * S + 1).cast("int"), lit(C))).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(split(col("chunk"), " ")).cast("long").as("n_tokens"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val chunkOracle: String =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS toks
+         FROM documents),
+       e AS (
+         SELECT doc_id, toks,
+                unnest(generate_series(0,
+                  CAST(floor((len(toks) - 1) / 40.0) AS BIGINT))) AS chunk_id
+         FROM t),
+       c AS (
+         SELECT doc_id, chunk_id,
+                array_to_string(list_slice(toks, chunk_id * 40 + 1,
+                  least(chunk_id * 40 + 50, len(toks))), ' ') AS chunk
+         FROM e)
+       SELECT doc_id, chunk_id,
+              len(string_split(chunk, ' ')) AS n_tokens,
+              md5(chunk) AS chunk_md5
+       FROM c ORDER BY doc_id, chunk_id"""
 }
