@@ -84,6 +84,7 @@ object SparkEntry {
     "text_bigrams" -> (TextOps.bigrams _),
     "text_ttr" -> (TextOps.ttr _),
     "text_chunk" -> (TextOps.chunk _),
+    "text_repetition" -> (TextOps.repetition _),
     // Dedup suite
     "dd_exact" -> (Dedup.exact _),
     "dd_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -97,6 +98,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> (Similarity.topkBruteforce _),
     "sim_lsh_topk" -> (Similarity.lshTopk _),
     "sim_ivf_topk" -> (Similarity.ivfTopk _),
+    "sim_pq_topk" -> (Similarity.pqTopk _),
     "emb_norms" -> (Similarity.embNorms _),
     "emb_centroids" -> (Similarity.embCentroids _),
     "emb_quantize" -> (Similarity.embQuantize _),
@@ -190,6 +192,7 @@ object SparkEntry {
     "text_bigrams" -> TextOps.bigramsOracle,
     "text_ttr" -> TextOps.ttrOracle,
     "text_chunk" -> TextOps.chunkOracle,
+    "text_repetition" -> TextOps.repetitionOracle,
     "dd_exact" -> Dedup.exactOracle,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dd_embedding_cos" -> Dedup.embeddingCosOracle,

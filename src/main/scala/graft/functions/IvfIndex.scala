@@ -54,37 +54,42 @@ object IvfIndex {
       cacheKey: String, sampleCap: Int = 4096, iters: Int = 10,
       seed: Long = 42L, restarts: Int = 4): Array[Array[Double]] =
     cached((cacheKey, k, sampleCap, iters, seed, restarts)) {
-      // Content-deterministic sample: every row draws a hash of its OWN
-      // vector (seed folded in) and the `sampleCap` smallest draws win —
-      // the min-k pattern. Unlike `sample(fraction).limit(cap)`, which
-      // picks rows per-partition (so centroids depend on file/partition
-      // layout), the selected CONTENT is a pure function of the corpus
-      // rows + seed: repartitioned, compacted or re-written corpora train
-      // identical quantizers. Plans as TakeOrderedAndProject — a
-      // per-partition bounded top-k plus a driver merge, one scan, no
-      // count() pre-pass.
-      val sample = corpus
-        .select(col(embCol).cast("array<double>").as("e"))
-        .withColumn("__draw", xxhash64(lit(seed), col("e")))
-        .orderBy(col("__draw"), col("e"))
-        .limit(sampleCap)
-        .collect()
-        .map(_.getSeq[Double](0).toArray)
-      // Min-k output order is (draw, e) — re-sort by content so Lloyd's
-      // (order-sensitive: seeding draws by index, FP sums non-associative)
-      // sees a canonical order independent of the draw hashes.
-      val ordered = sample.sortWith { (a, b) =>
-        var i = 0
-        val n = math.min(a.length, b.length)
-        while (i < n && a(i) == b(i)) i += 1
-        if (i < n) a(i) < b(i) else a.length < b.length
-      }
+      val ordered = deterministicSample(corpus, embCol, sampleCap, seed)
       // Several seeded restarts, keep the lowest within-cluster SSE — the
       // standard guard against a bad k-means++ draw, still deterministic.
       (0 until restarts)
         .map(r => lloyd(ordered, k, iters, seed + r))
         .minBy(sse(ordered, _))
     }
+
+  /** Content-deterministic training sample in canonical order: every row
+    * draws a hash of its OWN vector (seed folded in) and the `cap`
+    * smallest draws win — the min-k pattern. Unlike
+    * `sample(fraction).limit(cap)`, which picks rows per-partition (so
+    * trained quantizers depend on file/partition layout), the selected
+    * CONTENT is a pure function of the corpus rows + seed: repartitioned,
+    * compacted or re-written corpora train identical quantizers. Plans as
+    * TakeOrderedAndProject — a per-partition bounded top-k plus a driver
+    * merge, one scan, no count() pre-pass. Output is re-sorted by content
+    * (Lloyd's is order-sensitive: seeding draws by index, FP sums
+    * non-associative) so it is independent of the draw hashes too.
+    */
+  private[graft] def deterministicSample(corpus: DataFrame, embCol: String,
+      cap: Int, seed: Long): Array[Array[Double]] = {
+    val sample = corpus
+      .select(col(embCol).cast("array<double>").as("e"))
+      .withColumn("__draw", xxhash64(lit(seed), col("e")))
+      .orderBy(col("__draw"), col("e"))
+      .limit(cap)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    sample.sortWith { (a, b) =>
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n && a(i) == b(i)) i += 1
+      if (i < n) a(i) < b(i) else a.length < b.length
+    }
+  }
 
   /** Plain Lloyd's k-means with k-means++ seeding — deterministic under a
     * fixed seed, milliseconds at the capped sample size.
@@ -163,7 +168,7 @@ object IvfIndex {
   }
 
   /** Total squared distance of every point to its nearest center. */
-  private def sse(points: Array[Array[Double]], centers: Array[Array[Double]]): Double = {
+  private[graft] def sse(points: Array[Array[Double]], centers: Array[Array[Double]]): Double = {
     var total = 0.0
     var i = 0
     while (i < points.length) {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{CosineSimilarity, HyperplaneBuckets, IvfIndex, NearestCells, Vec}
+import graft.functions.{CosineSimilarity, HyperplaneBuckets, IvfIndex, NearestCells, PqAdcScore, PqEncode, PqIndex, Vec}
 import graft.plans.TopKPerKey
 
 /** Similarity search over the `embeddings` table.
@@ -130,6 +130,59 @@ object Similarity {
     val scored = broadcast(q).join(cands, "cell")
       .select(col("query_id"), col("cand_id"), CosineSimilarity(col("qe"), col("ce")).as("cos"))
     TopKPerKey.perKey(scored, Seq(col("query_id")), Seq(col("cos").desc, col("cand_id")), 3)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), trunc4(col("cos")).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Product-quantized approximate top-k with exact re-rank — the
+    * compressed-serving ANN path. The corpus is encoded once to `m` = 16
+    * one-byte codes per vector (offline, like the IVF index): 16 B
+    * replaces a 256 B embedding, so at 100 TB the scored index fits where
+    * the raw vectors can't. Per query, a driver-built ADC lookup table
+    * rides a broadcast join and a candidate's approximate cosine is 16
+    * array lookups ([[graft.functions.PqAdcScore]]) — the original
+    * vectors are NOT read during scoring. The top-`shortlist` ADC
+    * candidates then join BACK to the corpus (broadcast of a few hundred
+    * ids against the scan — the "fetch by id from the vector store" step
+    * of a real serving tier) for exact cosine re-ranking, which restores
+    * most of the recall the 8-bit codes lose. Codebooks train per
+    * subspace on the same bounded content-deterministic sample as IVF,
+    * cached per corpus snapshot ([[graft.functions.PqIndex]]). No SQL
+    * oracle (approximate); recall vs `topkBruteforce` asserted in
+    * SimilaritySpec.
+    */
+  def pqTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shortlistK = 24
+    val e = Tables.fanout(Tables.embeddings(spark, dir))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val books = PqIndex.codebooks(corpus, "embedding", m = 16, k = 16,
+      cacheKey = dir + "#pq")
+    val encoded = corpus.select(col("vec_id").as("cand_id"),
+      PqEncode(col("embedding"), books).as("codes"))
+    // Bounded query set: vectors come to the driver to build the per-query
+    // LUTs (same contract as the broadcast query side of topkBruteforce).
+    val qRows = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val queries = qRows
+      .map { case (qid, v) => (qid, PqIndex.lut(v, books), v) }.toSeq
+      .toDF("query_id", "lut", "qe")
+    val shortlist = TopKPerKey.perKey(
+      broadcast(queries.select(col("query_id"), col("lut"))).join(encoded)
+        .select(col("query_id"), col("cand_id"),
+          PqAdcScore(col("codes"), col("lut")).as("adc")),
+      Seq(col("query_id")), Seq(col("adc").desc, col("cand_id")), shortlistK)
+    // exact re-rank: fetch the shortlisted vectors by id, score precisely
+    val fetched = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      .join(broadcast(shortlist.select(col("query_id"), col("cand_id"))), "cand_id")
+      .join(broadcast(queries.select(col("query_id"), col("qe"))), "query_id")
+    TopKPerKey.perKey(
+      fetched.select(col("query_id"), col("cand_id"),
+        CosineSimilarity(col("qe"), col("ce")).as("cos")),
+      Seq(col("query_id")), Seq(col("cos").desc, col("cand_id")), 3)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("cand_id"), trunc4(col("cos")).as("cosine"))
       .orderBy("query_id", "rank")

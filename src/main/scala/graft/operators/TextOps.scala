@@ -417,6 +417,54 @@ object TextOps {
               floor(t.distinct_words * 1.0 / t.total_tokens * 1e4) / 1e4 AS ttr
        FROM d JOIN t ON d.lang = t.lang ORDER BY 1"""
 
+  /** Intra-document repetition: the fraction of duplicated 2-grams and
+    * 3-grams per document — the classic "repetitious text" quality gate
+    * of large-scale corpus cleaning (boilerplate, keyword stuffing and
+    * decoding loops all show up as low distinct-ngram ratios long before
+    * a human would flag them). Pure per-row projection (build n-grams
+    * with one `transform`, count distinct with `array_distinct` — all
+    * inside codegen'd HOF eval, no explode, no shuffle until the
+    * aggregate-free sort), so at 100 TB it's one scan. Ratios are exact
+    * integer divisions truncated at the output edge.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    def grams(n: Int) = transform(
+      sequence(lit(0), size(col("ws")) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(col("ws"), i + j + 1)): _*))
+    Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), grams(2).as("g2"), grams(3).as("g3"))
+      .select(col("doc_id"),
+        size(col("g2")).cast("long").as("n_2grams"),
+        trunc4(lit(1.0) - size(array_distinct(col("g2"))) / size(col("g2")))
+          .as("dup2_ratio"),
+        size(col("g3")).cast("long").as("n_3grams"),
+        trunc4(lit(1.0) - size(array_distinct(col("g3"))) / size(col("g3")))
+          .as("dup3_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionOracle: String =
+    """WITH w AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+         FROM documents),
+       g AS (
+         SELECT doc_id,
+                [concat_ws(' ', ws[i], ws[i+1])
+                 FOR i IN generate_series(1, len(ws) - 1)] AS g2,
+                [concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                 FOR i IN generate_series(1, len(ws) - 2)] AS g3
+         FROM w WHERE len(ws) >= 3)
+       SELECT doc_id,
+              len(g2) AS n_2grams,
+              floor((1.0 - len(list_distinct(g2)) * 1.0 / len(g2)) * 1e4) / 1e4
+                AS dup2_ratio,
+              len(g3) AS n_3grams,
+              floor((1.0 - len(list_distinct(g3)) * 1.0 / len(g3)) * 1e4) / 1e4
+                AS dup3_ratio
+       FROM g ORDER BY doc_id"""
+
   /** Fixed-size overlapping token chunks — the standard pre-tokenization
     * step of an LLM training pipeline (context windows of C tokens,
     * stride S < C so windows overlap by C−S and no boundary text is

@@ -1,0 +1,82 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance operations a 100 TB parquet lake runs on a schedule:
+  * zone-map-friendly sorted writes and small-file compaction.
+  *
+  * Both exist because the read path's cheapest win is SKIPPING: parquet
+  * footers carry per-column min/max, and Spark prunes row groups (and
+  * whole files, via footer ranges) when a filter falls outside them. A
+  * table written in arrival order interleaves every key everywhere — the
+  * stats cover the full domain and prune nothing. Range-partitioned,
+  * sorted-within-partition layout gives each file a disjoint key slice,
+  * so a point or range predicate touches O(matching files) instead of
+  * O(table). The reference leans on exactly this shape via PostgreSQL
+  * b-tree indexes on every fact table (db.go:394-524 `CREATE INDEX`
+  * statements); a lake gets the same effect from physical layout.
+  *
+  * All I/O goes through the Hadoop FileSystem API (file://, hdfs://,
+  * s3a://).
+  */
+object TableMaintenance {
+
+  /** Write `df` range-partitioned and sorted by `keys` into `numFiles`
+    * files. `repartitionByRange` samples key quantiles so files get
+    * near-equal row counts even under key skew (a hash layout would need
+    * salting; a naive fixed-split layout would hotspot). After this
+    * write, every output file owns a disjoint `keys` range — the
+    * zone-map layout.
+    */
+  def writeSorted(df: DataFrame, path: String, numFiles: Int,
+      keys: Seq[String]): Unit =
+    df.repartitionByRange(numFiles, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Compact a directory of parquet files toward `targetBytes` per file.
+    *
+    * Streaming sinks and frequent small merges strew thousands of tiny
+    * files; each costs a footer round-trip (catastrophic on object
+    * stores) and a scheduler task. Compaction reads the table once and
+    * rewrites it into `ceil(totalBytes / targetBytes)` files — sorted by
+    * `sortKeys` when given, so compaction doubles as the zone-map
+    * restore. The rewrite goes to a staging dir and swaps in via the
+    * same rename discipline as [[ParquetMergeSink]] (stage → aside →
+    * commit), so a crash mid-compaction leaves either the old or the new
+    * layout, never a mix. Returns the output file count.
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long,
+      sortKeys: Seq[String] = Nil): Int = {
+    val root = new Path(path)
+    val fs: FileSystem =
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(path)
+    val shaped =
+      if (sortKeys.nonEmpty)
+        df.repartitionByRange(nOut, sortKeys.map(col): _*)
+          .sortWithinPartitions(sortKeys.map(col): _*)
+      else df.repartition(nOut)
+    val staging = new Path(root.getParent, s".compact-${root.getName}")
+    val aside = new Path(root.getParent, s".aside-${root.getName}")
+    fs.delete(staging, true)
+    shaped.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // stage → aside → commit: every rename checked, crash leaves a whole
+    // table (old if before the second rename, new after; recover() from
+    // the merge-sink family would roll an orphaned aside back)
+    if (!fs.rename(root, aside))
+      throw new java.io.IOException(s"compact: cannot set aside $root")
+    if (!fs.rename(staging, root)) {
+      fs.rename(aside, root) // restore
+      throw new java.io.IOException(s"compact: cannot commit $staging")
+    }
+    fs.delete(aside, true)
+    nOut
+  }
+}

@@ -1,0 +1,93 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class TableMaintenanceSpec extends SparkSpec {
+
+  private def tmpDir(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$name").toString + "/t"
+
+  /** (min, max) of bigint column `column` per parquet file under `dir`,
+    * straight from the footer statistics — what the scan's row-group
+    * pruning reads.
+    */
+  private def footerRanges(dir: String, column: String): Seq[(Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    fs.listStatus(new Path(dir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .toSeq
+      .map { s =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(s.getPath, conf))
+        try {
+          val blocks = reader.getFooter.getBlocks
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          blocks.forEach { b =>
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == column) {
+                val st = c.getStatistics
+                mn = math.min(mn, st.genericGetMin.asInstanceOf[Long])
+                mx = math.max(mx, st.genericGetMax.asInstanceOf[Long])
+              }
+            }
+          }
+          (mn, mx)
+        } finally reader.close()
+      }
+  }
+
+  test("writeSorted lays out disjoint key ranges (zone-map contract)") {
+    val out = tmpDir("sorted")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    TableMaintenance.writeSorted(ev, out, numFiles = 4, keys = Seq("user_id"))
+
+    val ranges = footerRanges(out, "user_id").sortBy(_._1)
+    assert(ranges.size === 4, s"expected 4 files, got ${ranges.size}")
+    // every file owns a disjoint user_id slice → a point predicate can
+    // skip all but one file on footer stats alone
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"overlapping file ranges: hi=$hi lo=$lo")
+      case _ =>
+    }
+    // and the table is byte-for-byte the same data
+    val back = spark.read.parquet(out)
+    assert(back.count() === ev.count())
+    assert(back.agg(sum("event_id")).head.getLong(0) ===
+      ev.agg(sum("event_id")).head.getLong(0))
+  }
+
+  test("compact merges a strewn table into target-size files, content intact") {
+    val out = tmpDir("compact")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    // simulate a streaming sink's debris: 32 tiny files
+    ev.repartition(32).write.parquet(out)
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = fs.listStatus(new Path(out))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(before === 32)
+
+    val n = TableMaintenance.compact(spark, out, targetBytes = 1L << 30,
+      sortKeys = Seq("user_id"))
+    assert(n === 1, s"tiny table should compact to one file, got $n")
+    val after = fs.listStatus(new Path(out))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(after.length === 1)
+    // content identical and the zone-map restored (sorted by user_id)
+    val back = spark.read.parquet(out)
+    assert(back.count() === ev.count())
+    assert(back.agg(sum("event_id")).head.getLong(0) ===
+      ev.agg(sum("event_id")).head.getLong(0))
+    assert(fs.listStatus(new Path(out).getParent)
+      .forall(s => !s.getPath.getName.startsWith(".aside-")),
+      "compact must clean up its aside dir")
+  }
+}
