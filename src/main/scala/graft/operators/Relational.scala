@@ -764,10 +764,11 @@ object Relational {
     * no partsupp, so "availability" is the supplier's shipped quantity and
     * the correlated `0.5 * sum(l_quantity)` threshold compares against the
     * part's total across all suppliers that year). The correlated scalar
-    * subquery is decorrelated as a window sum over the part key the
-    * aggregate just clustered by — the window reuses the aggregation's
-    * hash partitioning, so the whole qualification pipeline is ONE
-    * shuffle. The `p_name LIKE 'red%'` dim filter semi-joins the fact scan
+    * subquery is decorrelated as a window sum partitioned by part key —
+    * the fact shuffle carries map-side partial sums and the window's
+    * re-shuffle moves only the aggregated pair frame (one row per
+    * (part, supplier)), a tiny fraction of the fact volume.
+    * The `p_name LIKE 'red%'` dim filter semi-joins the fact scan
     * BEFORE aggregating (broadcast, ~1/8 of parts), and quantities are
     * summed as exact integer cents so the `2·q > total` comparison is
     * reduction-order-free on both engines.
@@ -826,8 +827,9 @@ object Relational {
     * a (part, supplier) supply cost is aggregated from lineitem; the dim
     * filter is a (type, size) band as in q2). The correlated `cost =
     * min(cost) per part` subquery is decorrelated as a per-part window min
-    * over the aggregated pair frame — the window partitions on the part
-    * key the aggregate just clustered by, so no extra shuffle. Ties keep
+    * over the aggregated pair frame — the window's re-shuffle moves one
+    * row per (part, supplier), a tiny fraction of the fact volume the
+    * preceding aggregation already collapsed map-side. Ties keep
     * every minimal supplier, exactly like q2.
     *
     * Portability: costs are summed as exact integer cents (2 dp inputs),
