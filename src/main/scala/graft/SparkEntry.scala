@@ -74,6 +74,7 @@ object SparkEntry {
     "ev_day_deciles" -> (Events.dayDeciles _),
     "ev_grouping_sets" -> (Events.groupingSetsStats _),
     "ev_band_join" -> (Events.bandJoin _),
+    "ev_daily_incremental" -> (IncrementalAgg.dailyStatsIncremental _),
     // Text analysis
     "text_tokens" -> (TextOps.tokens _),
     "text_quality" -> (TextOps.quality _),
@@ -183,6 +184,7 @@ object SparkEntry {
     "ev_day_deciles" -> Events.dayDecilesOracle,
     "ev_grouping_sets" -> Events.groupingSetsOracle,
     "ev_band_join" -> Events.bandJoinOracle,
+    "ev_daily_incremental" -> IncrementalAgg.dailyStatsIncrementalOracle,
     "text_tokens" -> TextOps.tokensOracle,
     "text_quality" -> TextOps.qualityOracle,
     "text_langid" -> TextOps.langidOracle,

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class IncrementalAggSpec extends SparkSpec {
+
+  private val keys = Seq("day", "event_type")
+
+  private def ev: DataFrame =
+    Tables.events(spark, sfDir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("value"), col("event_id"))
+
+  private def stateSet(df: DataFrame): Set[(String, String, Long, Long, Long, Long)] =
+    df.select(col("day"), col("event_type"), col("n_events"), col("cents"),
+        col("min_cents"), col("max_cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+
+  test("batch-folded state equals the one-shot aggregate, any split, any order") {
+    val oneShot = stateSet(IncrementalAgg.partial(ev, keys, "value"))
+    // uneven split (by id mod 4) folded forward
+    val slices = (0 until 4).map(i => ev.filter(pmod(col("event_id"), lit(4)) === i))
+    val folded = slices.tail.foldLeft(IncrementalAgg.partial(slices.head, keys, "value")) {
+      (st, b) => IncrementalAgg.merge(st, IncrementalAgg.partial(b, keys, "value"), keys)
+    }
+    assert(stateSet(folded) === oneShot)
+    // reversed batch order — monoid merge must not care
+    val foldedRev = slices.reverse.tail.foldLeft(
+      IncrementalAgg.partial(slices.reverse.head, keys, "value")) {
+      (st, b) => IncrementalAgg.merge(st, IncrementalAgg.partial(b, keys, "value"), keys)
+    }
+    assert(stateSet(foldedRev) === oneShot)
+  }
+
+  test("an empty batch is the merge identity") {
+    val st = IncrementalAgg.partial(ev, keys, "value")
+    val empty = IncrementalAgg.partial(ev.filter(lit(false)), keys, "value")
+    assert(stateSet(IncrementalAgg.merge(st, empty, keys)) === stateSet(st))
+  }
+
+  test("served view derives avg from exact carried monoids") {
+    val served = IncrementalAgg.serve(
+      IncrementalAgg.partial(ev, keys, "value"), keys).collect()
+    served.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      assert(n > 0)
+      assert(r.getAs[Double]("min_value") <= r.getAs[Double]("max_value"))
+      val avg = r.getAs[Double]("avg_value_floor")
+      assert(avg >= r.getAs[Double]("min_value") - 0.01 &&
+        avg <= r.getAs[Double]("max_value") + 0.01)
+    }
+  }
+}

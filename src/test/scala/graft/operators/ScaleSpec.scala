@@ -58,4 +58,29 @@ class ScaleSpec extends SparkSpec {
       .agg(sum(col("value") * col("weight"))).collect()(0).getDouble(0)
     assert(math.abs(plain - salted) < 1e-6)
   }
+
+  test("bucketed range join is row-identical to the naive range join and hash-planned") {
+    val e = Tables.events(spark, sfDir).select("event_id", "event_type", "value")
+    val ranges = spark.createDataFrame(Seq(
+      ("click", 0.0, 40.0, "low"), ("click", 40.0, 500.0, "high"),
+      ("view", 0.0, 25.0, "low"), ("view", 25.0, 120.5, "mid"),
+      ("view", 120.5, 500.0, "high"), ("purchase", 10.0, 300.0, "only")))
+      .toDF("event_type", "lo", "hi", "band")
+    val naive = e.join(ranges,
+        e("event_type") === ranges("event_type") &&
+          col("value") >= col("lo") && col("value") < col("hi"))
+      .select(col("event_id"), col("band"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val bucketed = Scale.rangeJoinBucketed(e, "value", ranges, "lo", "hi",
+        width = 50.0, keys = Seq("event_type"))
+      .select(col("event_id"), col("band"))
+    val got = bucketed.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === naive, "bucketed range join diverged from naive semantics")
+    // and the point of the rewrite: a hash join, not a nested loop
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"bucketed range join still plans a nested loop:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a hash-family join:\n$plan")
+  }
 }
