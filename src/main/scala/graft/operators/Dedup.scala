@@ -251,6 +251,21 @@ object Dedup {
   def components(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(spark, dir)
       .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    componentsFrom(spark, pairs)
+  }
+
+  /** Adaptive execution, the same size-based call a broadcast join makes:
+    * the pair graph is the OUTPUT of near-dup filtering — orders of
+    * magnitude smaller than the corpus — and when its edges fit in one
+    * task's memory, a driver union-find replaces O(diameter) join rounds
+    * (each a shuffle + checkpoint) with one pass. The cap bounds what the
+    * driver ever holds (edges, not documents); above it, the distributed
+    * min-label propagation handles graphs of any size. Both paths produce
+    * identical labels (spec-pinned).
+    */
+  private[graft] def componentsFrom(spark: SparkSession, pairs: DataFrame,
+      maxDriverEdges: Long = 500000L): DataFrame = {
+    if (pairs.count() <= maxDriverEdges) return componentsLocal(spark, pairs)
     // undirected: send labels both ways
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").localCheckpoint()
@@ -286,6 +301,34 @@ object Dedup {
         s"component propagation did not converge in $rounds rounds " +
           "(pair-graph diameter exceeds the cap); raise the round cap")
     labels.select(col("doc_id"), col("lab").as("component"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver union-find over a bounded edge list — semantically identical
+    * to the distributed propagation (component id = min doc_id), used
+    * only under the `components` edge cap.
+    */
+  private def componentsLocal(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // roots were merged min-wards, so find() is already the min doc_id
+    parent.keys.toSeq.sorted
+      .map(d => (d, find(d)))
+      .toDF("doc_id", "component")
       .orderBy("doc_id")
   }
 

@@ -36,6 +36,21 @@ object TableMaintenance {
       .sortWithinPartitions(keys.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Hive-style directory-partitioned layout (`path/day=2024-05-01/…`) —
+    * the canonical shape for date-keyed facts. A scan whose filter hits
+    * the partition columns prunes whole directories from the file
+    * listing (PartitionFilters in the plan) before reading a byte:
+    * the daily-ingest / last-N-days-query pattern touches O(days asked)
+    * regardless of table size, and each day's ingest is a pure directory
+    * add. Combine with [[writeSorted]] INSIDE each partition (sort the
+    * remaining keys) to stack zone-map skipping on top of directory
+    * pruning.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+
   /** Compact a directory of parquet files toward `targetBytes` per file.
     *
     * Streaming sinks and frequent small merges strew thousands of tiny

@@ -70,6 +70,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("driver union-find and distributed propagation label identically") {
+    // same pair graph through both adaptive paths of componentsFrom: the
+    // edge cap only changes the execution strategy, never the labels
+    val pairs = Dedup.ngramJaccard(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_a"),
+        org.apache.spark.sql.functions.col("doc_b")).localCheckpoint()
+    def labels(capped: Long) =
+      Dedup.componentsFrom(spark, pairs, maxDriverEdges = capped).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component"))).toSet
+    val local = labels(Long.MaxValue) // forces the driver union-find
+    val dist = labels(-1L)            // forces the join-round propagation
+    assert(local === dist, "adaptive paths disagree on component labels")
+    assert(local.nonEmpty)
+  }
+
   test("embeddingCos output is symmetric-free and above threshold") {
     val rows = Dedup.embeddingCos(spark, sfDir).collect()
     rows.foreach { r =>

@@ -64,6 +64,28 @@ class TableMaintenanceSpec extends SparkSpec {
       ev.agg(sum("event_id")).head.getLong(0))
   }
 
+  test("writePartitioned prunes directories on a partition-key predicate") {
+    val out = tmpDir("part")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    TableMaintenance.writePartitioned(ev, out, Seq("day"))
+    val days = ev.select("day").distinct().collect().map(_.getString(0)).sorted
+    assert(days.length > 1, "need multiple partitions to prove pruning")
+
+    val q = spark.read.parquet(out).filter(col("day") === days.head)
+    // the predicate must land in PartitionFilters (directory pruning),
+    // not PushedFilters (row-group skipping after listing everything)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("day"),
+      s"partition predicate did not reach PartitionFilters:\n$scan")
+    // and the pruned read returns exactly that day's rows
+    val expected = ev.filter(col("day") === days.head).count()
+    assert(q.count() === expected)
+  }
+
   test("compact merges a strewn table into target-size files, content intact") {
     val out = tmpDir("compact")
     val ev = Tables.events(spark, sfDir)
