@@ -45,6 +45,7 @@ object SparkEntry {
     "q12_ship_delay" -> (Relational.q12ShipDelay _),
     "q21_sole_late_supplier" -> (Relational.q21SoleLateSupplier _),
     "q20_dominant_suppliers" -> (Relational.q20DominantSuppliers _),
+    "q_churned_customers" -> (Relational.qChurnedCustomers _),
     "q02_min_cost_supplier" -> (Relational.q02MinCostSupplier _),
     // Event-pipeline semantics
     "ev_route_counts" -> (Events.routeCounts _),
@@ -158,6 +159,7 @@ object SparkEntry {
     "q12_ship_delay" -> Relational.q12Oracle,
     "q21_sole_late_supplier" -> Relational.q21Oracle,
     "q20_dominant_suppliers" -> Relational.q20Oracle,
+    "q_churned_customers" -> Relational.qChurnedOracle,
     "q02_min_cost_supplier" -> Relational.q02Oracle,
     "ev_route_counts" -> Events.routeCountsOracle,
     "ev_json_extract" -> Events.jsonExtractOracle,

@@ -70,6 +70,37 @@ object IncrementalAgg {
         (col("max_cents") / 100.0).as("max_value"),
         (floor(col("cents") / col("n_events")) / 100.0).as("avg_value_floor"))): _*)
 
+  /** foreachBatch sink: fold one micro-batch into a parquet state table —
+    * read-modify-write of the AGGREGATE (one row per group, O(state +
+    * batch)), never the fact history. The new state is fully written to a
+    * staging dir before the old one moves (stage → aside → commit, the
+    * [[graft.sinks.TableMaintenance.compact]] rename discipline), so a
+    * crash leaves a whole state table at either generation. Exactly-once
+    * on top of at-least-once replay comes from the caller keying batches
+    * (e.g. foreachBatch batchId guard) — merging a batch twice double
+    * counts, the same contract as any additive sink.
+    */
+  def advance(spark: SparkSession, statePath: String, batch: DataFrame,
+      keys: Seq[String], valueCol: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delta = partial(batch, keys, valueCol)
+    val merged =
+      if (fs.exists(root)) merge(spark.read.parquet(statePath), delta, keys)
+      else delta
+    val staging = new org.apache.hadoop.fs.Path(root.getParent, s".stage-${root.getName}")
+    val aside = new org.apache.hadoop.fs.Path(root.getParent, s".aside-${root.getName}")
+    fs.delete(staging, true)
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging.toString)
+    if (fs.exists(root) && !fs.rename(root, aside))
+      throw new java.io.IOException(s"advance: cannot set aside $root")
+    if (!fs.rename(staging, root)) {
+      if (fs.exists(aside)) fs.rename(aside, root)
+      throw new java.io.IOException(s"advance: cannot commit $staging")
+    }
+    fs.delete(aside, true)
+  }
+
   /** Gate query: replay the events table as three height-ordered batches
     * through partial→merge→merge→merge, then serve. The result must
     * hash-match a one-shot GROUP BY over the whole table (the oracle) —

@@ -559,6 +559,40 @@ object Relational {
        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
        ORDER BY 1"""
 
+  /** EXCEPT: customers active in 1996 who placed nothing in 1997 — churn,
+    * the complement of [[qRepeatCustomers]]' INTERSECT. Spark plans
+    * EXCEPT as a left-anti join over the two distinct key sets, both
+    * sides pre-shrunk by the pushed-down date filters; output joins the
+    * (unpinned, AQE-sized) customer dim for the churned segment mix.
+    */
+  def qChurnedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def active(y: Int) = o
+      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    active(1996).except(active(1997))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_churned"),
+        round(sum(col("c_acctbal")), 2).as("churned_balance"))
+      .orderBy("c_mktsegment")
+  }
+
+  val qChurnedOracle: String =
+    """WITH gone AS (
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         EXCEPT
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01')
+       SELECT c_mktsegment, count(*) AS n_churned,
+              round(sum(c_acctbal), 2) AS churned_balance
+       FROM gone JOIN customer ON o_custkey = c_custkey
+       GROUP BY 1 ORDER BY 1"""
+
   /** LEFT OUTER JOIN + two-level aggregation (customer-distribution, Q13
     * shape): customers with zero orders survive the outer join and land in
     * the 0-orders bucket.

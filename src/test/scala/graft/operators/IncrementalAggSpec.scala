@@ -43,6 +43,37 @@ class IncrementalAggSpec extends SparkSpec {
     assert(stateSet(IncrementalAgg.merge(st, empty, keys)) === stateSet(st))
   }
 
+  test("foreachBatch advance converges the state table to the one-shot aggregate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-incagg").toString
+    val statePath = base + "/state"
+    val rows = ev.select("day", "event_type", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val input = MemoryStream[(String, String, Double)]
+    val q = input.toDF().toDF("day", "event_type", "value")
+      .writeStream
+      .outputMode("append")
+      // the checkpoint is what makes each restart resume AFTER the data it
+      // already folded — without it every AvailableNow run would replay
+      // from offset 0 and the additive state would double-count
+      .option("checkpointLocation", base + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IncrementalAgg.advance(spark, statePath, batch, keys, "value")
+      }
+    // three micro-batches, each folded into the parquet state table
+    rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { g =>
+      input.addData(g.toSeq)
+      val run = q.start()
+      run.awaitTermination()
+    }
+    assert(stateSet(spark.read.parquet(statePath)) ===
+      stateSet(IncrementalAgg.partial(ev, keys, "value")))
+  }
+
   test("served view derives avg from exact carried monoids") {
     val served = IncrementalAgg.serve(
       IncrementalAgg.partial(ev, keys, "value"), keys).collect()
