@@ -76,6 +76,7 @@ object SparkEntry {
     "ev_grouping_sets" -> (Events.groupingSetsStats _),
     "ev_band_join" -> (Events.bandJoin _),
     "ev_daily_incremental" -> (IncrementalAgg.dailyStatsIncremental _),
+    "ev_browse_abandon" -> (Events.browseAbandon _),
     // Text analysis
     "text_tokens" -> (TextOps.tokens _),
     "text_quality" -> (TextOps.quality _),
@@ -187,6 +188,7 @@ object SparkEntry {
     "ev_grouping_sets" -> Events.groupingSetsOracle,
     "ev_band_join" -> Events.bandJoinOracle,
     "ev_daily_incremental" -> IncrementalAgg.dailyStatsIncrementalOracle,
+    "ev_browse_abandon" -> Events.browseAbandonOracle,
     "text_tokens" -> TextOps.tokensOracle,
     "text_quality" -> TextOps.qualityOracle,
     "text_langid" -> TextOps.langidOracle,

@@ -814,6 +814,56 @@ object Events {
       .orderBy("event_type", "band_id")
   }
 
+  /** Sequence pattern per (user, day): a "browse session" is a user-day
+    * with ≥3 views; it CONVERTS if any purchase follows the 3rd view in
+    * event order. The per-key sequence logic runs on a bounded
+    * `collect_list` (events per user-day, not per user — the grouping key
+    * includes the day precisely so no reducer ever holds an unbounded
+    * history) sorted in-row; the daily rollup keeps the conversion ratio
+    * as exact integer counts divided once at the output edge.
+    * Reference analog: the multi-step inference→forecast→score ordering
+    * checks the indexer applies within a block's messages.
+    */
+  def browseAbandon(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("event_id"))
+    val perUserDay = e.groupBy(col("user_id"), col("day"))
+      .agg(
+        sort_array(collect_list(when(col("event_type") === "view",
+          col("event_id")))).as("views"),
+        max(when(col("event_type") === "purchase", col("event_id")))
+          .as("last_purchase"))
+      .filter(size(col("views")) >= 3)
+      .select(col("day"),
+        (col("last_purchase") > element_at(col("views"), 3))
+          .as("converted"))
+    perUserDay.groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_browse"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+      .select(col("day"), col("n_browse"), col("n_converted"),
+        (floor(col("n_converted") / col("n_browse") * 1e4) / 1e4)
+          .as("conversion"))
+      .orderBy("day")
+  }
+
+  val browseAbandonOracle: String =
+    """WITH ud AS (
+         SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                list_sort(list(event_id) FILTER (event_type = 'view')) AS views,
+                max(event_id) FILTER (event_type = 'purchase') AS last_purchase
+         FROM events GROUP BY 1, 2),
+       b AS (
+         SELECT day, (last_purchase > views[3]) AS converted
+         FROM ud WHERE len(views) >= 3)
+       SELECT day, count(*) AS n_browse,
+              CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_converted,
+              floor(sum(CASE WHEN converted THEN 1 ELSE 0 END) * 1.0
+                    / count(*) * 1e4) / 1e4 AS conversion
+       FROM b GROUP BY 1 ORDER BY 1"""
+
   val bandJoinOracle: String =
     """WITH s AS (
          SELECT event_type, min(value) AS mn, max(value) AS mx
