@@ -77,6 +77,7 @@ object SparkEntry {
     "ev_band_join" -> (Events.bandJoin _),
     "ev_daily_incremental" -> (IncrementalAgg.dailyStatsIncremental _),
     "ev_browse_abandon" -> (Events.browseAbandon _),
+    "samp_target_mix" -> (Sampling.targetMix _),
     // Text analysis
     "text_tokens" -> (TextOps.tokens _),
     "text_quality" -> (TextOps.quality _),
@@ -189,6 +190,7 @@ object SparkEntry {
     "ev_band_join" -> Events.bandJoinOracle,
     "ev_daily_incremental" -> IncrementalAgg.dailyStatsIncrementalOracle,
     "ev_browse_abandon" -> Events.browseAbandonOracle,
+    "samp_target_mix" -> Sampling.targetMixOracle,
     "text_tokens" -> TextOps.tokensOracle,
     "text_quality" -> TextOps.qualityOracle,
     "text_langid" -> TextOps.langidOracle,

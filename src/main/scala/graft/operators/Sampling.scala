@@ -216,6 +216,57 @@ object Sampling {
              / 4294967296.0 < rate
        ORDER BY doc_id"""
 
+  /** Target-mixture composition: downsample every source toward EQUAL
+    * representation — the data-mixing step that turns "whatever the crawl
+    * yielded" into the mixture a training run actually wants. Per-source
+    * keep rate = min(1, N/(S·n_s)) (N total docs, S sources, n_s source
+    * size): over-represented sources are thinned to the uniform share,
+    * under-represented ones pass whole (rate capped at 1 — sampling can't
+    * invent data). The rate table is a tiny broadcast; the keep decision
+    * is the deterministic [[draw]] per document, so replays and retries
+    * compose the identical mixture. Output is the per-source audit
+    * (original vs kept vs rate); swap the uniform target for any share
+    * vector without touching the plan shape.
+    */
+  def targetMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val stats = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      // feeds the totals aggregate, the join and the audit — once
+      .localCheckpoint()
+    val tot = stats.agg(sum(col("n_src")).as("n_tot"), count(lit(1)).as("n_srcs"))
+    val rates = stats.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_src"),
+        least(lit(1.0),
+          col("n_tot").cast("double") / (col("n_srcs") * col("n_src")))
+          .as("rate"))
+    val u = conv(draw("mix"), 16, 10).cast("double") / lit(4294967296.0)
+    val kept = d.join(broadcast(rates), "source")
+      .filter(u < col("rate"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_src").as("n_orig"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        trunc4(col("rate")).as("rate"))
+      .orderBy("source")
+  }
+
+  val targetMixOracle: String =
+    """WITH s AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+       t AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_tot, count(*) AS n_srcs
+             FROM s),
+       r AS (SELECT source, n_src,
+               least(1.0, CAST(n_tot AS DOUBLE) / (n_srcs * n_src)) AS rate
+             FROM s, t),
+       k AS (SELECT d.source, count(*) AS n_kept
+             FROM documents d JOIN r ON d.source = r.source
+             WHERE ('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 < rate
+             GROUP BY 1)
+       SELECT r.source, CAST(r.n_src AS BIGINT) AS n_orig,
+              CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+              floor(rate * 1e4) / 1e4 AS rate
+       FROM r LEFT JOIN k ON r.source = k.source ORDER BY 1"""
+
   val packTokenBudgetOracle: String =
     """WITH t AS (SELECT doc_id, lang,
                     len(string_split_regex(trim(text), '\s+')) AS n_tokens
