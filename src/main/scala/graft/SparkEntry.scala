@@ -72,7 +72,7 @@ object SparkEntry {
     "ev_purchase_context" -> (Events.purchaseContext _),
     "ev_rolling_dau" -> (Events.rollingDau _),
     "ev_quantiles_approx" -> (Events.valueQuantilesApprox _),
-    "ev_day_deciles" -> (Events.dayDeciles _),
+    "ev_day_quartiles" -> (Events.dayQuartiles _),
     "ev_grouping_sets" -> (Events.groupingSetsStats _),
     "ev_band_join" -> (Events.bandJoin _),
     "ev_daily_incremental" -> (IncrementalAgg.dailyStatsIncremental _),
@@ -185,7 +185,7 @@ object SparkEntry {
     "ev_user_lifecycle" -> Events.userLifecycleOracle,
     "ev_purchase_context" -> Events.purchaseContextOracle,
     "ev_rolling_dau" -> Events.rollingDauOracle,
-    "ev_day_deciles" -> Events.dayDecilesOracle,
+    "ev_day_quartiles" -> Events.dayQuartilesOracle,
     "ev_grouping_sets" -> Events.groupingSetsOracle,
     "ev_band_join" -> Events.bandJoinOracle,
     "ev_daily_incremental" -> IncrementalAgg.dailyStatsIncrementalOracle,

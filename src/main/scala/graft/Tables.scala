@@ -60,7 +60,16 @@ object Tables {
     * queries without this (a bench loop, a query service) accumulates
     * dead blocks until the block manager evicts under pressure — which
     * taxes every later query's shuffles and caches. Bench and Verify call
-    * it between queries; any embedding application should do the same.
+    * it between queries.
+    *
+    * SCOPE: this sweeps EVERY persistent RDD in the context — including
+    * caches the application created and checkpointed frames still held
+    * in scope (whose lineage is truncated, so a later action on them
+    * fails rather than recomputes). It is intended for drivers that own
+    * the whole session and consume each result fully before the next
+    * query (the Bench/Verify pattern). An application holding its own
+    * caches or unfinished graft results must release per-frame
+    * (`df.unpersist()`) instead of calling this.
     */
   def releaseIntermediates(spark: SparkSession): Unit = {
     spark.sparkContext.getPersistentRDDs.valuesIterator

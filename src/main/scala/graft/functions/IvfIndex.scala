@@ -228,7 +228,12 @@ object IvfIndex {
     val spark = corpus.sparkSession
     val p = new org.apache.hadoop.fs.Path(indexPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) load(spark, indexPath)
+    // A bare exists() would treat a crashed half-written index dir as
+    // committed and serve truncated centroids forever; Spark's parquet
+    // commit protocol drops _SUCCESS only on a completed write.
+    val committed = fs.exists(p) &&
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    if (committed) load(spark, indexPath)
     else {
       val c = centroids(corpus, embCol, k, cacheKey = indexPath,
         sampleCap = sampleCap, iters = iters, seed = seed, restarts = restarts)

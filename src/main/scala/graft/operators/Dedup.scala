@@ -431,8 +431,11 @@ object Dedup {
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         CosineSimilarity(col("a.embedding"), col("b.embedding")).as("cos"))
-      .dropDuplicates("vec_a", "vec_b")
+      // cos is deterministic per pair, so multi-probe duplicates pass or
+      // fail together: filter FIRST, then dedup only the survivors — the
+      // dedup shuffle carries near-dup pairs, not the discarded majority
       .filter(col("cos") >= 0.3)
+      .dropDuplicates("vec_a", "vec_b")
       .select(col("vec_a"), col("vec_b"), trunc4(col("cos")).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }

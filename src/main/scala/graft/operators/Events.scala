@@ -726,7 +726,7 @@ object Events {
     * 1-ulp difference into a different bucket. Reference analog: the
     * per-day tokenomics ranking the DB serves off daily aggregates.
     */
-  def dayDeciles(spark: SparkSession, dir: String): DataFrame = {
+  def dayQuartiles(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = Tables.events(spark, dir)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
@@ -742,7 +742,7 @@ object Events {
       .orderBy("bucket")
   }
 
-  val dayDecilesOracle: String =
+  val dayQuartilesOracle: String =
     """WITH daily AS (
          SELECT strftime(ts, '%Y-%m-%d') AS day,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -84,6 +84,18 @@ object IncrementalAgg {
       keys: Seq[String], valueCol: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery first: an aside dir with no committed state is an
+    // interrupted swap — roll it back (otherwise the exists() check below
+    // would silently rebuild state from ONE batch); an aside next to a
+    // committed state is a completed swap's leftover — drop it (otherwise
+    // the next set-aside rename fails forever).
+    val asidePre = new org.apache.hadoop.fs.Path(root.getParent, s".aside-${root.getName}")
+    if (fs.exists(asidePre)) {
+      if (!fs.exists(root)) {
+        if (!fs.rename(asidePre, root))
+          throw new java.io.IOException(s"advance: cannot roll back $asidePre")
+      } else fs.delete(asidePre, true)
+    }
     val delta = partial(batch, keys, valueCol)
     val merged =
       if (fs.exists(root)) merge(spark.read.parquet(statePath), delta, keys)
@@ -95,7 +107,10 @@ object IncrementalAgg {
     if (fs.exists(root) && !fs.rename(root, aside))
       throw new java.io.IOException(s"advance: cannot set aside $root")
     if (!fs.rename(staging, root)) {
-      if (fs.exists(aside)) fs.rename(aside, root)
+      if (fs.exists(aside) && !fs.rename(aside, root))
+        throw new java.io.IOException(
+          s"advance: commit failed AND rollback of $aside failed — " +
+            "state must be restored manually before the next advance")
       throw new java.io.IOException(s"advance: cannot commit $staging")
     }
     fs.delete(aside, true)

@@ -683,31 +683,40 @@ object Relational {
   def q11ImportantNations(spark: SparkSession, dir: String): DataFrame = {
     val snat = Tables.nation(spark, dir)
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
+    // Exact integer units (price cents × discount hundredths, scale 1e4):
+    // the 5% membership gate compares SUMS, and a double sum's last bits
+    // are fold-order-dependent — a nation within 1 ulp of the threshold
+    // would flip between engines. Integer units make gate, value and
+    // share reduction-order-free.
+    val units = (round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long")))
     val rev = Tables.lineitem(spark, dir)
       .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(snat), col("s_nationkey") === col("s_nk"))
       .groupBy(col("nation"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("value"))
-    val total = rev.agg(sum(col("value")).as("total"))
+      .agg(sum(units).as("units"))
+    val total = rev.agg(sum(col("units")).as("total"))
     rev.crossJoin(broadcast(total))
-      .filter(col("value") > col("total") * 0.05)
-      .select(col("nation"), round(col("value"), 2).as("value"),
-        (floor(col("value") / col("total") * 1e4) / 1e4).as("share"))
+      .filter(col("units") * 20 > col("total"))
+      .select(col("nation"), (col("units") / 10000.0).as("value"),
+        (floor(col("units") / col("total") * 1e4) / 1e4).as("share"))
       .orderBy(col("value").desc, col("nation"))
   }
 
   val q11Oracle: String =
     """WITH r AS (
          SELECT n_name AS nation,
-                sum(l_extendedprice * (1.0 - l_discount)) AS value
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                         (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS units
          FROM lineitem
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation ON s_nationkey = n_nationkey
          GROUP BY 1),
-       t AS (SELECT sum(value) AS total FROM r)
-       SELECT nation, round(value, 2) AS value,
-              floor(value / total * 1e4) / 1e4 AS share
-       FROM r, t WHERE value > total * 0.05
+       t AS (SELECT CAST(sum(units) AS BIGINT) AS total FROM r)
+       SELECT nation, units / 10000.0 AS value,
+              floor(units / total * 1e4) / 1e4 AS share
+       FROM r, t WHERE units * 20 > total
        ORDER BY value DESC, nation"""
 
   /** Shipping-delay priority report (TPC-H q12 shape, adapted: the

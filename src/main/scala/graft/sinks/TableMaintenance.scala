@@ -68,8 +68,27 @@ object TableMaintenance {
     val root = new Path(path)
     val fs: FileSystem =
       root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(root)
+    val aside = new Path(root.getParent, s".aside-${root.getName}")
+    // Crash recovery: an aside with no table is an interrupted swap —
+    // roll back; an aside next to a committed table is leftover — drop.
+    if (fs.exists(aside)) {
+      if (!fs.exists(root)) {
+        if (!fs.rename(aside, root))
+          throw new java.io.IOException(s"compact: cannot roll back $aside")
+      } else fs.delete(aside, true)
+    }
+    val entries = fs.listStatus(root)
+    val dataFiles = entries
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // A directory-partitioned table (day=… subdirs) has no top-level data
+    // files: compacting it here would funnel everything into ONE
+    // unpartitioned file and silently destroy the pruning layout. Refuse;
+    // compact each partition directory instead.
+    if (dataFiles.isEmpty && entries.exists(s =>
+        s.isDirectory && s.getPath.getName.contains("=")))
+      throw new IllegalArgumentException(
+        s"compact: $path is directory-partitioned — compact each " +
+          "partition dir (path/key=value) individually")
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(path)
@@ -79,16 +98,18 @@ object TableMaintenance {
           .sortWithinPartitions(sortKeys.map(col): _*)
       else df.repartition(nOut)
     val staging = new Path(root.getParent, s".compact-${root.getName}")
-    val aside = new Path(root.getParent, s".aside-${root.getName}")
     fs.delete(staging, true)
     shaped.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    // stage → aside → commit: every rename checked, crash leaves a whole
-    // table (old if before the second rename, new after; recover() from
-    // the merge-sink family would roll an orphaned aside back)
+    // stage → aside → commit: every rename checked; a crash leaves a
+    // whole table at either generation (an orphaned aside is rolled back
+    // by the recovery block at the top of the next compact)
     if (!fs.rename(root, aside))
       throw new java.io.IOException(s"compact: cannot set aside $root")
     if (!fs.rename(staging, root)) {
-      fs.rename(aside, root) // restore
+      if (!fs.rename(aside, root))
+        throw new java.io.IOException(
+          s"compact: commit failed AND rollback of $aside failed — " +
+            "restore the table manually before reading it")
       throw new java.io.IOException(s"compact: cannot commit $staging")
     }
     fs.delete(aside, true)

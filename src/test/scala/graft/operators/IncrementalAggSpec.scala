@@ -74,6 +74,24 @@ class IncrementalAggSpec extends SparkSpec {
       stateSet(IncrementalAgg.partial(ev, keys, "value")))
   }
 
+  test("advance recovers an interrupted state swap instead of resetting to one batch") {
+    val base = java.nio.file.Files.createTempDirectory("graft-incagg-rec").toString
+    val statePath = base + "/state"
+    val half = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+    val rest = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+    IncrementalAgg.advance(spark, statePath, half, keys, "value")
+    // simulate the crash window: committed state moved aside, none at path
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(root.getParent, s".aside-${root.getName}")
+    assert(fs.rename(root, aside))
+    IncrementalAgg.advance(spark, statePath, rest, keys, "value")
+    // if recovery failed, the state would be just `rest`'s aggregate
+    assert(stateSet(spark.read.parquet(statePath)) ===
+      stateSet(IncrementalAgg.partial(ev, keys, "value")),
+      "first batch's contribution was lost across the simulated crash")
+  }
+
   test("served view derives avg from exact carried monoids") {
     val served = IncrementalAgg.serve(
       IncrementalAgg.partial(ev, keys, "value"), keys).collect()

@@ -86,6 +86,36 @@ class TableMaintenanceSpec extends SparkSpec {
     assert(q.count() === expected)
   }
 
+  test("compact refuses a directory-partitioned table instead of flattening it") {
+    val out = tmpDir("partguard")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    TableMaintenance.writePartitioned(ev, out, Seq("day"))
+    val e = intercept[IllegalArgumentException] {
+      TableMaintenance.compact(spark, out, targetBytes = 1L << 30)
+    }
+    assert(e.getMessage.contains("partition"))
+    // and the table is untouched
+    assert(spark.read.parquet(out).count() === ev.count())
+  }
+
+  test("compact rolls back an interrupted swap before proceeding") {
+    val out = tmpDir("recover")
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    ev.repartition(4).write.parquet(out)
+    // simulate a crash between set-aside and commit: table dir moved to
+    // .aside-, nothing at the table path
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(out)
+    val aside = new Path(root.getParent, s".aside-${root.getName}")
+    assert(fs.rename(root, aside))
+    val n = TableMaintenance.compact(spark, out, targetBytes = 1L << 30)
+    assert(n === 1)
+    assert(spark.read.parquet(out).count() === ev.count(),
+      "recovery must restore the set-aside generation, not lose it")
+  }
+
   test("compact merges a strewn table into target-size files, content intact") {
     val out = tmpDir("compact")
     val ev = Tables.events(spark, sfDir)
