@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Parquet table loaders for the driver-generated testdata layout
   * (`TESTDATA.md`). Parquet embeds the schema, so no inference cost; column
@@ -51,10 +52,62 @@ object Tables {
     if (scanParts.exists(_ < target)) df.repartition(target) else df
   }
 
+  /** Scale-safe plan-reuse barrier.
+    *
+    * Operators that feed one frame into several plan branches (self-joins,
+    * probe/verify splits, iterative propagation) must materialize it once
+    * or every branch re-runs the upstream computation. HOW it is
+    * materialized decides what happens when an executor dies:
+    *
+    *  - `persist(MEMORY_AND_DISK)` keeps lineage: a lost block is
+    *    recomputed from source. The default on a cluster, where losing one
+    *    of 1000 executors mid-query is routine — a recompute beats a dead
+    *    query.
+    *  - reliable `checkpoint()` writes blocks to the fault-tolerant store
+    *    named by `spark.sql.graft.checkpointDir` and truncates lineage —
+    *    the right barrier for iterative loops whose plans would otherwise
+    *    grow per round, and for frames too expensive to ever recompute.
+    *  - `localCheckpoint()` truncates lineage AND keeps non-replicated
+    *    executor-local blocks: fastest, but a lost executor makes the
+    *    frame unrecoverable (Spark cannot rebuild truncated lineage). Auto
+    *    mode only picks it where there is no executor to lose — a
+    *    single-JVM `local[*]` master.
+    *
+    * `spark.sql.graft.barrier` ∈ {auto (default), persist, checkpoint,
+    * localCheckpoint} overrides the automatic choice. The persist path is
+    * lazy (first action materializes); the checkpoint paths are eager —
+    * both give downstream branches a compute-once frame.
+    */
+  def barrier[T](ds: Dataset[T]): Dataset[T] = {
+    val spark = ds.sparkSession
+    val sc = spark.sparkContext
+    def reliable(): Dataset[T] = {
+      val dir = spark.conf.getOption("spark.sql.graft.checkpointDir").getOrElse(
+        throw new IllegalArgumentException(
+          "spark.sql.graft.barrier=checkpoint requires spark.sql.graft.checkpointDir"))
+      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      ds.checkpoint()
+    }
+    spark.conf.get("spark.sql.graft.barrier", "auto") match {
+      case "persist"         => ds.persist(StorageLevel.MEMORY_AND_DISK)
+      case "checkpoint"      => reliable()
+      case "localCheckpoint" => ds.localCheckpoint()
+      case _ =>
+        if (spark.conf.getOption("spark.sql.graft.checkpointDir").isDefined) reliable()
+        else if (sc.isLocal) ds.localCheckpoint()
+        else ds.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+  }
+
+  /** `.barrier()` as a chainable method — see [[Tables.barrier]]. */
+  implicit class BarrierOps[T](private val ds: Dataset[T]) extends AnyVal {
+    def barrier(): Dataset[T] = Tables.barrier(ds)
+  }
+
   /** Release every persisted block the last query left behind.
     *
-    * Operators materialize plan-reuse barriers with `localCheckpoint()`
-    * (eager, persisted at MEMORY_AND_DISK); the blocks belong to the
+    * Operators materialize plan-reuse barriers with [[barrier]] (persisted
+    * or checkpointed blocks); the blocks belong to the
     * returned plan, so the OPERATOR can't release them — the caller must,
     * once the result is consumed. A long-lived session running many
     * queries without this (a bench loop, a query service) accumulates

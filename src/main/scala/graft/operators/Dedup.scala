@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Tables.BarrierOps
 import graft.functions.{CosineSimilarity, SimHash64, SortedIntersectCount}
 
 /** Deduplication suite over `documents` / `embeddings`:
@@ -115,7 +116,7 @@ object Dedup {
           (col("n") - ceil(col("n") * t) + 1).cast("int")).as("pre"))
       // feeds three plan branches (both self-join sides + verification) —
       // materialize once
-      .localCheckpoint()
+      .barrier()
     val prefix = docs.select(
         col("doc_id"), col("n"), posexplode(col("pre")).as(Seq("pos0", "s")))
       .select(col("doc_id"), col("n"), (col("pos0") + 1).as("pos"), col("s"))
@@ -203,7 +204,7 @@ object Dedup {
         array_min(transform(col("xs"), x => pmod(lit(as(i)) * x + lit(bs(i)), lit(P))))): _*)
         .as("sig"))
       // both sides of the band self-join read this — materialize once
-      .localCheckpoint()
+      .barrier()
     val bandedAll = sigArr.select(
       col("doc_id"), col("sig"),
       posexplode(
@@ -242,15 +243,19 @@ object Dedup {
     * Pregel-style min-label propagation: every doc starts labeled with its
     * own id; each round sends labels across edges and keeps the minimum;
     * fixpoint when no label changes. The driver loop only orchestrates —
-    * each round is one distributed join + hash-agg, checkpointed to cut
-    * lineage — and runs O(component diameter) rounds, which for near-dup
+    * each round is one distributed join + hash-agg behind a
+    * [[Tables.barrier]] (under a checkpoint barrier lineage is cut each
+    * round; under the persist barrier the logical plan grows per round but
+    * execution always reads the previous round's cached frame, so set
+    * `spark.sql.graft.checkpointDir` for very-high-diameter graphs) — and
+    * runs O(component diameter) rounds, which for near-dup
     * clusters (dense cliques of rewrites/boilerplate) is single digits
     * regardless of corpus size. The component id IS the kept doc: min
     * doc_id per cluster, the same keep-lowest rule as [[exact]].
     */
   def components(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(spark, dir)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      .select(col("doc_a"), col("doc_b")).barrier()
     componentsFrom(spark, pairs)
   }
 
@@ -265,10 +270,17 @@ object Dedup {
     */
   private[graft] def componentsFrom(spark: SparkSession, pairs: DataFrame,
       maxDriverEdges: Long = 500000L): DataFrame = {
-    if (pairs.count() <= maxDriverEdges) return componentsLocal(spark, pairs)
+    // Strategy probe costs O(cap), not a full materialization of the pair
+    // graph: a limit(cap + 1) count proves "fits under the cap" / "does
+    // not" without counting the (possibly huge) remainder. Saturating
+    // bounds keep degenerate caps (negative = force distributed,
+    // Long.MaxValue = force driver) meaningful.
+    val probeLimit = math.max(0L, math.min(maxDriverEdges, Int.MaxValue - 1L)) + 1L
+    val probe = pairs.limit(probeLimit.toInt).count()
+    if (probe <= maxDriverEdges) return componentsLocal(spark, pairs)
     // undirected: send labels both ways
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint()
+      .toDF("src", "dst").barrier()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("lab", col("doc_id"))
     // Labels only ever decrease, so the label sum is a strictly decreasing
@@ -283,13 +295,18 @@ object Dedup {
     while (!converged && rounds < 50) {
       // one round = propagate across edges, union the current labels, keep
       // the per-node minimum: a single join + single hash-agg
-      labels = edges
+      val next = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst").as("doc_id"), col("lab"))
         .unionByName(labels)
         .groupBy(col("doc_id")).agg(min(col("lab")).as("lab"))
-        .localCheckpoint()
-      val s = sumOf(labels)
+        .barrier()
+      val s = sumOf(next) // materializes `next` before the old frame goes
+      // the superseded round's blocks are dead once `next` is materialized
+      // — release them so a long propagation doesn't hoard the block
+      // manager (no-op on the un-barriered round-0 frame)
+      labels.unpersist(blocking = false)
+      labels = next
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       rounds += 1
@@ -387,7 +404,7 @@ object Dedup {
       transform(words(col("text")), w => xxhash64(w)).as("hs"))
     val sig = hs.select(col("doc_id"), SimHash64(col("hs")).as("sim"))
       // both sides of the band self-join read this — materialize once
-      .localCheckpoint()
+      .barrier()
     val banded = sig.select(
       col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
@@ -425,7 +442,7 @@ object Dedup {
     val assigned = e.select(col("vec_id"), col("embedding"),
         explode(graft.functions.NearestCells(col("embedding"), cents, 2)).as("cell"))
       // both self-join sides read the assignment — materialize once
-      .localCheckpoint()
+      .barrier()
     assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))

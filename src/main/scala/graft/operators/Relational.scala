@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Tables.BarrierOps
 
 /** Relational / analytics core: the query shapes the reference serves from
   * its per-topic fact tables (joins over dimension tables, grouped
@@ -282,7 +283,7 @@ object Relational {
         .as("total_revenue"))
       // both the max subquery and the join side read this — materialize
       // once, or the fact scan + aggregate run twice
-      .localCheckpoint()
+      .barrier()
     val best = revenue.agg(max(col("total_revenue")).as("max_revenue"))
     revenue.join(broadcast(best), col("total_revenue") === col("max_revenue"))
       .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
@@ -772,7 +773,7 @@ object Relational {
         datediff(col("l_shipdate"), col("o_orderdate")) > 90).as("late"))
       // three plan branches (probe + semi + anti) read this — materialize
       // the fact join + agg once instead of three times
-      .localCheckpoint()
+      .barrier()
     val latePairs = pairs.filter(col("late"))
     val othersExist = latePairs.as("x").join(
       pairs.select(col("ok").as("o2"), col("sk").as("s2")).as("y"),

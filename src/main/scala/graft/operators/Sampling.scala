@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Tables.BarrierOps
 import graft.plans.TopKPerKey
 
 /** Corpus-sampling / training-set-assembly operators over `documents` —
@@ -232,7 +233,7 @@ object Sampling {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     val stats = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
       // feeds the totals aggregate, the join and the audit — once
-      .localCheckpoint()
+      .barrier()
     val tot = stats.agg(sum(col("n_src")).as("n_tot"), count(lit(1)).as("n_srcs"))
     val rates = stats.crossJoin(broadcast(tot))
       .select(col("source"), col("n_src"),

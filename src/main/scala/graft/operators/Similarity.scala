@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Tables.BarrierOps
 import graft.functions.{CosineSimilarity, HyperplaneBuckets, IvfIndex, NearestCells, PqAdcScore, PqEncode, PqIndex, Vec}
 import graft.plans.TopKPerKey
 
@@ -81,7 +82,7 @@ object Similarity {
       posexplode(HyperplaneBuckets(col("embedding"), lshTables, lshBits, lshDim, lshSeed))
         .as(Seq("tbl", "bucket")))
       // query and candidate branches both read this — materialize once
-      .localCheckpoint()
+      .barrier()
     val q = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("tbl"), col("bucket"))
     val c = bucketed.filter(col("vec_id") >= 10)

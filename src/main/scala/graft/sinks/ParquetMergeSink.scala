@@ -5,6 +5,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
+import graft.Tables.BarrierOps
 import graft.indexer.Upsert
 
 /** Idempotent merge sink over parquet — the concrete form of the
@@ -131,7 +132,7 @@ object ParquetMergeSink {
     val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(buckets)).cast("int")
     val batchB = batch.withColumn(BucketCol, bucketOf)
       .withColumn(PrefCol, lit(1)) // incoming outranks current on version ties
-      .localCheckpoint() // bucket list + merge input: compute the batch once
+      .barrier() // bucket list + merge input: compute the batch once
     val touched = batchB.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return
