@@ -25,12 +25,9 @@ object IndexerFlow {
 
   /** One catch-up pass; returns the number of newly ingested heights. */
   def runBatch(spark: SparkSession, landingDir: String, tableDir: String): Long = {
-    val table = new org.apache.hadoop.fs.Path(tableDir)
-    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val already =
-      if (fs.exists(table) && fs.listStatus(table).nonEmpty)
-        Snapshot.latestHeight(spark.read.parquet(tableDir))
-      else 0L
+    val already = ParquetMergeSink.readIfExists(spark, tableDir)
+      .map(Snapshot.latestHeight)
+      .getOrElse(0L)
     val fresh = readLanding(spark, landingDir)
       .filter(col("height") > already)
     val blockInfo = Ingest.blockInfo(fresh)

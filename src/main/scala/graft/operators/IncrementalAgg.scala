@@ -70,50 +70,63 @@ object IncrementalAgg {
         (col("max_cents") / 100.0).as("max_value"),
         (floor(col("cents") / col("n_events")) / 100.0).as("avg_value_floor"))): _*)
 
-  /** foreachBatch sink: fold one micro-batch into a parquet state table —
-    * read-modify-write of the AGGREGATE (one row per group, O(state +
-    * batch)), never the fact history. The new state is fully written to a
-    * staging dir before the old one moves (stage → aside → commit, the
-    * [[graft.sinks.TableMaintenance.compact]] rename discipline), so a
-    * crash leaves a whole state table at either generation. Exactly-once
-    * on top of at-least-once replay comes from the caller keying batches
-    * (e.g. foreachBatch batchId guard) — merging a batch twice double
-    * counts, the same contract as any additive sink.
-    */
-  def advance(spark: SparkSession, statePath: String, batch: DataFrame,
-      keys: Seq[String], valueCol: String): Unit = {
+  /** The committed state table, or None before the first advance. */
+  def readState(spark: SparkSession, statePath: String): Option[DataFrame] = {
     val root = new org.apache.hadoop.fs.Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Crash recovery first: an aside dir with no committed state is an
-    // interrupted swap — roll it back (otherwise the exists() check below
-    // would silently rebuild state from ONE batch); an aside next to a
-    // committed state is a completed swap's leftover — drop it (otherwise
-    // the next set-aside rename fails forever).
-    val asidePre = new org.apache.hadoop.fs.Path(root.getParent, s".aside-${root.getName}")
-    if (fs.exists(asidePre)) {
-      if (!fs.exists(root)) {
-        if (!fs.rename(asidePre, root))
-          throw new java.io.IOException(s"advance: cannot roll back $asidePre")
-      } else fs.delete(asidePre, true)
+    graft.sinks.ManifestCommit.latest(fs, root)
+      .flatMap(_.dirs.get("state"))
+      .map(rel => spark.read.parquet(new org.apache.hadoop.fs.Path(root, rel).toString))
+  }
+
+  /** foreachBatch sink: fold one micro-batch into a parquet state table —
+    * read-modify-write of the AGGREGATE (one row per group, O(state +
+    * batch)), never the fact history. The new state is written as an
+    * immutable generation dir and published by flipping one small
+    * manifest file ([[graft.sinks.ManifestCommit]]): a crash before the
+    * flip leaves readers on the previous state (the orphan generation is
+    * vacuumed); a crash after is a completed fold. No directory renames,
+    * so the guarantee holds on object stores too.
+    *
+    * Exactly-once on top of at-least-once replay: pass foreachBatch's
+    * `batchId` and the LAST APPLIED id rides inside the same manifest
+    * commit as the state it produced — state and progress flip together,
+    * so a crash between them is impossible by construction. A replayed
+    * batch (id ≤ recorded) is skipped instead of double-counted. Batch
+    * ids must be monotonically increasing per state table, which
+    * foreachBatch guarantees per query+checkpoint.
+    */
+  def advance(spark: SparkSession, statePath: String, batch: DataFrame,
+      keys: Seq[String], valueCol: String,
+      batchId: Option[Long] = None): Unit = {
+    import graft.sinks.ManifestCommit
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (ManifestCommit.orphanedGenerations(fs, root))
+      throw new IllegalStateException(
+        s"$statePath has state generations but no commit log: refusing to " +
+          "silently reset additive state. Restore the _commits dir.")
+    // Table creation commits v1 BEFORE any generation data, so a crash
+    // can never leave generation dirs without a log (see guard above).
+    val manifest = ManifestCommit.latest(fs, root).getOrElse {
+      fs.mkdirs(root)
+      val v = ManifestCommit.commit(fs, root, Map.empty)
+      ManifestCommit.Manifest(v, Map.empty)
     }
+    val lastApplied = manifest.entries.get("batch").map(_.toLong)
+    if (batchId.exists(id => lastApplied.exists(_ >= id)))
+      return // replayed batch: already folded into the committed state
     val delta = partial(batch, keys, valueCol)
-    val merged =
-      if (fs.exists(root)) merge(spark.read.parquet(statePath), delta, keys)
-      else delta
-    val staging = new org.apache.hadoop.fs.Path(root.getParent, s".stage-${root.getName}")
-    val aside = new org.apache.hadoop.fs.Path(root.getParent, s".aside-${root.getName}")
-    fs.delete(staging, true)
-    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging.toString)
-    if (fs.exists(root) && !fs.rename(root, aside))
-      throw new java.io.IOException(s"advance: cannot set aside $root")
-    if (!fs.rename(staging, root)) {
-      if (fs.exists(aside) && !fs.rename(aside, root))
-        throw new java.io.IOException(
-          s"advance: commit failed AND rollback of $aside failed — " +
-            "state must be restored manually before the next advance")
-      throw new java.io.IOException(s"advance: cannot commit $staging")
-    }
-    fs.delete(aside, true)
+    val state = manifest.dirs.get("state")
+      .map(rel => spark.read.parquet(new org.apache.hadoop.fs.Path(root, rel).toString))
+    val merged = state.fold(delta)(st => merge(st, delta, keys))
+    val gen = ManifestCommit.newGeneration(manifest.version + 1)
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(root, gen).toString)
+    val progress = (batchId.toSeq ++ lastApplied).reduceOption(_ max _)
+      .map(id => "batch" -> id.toString)
+    ManifestCommit.commit(fs, root, Map("dir.state" -> gen) ++ progress)
+    ManifestCommit.vacuum(fs, root, keep = 2)
   }
 
   /** Gate query: replay the events table as three height-ordered batches

@@ -2,7 +2,7 @@ package graft.sinks
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.BarrierOps
@@ -12,137 +12,111 @@ import graft.indexer.Upsert
   * reference's `INSERT ... ON CONFLICT DO UPDATE` target tables
   * (db.go:1171-1175) for a lake without a transactional format.
   *
-  * Scale design — partition-scoped rewrite, not table rewrite: the table
-  * is laid out as `path/__bucket=N/` with N = hash(key) mod `nBuckets`.
-  * A merge touches ONLY the buckets containing the batch's keys: it reads
-  * those buckets (partition-pruned scan), resolves latest-wins, writes a
-  * staging dir, and swaps per-bucket. Buckets without conflicting keys are
-  * never read or rewritten — at 100 TB a small batch costs
-  * O(batch + touched-buckets), not O(table).
+  * Scale design — bucket-scoped rewrite, not table rewrite: rows are
+  * hashed into `nBuckets` buckets on the merge keys. A merge touches ONLY
+  * the buckets containing the batch's keys: it reads those buckets'
+  * current files, resolves latest-wins, writes the result as a NEW
+  * immutable generation, and commits by flipping a single small manifest
+  * file ([[ManifestCommit]]). Buckets without conflicting keys are never
+  * read or rewritten — their manifest entries simply carry forward — so
+  * at 100 TB a small batch costs O(batch + touched-buckets), not
+  * O(table).
   *
-  * Durability: the swap is rename-target-aside → rename-staging-in →
-  * delete-aside, every rename checked. A crash between the renames leaves
-  * an `.aside-` dir that [[recover]] (run at the start of every merge)
-  * rolls back; a crash after leaves a committed bucket. Each bucket swap
-  * is atomic; cross-bucket a crash can commit a prefix of buckets, which
-  * the replay-idempotence of latest-wins absorbs (re-running the same
-  * batch converges). Single-writer, like the reference indexer.
+  * Durability: data files are immutable once written; the ONLY mutation
+  * is the one-small-file manifest commit, which covers ALL touched
+  * buckets at once — a crash leaves every reader on the previous
+  * manifest, so the table is observed wholly at either generation even
+  * across a multi-bucket merge (strictly stronger than a per-bucket
+  * rename swap, which could commit a prefix of buckets). Valid on
+  * object stores: no directory renames, no overwrites of live data —
+  * the commit is one small-object move. Single-writer per table, like
+  * the reference indexer; replaying a batch converges (latest-wins).
   *
   * Version ties: ON CONFLICT DO UPDATE semantics — the incoming row wins
   * (a source-precedence tie-break, so version collisions like
   * version = key are still deterministic).
   *
-  * The bucket count is persisted in a `.graft-buckets` marker at the
-  * table root on creation and read back on every merge — a caller's
-  * `nBuckets` only applies to a NEW table, so two writers can never
-  * bucket the same key differently (which would silently duplicate keys
-  * across buckets).
-  *
-  * All I/O goes through the Hadoop FileSystem API, so `path` may be
-  * file://, hdfs:// or s3a://. The swap's atomicity relies on directory
-  * rename being atomic, which holds on HDFS and local filesystems; S3A
-  * renames are copy+delete, so on object stores run single-writer with
-  * idempotent replay as the recovery story — or use a transactional
-  * format (Delta/Iceberg), where `merge` becomes a MERGE INTO with the
-  * same key/version semantics.
+  * The bucket count is committed in manifest v1 BEFORE any data
+  * generation is written — a caller's `nBuckets` only applies to a NEW
+  * table, so two writers can never bucket the same key differently
+  * (which would silently duplicate keys across buckets). A root with
+  * generation dirs but no commit log is unreadable (`_commits` lost) and
+  * fails loudly rather than guessing.
   */
 object ParquetMergeSink {
 
   private val BucketCol = "__bucket"
   private val PrefCol = "__pref"
 
-  private def fsFor(batch: DataFrame, p: Path): FileSystem = {
-    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+  private def fsFor(spark: SparkSession, p: Path): FileSystem = {
+    val conf = spark.sparkContext.hadoopConfiguration
     p.getFileSystem(if (conf != null) conf else new Configuration())
   }
 
-  /** Roll back (or finish) any swap interrupted by a crash: an
-    * `.aside-__bucket=N` dir whose target is missing is restored; one
-    * whose target exists is a completed swap's leftover and is dropped.
-    * Stale staging dirs are uncommitted by construction and removed.
+  private def bucketExpr(keys: Seq[String], buckets: Int) =
+    pmod(xxhash64(keys.map(col): _*), lit(buckets)).cast("int")
+
+  private def guardReadable(fs: FileSystem, table: Path): Unit =
+    if (ManifestCommit.orphanedGenerations(fs, table))
+      throw new IllegalStateException(
+        s"$table has generation dirs but no ${ManifestCommit.CommitDir} " +
+          "log: bucket layout unknowable; refusing to guess (re-bucketing " +
+          "would silently duplicate keys). Restore the commit log.")
+
+  /** The committed table as a DataFrame, or None before the first merge
+    * lands data. Reads exactly the bucket dirs the current manifest
+    * references.
     */
-  private def recover(fs: FileSystem, table: Path): Unit = {
-    if (!fs.exists(table)) return
-    fs.listStatus(table).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith(".aside-")) {
-        val target = new Path(table, name.stripPrefix(".aside-"))
-        if (!fs.exists(target)) {
-          require(fs.rename(st.getPath, target),
-            s"recovery rename failed: ${st.getPath} -> $target")
-        } else {
-          fs.delete(st.getPath, true)
-        }
-      } else if (name.startsWith(".staging-")) {
-        fs.delete(st.getPath, true)
-      }
+  def readIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
+    val table = new Path(path)
+    val fs = fsFor(spark, table)
+    guardReadable(fs, table)
+    ManifestCommit.latest(fs, table).flatMap { m =>
+      val dirs = m.dirs.values.toSeq.sorted.map(rel => new Path(table, rel).toString)
+      if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
     }
   }
 
-  private val BucketsMarker = ".graft-buckets"
-
-  /** The table's committed bucket count: the marker wins over the caller's
-    * `requested` (which only sizes a NEW table). A mismatched count would
-    * route a key to a different bucket than its existing row — silent
-    * duplicates — so layout is table state, not a per-call choice.
-    *
-    * Bucket dirs WITHOUT a marker mean the layout is unknowable (e.g. a
-    * marker lost to manual deletion): guessing `requested` could re-bucket
-    * existing keys and silently duplicate them, so fail loudly instead.
-    * The marker itself is written BEFORE any bucket dir is published
-    * (see [[merge]]), so a crash can never produce this state.
-    */
-  private def bucketCount(fs: FileSystem, table: Path, requested: Int): Int = {
-    val marker = new Path(table, BucketsMarker)
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-      finally in.close()
-    } else if (fs.exists(table) &&
-        fs.listStatus(table).exists(_.getPath.getName.startsWith(s"$BucketCol="))) {
-      throw new IllegalStateException(
-        s"$table has $BucketCol= dirs but no $BucketsMarker marker: bucket " +
-          "count unknowable; refusing to guess (re-bucketing would silently " +
-          "duplicate keys). Restore the marker with the original count.")
-    } else requested
-  }
-
-  private def writeBucketMarker(fs: FileSystem, table: Path, n: Int): Unit = {
-    val out = fs.create(new Path(table, BucketsMarker), true)
-    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  def read(spark: SparkSession, path: String): DataFrame =
+    readIfExists(spark, path).getOrElse(throw new IllegalStateException(
+      s"$path has no committed merge-sink data"))
 
   def merge(batch: DataFrame, path: String, keys: Seq[String], version: String,
       nBuckets: Int = 16): Unit = {
     val spark = batch.sparkSession
     val table = new Path(path)
-    val fs = fsFor(batch, table)
-    recover(fs, table)
+    val fs = fsFor(spark, table)
+    guardReadable(fs, table)
 
-    val buckets = bucketCount(fs, table, nBuckets)
-    // Marker lands at TABLE CREATION, before any bucket dir exists: a crash
-    // mid-first-merge then leaves published buckets WITH their marker, so a
-    // later merge (even with a different requested nBuckets) reads the
-    // committed count instead of silently re-bucketing keys.
-    if (!fs.exists(new Path(table, BucketsMarker))) {
+    // Table creation commits the bucket count FIRST, before any data
+    // generation exists: a crash mid-first-merge leaves a committed count,
+    // so a later merge (even with a different requested nBuckets) reads
+    // the committed layout instead of silently re-bucketing keys.
+    val manifest = ManifestCommit.latest(fs, table).getOrElse {
       fs.mkdirs(table)
-      writeBucketMarker(fs, table, buckets)
+      val v = ManifestCommit.commit(fs, table, Map("buckets" -> nBuckets.toString))
+      ManifestCommit.Manifest(v, Map("buckets" -> nBuckets.toString))
     }
-    val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(buckets)).cast("int")
-    val batchB = batch.withColumn(BucketCol, bucketOf)
+    val buckets = manifest.entries("buckets").toInt
+
+    val batchB = batch.withColumn(BucketCol, bucketExpr(keys, buckets))
       .withColumn(PrefCol, lit(1)) // incoming outranks current on version ties
       .barrier() // bucket list + merge input: compute the batch once
     val touched = batchB.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return
 
-    val hasTable = fs.exists(table) &&
-      fs.listStatus(table).exists(_.getPath.getName.startsWith(s"$BucketCol="))
+    // Current rows of ONLY the touched buckets: explicit dir reads from
+    // the manifest (partition pruning by construction — untouched bucket
+    // dirs never enter the scan). The bucket column is not stored in the
+    // files; it is recomputed from the keys, which is deterministic.
+    val dirMap = manifest.dirs
+    val currentDirs = touched.toSeq.flatMap(b => dirMap.get(b.toString))
+      .map(rel => new Path(table, rel).toString)
     val current =
-      if (hasTable)
-        Some(spark.read.parquet(path)
-          .filter(col(BucketCol).isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
+      if (currentDirs.nonEmpty)
+        Some(spark.read.parquet(currentDirs: _*)
+          .withColumn(BucketCol, bucketExpr(keys, buckets))
           .withColumn(PrefCol, lit(0)))
       else None
 
@@ -151,30 +125,29 @@ object ParquetMergeSink {
         keys, col(version), col(PrefCol).desc)
       .drop(PrefCol)
 
-    val staging = new Path(table, s".staging-${java.util.UUID.randomUUID()}")
+    // New immutable generation holding the touched buckets' merged rows;
+    // nothing live is overwritten, so a crash before the commit below is
+    // invisible to readers (the orphan dir is vacuumed later).
+    val gen = ManifestCommit.newGeneration(manifest.version + 1)
     merged.write.mode(SaveMode.Overwrite)
-      .partitionBy(BucketCol).parquet(staging.toString)
+      .partitionBy(BucketCol).parquet(new Path(table, gen).toString)
 
-    touched.foreach { b =>
+    val updated = touched.toSeq.flatMap { b =>
       val part = s"$BucketCol=$b"
-      val src = new Path(staging, part)
-      val target = new Path(table, part)
-      val aside = new Path(table, s".aside-$part")
-      if (!fs.exists(src)) {
-        // a touched bucket may legitimately produce no rows (all-null keys
-        // upserted away) — nothing to swap
-      } else {
-        if (fs.exists(target)) {
-          require(fs.rename(target, aside), s"rename aside failed: $target")
-        }
-        if (!fs.rename(src, target)) {
-          // restore and fail loudly rather than leaving the bucket missing
-          if (fs.exists(aside)) fs.rename(aside, target)
-          throw new java.io.IOException(s"rename staging->target failed: $src -> $target")
-        }
-        if (fs.exists(aside)) fs.delete(aside, true)
-      }
+      if (fs.exists(new Path(new Path(table, gen), part)))
+        Some(s"dir.$b" -> s"$gen/$part")
+      else
+        // a touched bucket can produce no output only when neither the
+        // batch nor the current bucket had non-null-keyed rows — carry
+        // the old entry (if any) forward unchanged
+        dirMap.get(b.toString).map(rel => s"dir.$b" -> rel)
     }
-    fs.delete(staging, true)
+    val carried = manifest.entries.filter { case (k, _) =>
+      !k.startsWith("dir.") || !touched.contains(k.stripPrefix("dir.").toInt)
+    }
+    ManifestCommit.commit(fs, table, carried ++ updated)
+    // keep=2: the previous manifest's generations survive one more commit
+    // for in-flight readers; fully superseded generations are reclaimed.
+    ManifestCommit.vacuum(fs, table, keep = 2)
   }
 }

@@ -18,8 +18,13 @@ import org.apache.spark.sql.functions._
   * b-tree indexes on every fact table (db.go:394-524 `CREATE INDEX`
   * statements); a lake gets the same effect from physical layout.
   *
-  * All I/O goes through the Hadoop FileSystem API (file://, hdfs://,
-  * s3a://).
+  * All I/O goes through the Hadoop FileSystem API. Compaction publishes
+  * through [[ManifestCommit]] — immutable generation dirs plus a single
+  * small manifest flip — so its crash guarantee ("whole table at either
+  * generation") holds on object stores too, where directory renames are
+  * non-atomic copies. [[read]] resolves the manifest when one exists and
+  * falls back to a plain directory read otherwise, so both layouts are
+  * served by one call.
   */
 object TableMaintenance {
 
@@ -51,33 +56,55 @@ object TableMaintenance {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(path)
 
-  /** Compact a directory of parquet files toward `targetBytes` per file.
+  /** The directory the current committed generation lives in — `path`
+    * itself for a plain (never-compacted) table.
+    */
+  def resolveDataDir(spark: SparkSession, path: String): String = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ManifestCommit.latest(fs, root).flatMap(_.dirs.get("table"))
+      .map(rel => new Path(root, rel).toString)
+      .getOrElse(path)
+  }
+
+  /** Read a maintained table: manifest-resolved when compaction has run,
+    * plain directory read before that. Safe on a half-migrated table:
+    * generation dirs are `_`-prefixed, which Spark's listing skips, so
+    * the plain fallback never mixes layouts.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(resolveDataDir(spark, path))
+
+  /** Compact a table toward `targetBytes` per file.
     *
     * Streaming sinks and frequent small merges strew thousands of tiny
     * files; each costs a footer round-trip (catastrophic on object
-    * stores) and a scheduler task. Compaction reads the table once and
-    * rewrites it into `ceil(totalBytes / targetBytes)` files — sorted by
-    * `sortKeys` when given, so compaction doubles as the zone-map
-    * restore. The rewrite goes to a staging dir and swaps in via the
-    * same rename discipline as [[ParquetMergeSink]] (stage → aside →
-    * commit), so a crash mid-compaction leaves either the old or the new
-    * layout, never a mix. Returns the output file count.
+    * stores) and a scheduler task. Compaction reads the current
+    * generation once and rewrites it into `ceil(totalBytes/targetBytes)`
+    * files — sorted by `sortKeys` when given, so compaction doubles as
+    * the zone-map restore. The rewrite lands in a NEW immutable
+    * generation dir and is published by a one-small-file manifest commit:
+    * a crash mid-compaction leaves readers on the old generation (the
+    * orphan dir is vacuumed on the next run), never a mix. The first
+    * compaction of a plain directory migrates it to the managed layout
+    * and removes the superseded top-level files after the commit.
+    * Returns the output file count.
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long,
       sortKeys: Seq[String] = Nil): Int = {
     val root = new Path(path)
     val fs: FileSystem =
       root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val aside = new Path(root.getParent, s".aside-${root.getName}")
-    // Crash recovery: an aside with no table is an interrupted swap —
-    // roll back; an aside next to a committed table is leftover — drop.
-    if (fs.exists(aside)) {
-      if (!fs.exists(root)) {
-        if (!fs.rename(aside, root))
-          throw new java.io.IOException(s"compact: cannot roll back $aside")
-      } else fs.delete(aside, true)
+    val manifest = ManifestCommit.latest(fs, root)
+    // A crashed previous compaction leaves an orphan generation that no
+    // manifest references; reclaim it before writing the next one.
+    if (manifest.isDefined) ManifestCommit.vacuum(fs, root, keep = 2)
+    else fs.listStatus(root).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.matches("_g\\d+-[0-9a-f]+"))
+        fs.delete(st.getPath, true)
     }
-    val entries = fs.listStatus(root)
+    val dataDir = new Path(resolveDataDir(spark, path))
+    val entries = fs.listStatus(dataDir)
     val dataFiles = entries
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     // A directory-partitioned table (day=… subdirs) has no top-level data
@@ -91,28 +118,29 @@ object TableMaintenance {
           "partition dir (path/key=value) individually")
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(path)
+    val df = spark.read.parquet(dataDir.toString)
     val shaped =
       if (sortKeys.nonEmpty)
         df.repartitionByRange(nOut, sortKeys.map(col): _*)
           .sortWithinPartitions(sortKeys.map(col): _*)
       else df.repartition(nOut)
-    val staging = new Path(root.getParent, s".compact-${root.getName}")
-    fs.delete(staging, true)
-    shaped.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    // stage → aside → commit: every rename checked; a crash leaves a
-    // whole table at either generation (an orphaned aside is rolled back
-    // by the recovery block at the top of the next compact)
-    if (!fs.rename(root, aside))
-      throw new java.io.IOException(s"compact: cannot set aside $root")
-    if (!fs.rename(staging, root)) {
-      if (!fs.rename(aside, root))
-        throw new java.io.IOException(
-          s"compact: commit failed AND rollback of $aside failed — " +
-            "restore the table manually before reading it")
-      throw new java.io.IOException(s"compact: cannot commit $staging")
+    val gen = ManifestCommit.newGeneration(
+      manifest.map(_.version).getOrElse(0L) + 1L)
+    shaped.write.mode(SaveMode.Overwrite)
+      .parquet(new Path(root, gen).toString)
+    // THE commit: one small file appears; readers resolve to the new
+    // generation from this point on and never observe a partial table.
+    ManifestCommit.commit(fs, root, Map("dir.table" -> gen))
+    ManifestCommit.vacuum(fs, root, keep = 2)
+    // First-compaction migration: the plain top-level files are now
+    // superseded by the committed generation. Removing them is pure
+    // cleanup — a crash mid-delete leaves debris the manifest ignores
+    // and [[read]] never touches.
+    if (manifest.isEmpty)
+      dataFiles.foreach(s => fs.delete(s.getPath, false))
+    fs.listStatus(root).foreach { s =>
+      if (s.isFile && s.getPath.getName == "_SUCCESS") fs.delete(s.getPath, false)
     }
-    fs.delete(aside, true)
     nOut
   }
 }

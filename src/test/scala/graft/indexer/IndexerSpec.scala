@@ -288,13 +288,13 @@ class IndexerSpec extends SparkSpec {
 
     writeRange(100, 102)
     assert(IndexerFlow.runBatch(spark, landing, table) === 3)
-    assert(spark.read.parquet(table).count() === 3)
+    assert(graft.sinks.ParquetMergeSink.read(spark, table).count() === 3)
     // re-run with no new data: nothing ingested, table unchanged
     assert(IndexerFlow.runBatch(spark, landing, table) === 0)
     // new ranged file arrives: only the delta is ingested
     writeRange(103, 104)
     assert(IndexerFlow.runBatch(spark, landing, table) === 2)
-    val heights = spark.read.parquet(table).select("height").collect().map(_.getLong(0)).sorted
+    val heights = graft.sinks.ParquetMergeSink.read(spark, table).select("height").collect().map(_.getLong(0)).sorted
     assert(heights.toSeq === (100L to 104L))
     // the landing zone can also be FED by the source's own write path
     // (e.g. an upstream Spark job republishing an RPC dump): the flow
@@ -302,7 +302,7 @@ class IndexerSpec extends SparkSpec {
     Seq((105L, block(105L))).toDF("height", "block_json")
       .write.format("graft.sources.BlockJsonSource").mode("append").save(landing)
     assert(IndexerFlow.runBatch(spark, landing, table) === 1)
-    assert(spark.read.parquet(table).count() === 6)
+    assert(graft.sinks.ParquetMergeSink.read(spark, table).count() === 6)
   }
 
   test("upsert operators are idempotent under replay") {

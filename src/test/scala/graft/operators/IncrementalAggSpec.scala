@@ -61,8 +61,9 @@ class IncrementalAggSpec extends SparkSpec {
       // from offset 0 and the additive state would double-count
       .option("checkpointLocation", base + "/ckpt")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        IncrementalAgg.advance(spark, statePath, batch, keys, "value")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        IncrementalAgg.advance(spark, statePath, batch, keys, "value",
+          batchId = Some(batchId))
       }
     // three micro-batches, each folded into the parquet state table
     rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { g =>
@@ -70,26 +71,47 @@ class IncrementalAggSpec extends SparkSpec {
       val run = q.start()
       run.awaitTermination()
     }
-    assert(stateSet(spark.read.parquet(statePath)) ===
+    assert(stateSet(IncrementalAgg.readState(spark, statePath).get) ===
       stateSet(IncrementalAgg.partial(ev, keys, "value")))
   }
 
-  test("advance recovers an interrupted state swap instead of resetting to one batch") {
+  test("a crashed advance (generation written, manifest not) is invisible; replay converges") {
     val base = java.nio.file.Files.createTempDirectory("graft-incagg-rec").toString
     val statePath = base + "/state"
     val half = ev.filter(pmod(col("event_id"), lit(2)) === 0)
     val rest = ev.filter(pmod(col("event_id"), lit(2)) === 1)
     IncrementalAgg.advance(spark, statePath, half, keys, "value")
-    // simulate the crash window: committed state moved aside, none at path
-    val root = new org.apache.hadoop.fs.Path(statePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val aside = new org.apache.hadoop.fs.Path(root.getParent, s".aside-${root.getName}")
-    assert(fs.rename(root, aside))
+    // simulate the crash window: a later advance wrote its generation in
+    // full but died before the manifest flip — the committed state must
+    // still be the first batch's fold, and the orphan must not leak in
+    IncrementalAgg.partial(rest, keys, "value")
+      .write.parquet(statePath + "/_g99-deadbeef")
+    assert(stateSet(IncrementalAgg.readState(spark, statePath).get) ===
+      stateSet(IncrementalAgg.partial(half, keys, "value")),
+      "an uncommitted generation must be invisible to readers")
+    // the at-least-once replay of the "crashed" batch now converges
     IncrementalAgg.advance(spark, statePath, rest, keys, "value")
-    // if recovery failed, the state would be just `rest`'s aggregate
-    assert(stateSet(spark.read.parquet(statePath)) ===
+    assert(stateSet(IncrementalAgg.readState(spark, statePath).get) ===
       stateSet(IncrementalAgg.partial(ev, keys, "value")),
-      "first batch's contribution was lost across the simulated crash")
+      "replaying the crashed batch must fold it exactly once")
+  }
+
+  test("a replayed batchId is skipped: state and progress commit together") {
+    val base = java.nio.file.Files.createTempDirectory("graft-incagg-once").toString
+    val statePath = base + "/state"
+    val half = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+    val rest = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+    IncrementalAgg.advance(spark, statePath, half, keys, "value", batchId = Some(0L))
+    // at-least-once delivery replays batch 0: the sink itself must
+    // dedupe it (the documented exactly-once contract), not the caller
+    IncrementalAgg.advance(spark, statePath, half, keys, "value", batchId = Some(0L))
+    assert(stateSet(IncrementalAgg.readState(spark, statePath).get) ===
+      stateSet(IncrementalAgg.partial(half, keys, "value")),
+      "replayed batch must not double-count")
+    IncrementalAgg.advance(spark, statePath, rest, keys, "value", batchId = Some(1L))
+    IncrementalAgg.advance(spark, statePath, rest, keys, "value", batchId = Some(1L))
+    assert(stateSet(IncrementalAgg.readState(spark, statePath).get) ===
+      stateSet(IncrementalAgg.partial(ev, keys, "value")))
   }
 
   test("served view derives avg from exact carried monoids") {

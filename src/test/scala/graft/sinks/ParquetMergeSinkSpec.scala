@@ -9,19 +9,19 @@ class ParquetMergeSinkSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/t"
     val b1 = Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "v", "ver")
     ParquetMergeSink.merge(b1, dir, Seq("k"), "ver")
-    assert(spark.read.parquet(dir).count() === 2)
+    assert(ParquetMergeSink.read(spark, dir).count() === 2)
 
     // newer version wins, older is ignored, replay is a no-op
     val b2 = Seq((1L, "a2", 20L), (3L, "c", 5L)).toDF("k", "v", "ver")
     ParquetMergeSink.merge(b2, dir, Seq("k"), "ver")
     ParquetMergeSink.merge(b2, dir, Seq("k"), "ver") // replay
-    val rows = spark.read.parquet(dir).collect()
+    val rows = ParquetMergeSink.read(spark, dir).collect()
       .map(r => r.getAs[Long]("k") -> (r.getAs[String]("v"), r.getAs[Long]("ver"))).toMap
     assert(rows === Map(1L -> ("a2", 20L), 2L -> ("b", 10L), 3L -> ("c", 5L)))
 
     val b3 = Seq((1L, "stale", 1L)).toDF("k", "v", "ver")
     ParquetMergeSink.merge(b3, dir, Seq("k"), "ver")
-    val after = spark.read.parquet(dir).collect()
+    val after = ParquetMergeSink.read(spark, dir).collect()
       .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
     assert(after(1L) === "a2", "stale version must not overwrite")
   }
@@ -59,9 +59,34 @@ class ParquetMergeSinkSpec extends SparkSpec {
       after.filter(_._1.contains(touchedBucket)) != before.filter(_._1.contains(touchedBucket)),
       "the conflicting bucket must actually be rewritten")
 
-    val rows = spark.read.parquet(dir).collect()
+    val rows = ParquetMergeSink.read(spark, dir).collect()
       .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
     assert(rows.size === 40 && rows(7L) === "v7-new" && rows(8L) === "v8")
+  }
+
+  test("a multi-bucket merge commits atomically: one manifest flip covers all buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink-atomic").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ParquetMergeSink.merge(
+      (1L to 40L).map(k => (k, s"v$k", 1L)).toDF("k", "v", "ver"),
+      dir, Seq("k"), "ver", nBuckets = 4)
+    val v1 = ManifestCommit.latest(fs, new org.apache.hadoop.fs.Path(dir)).get
+    // second merge touches ALL buckets; exactly ONE new manifest version
+    // appears, and every touched bucket's entry moves in that single flip
+    ParquetMergeSink.merge(
+      (1L to 40L).map(k => (k, s"w$k", 2L)).toDF("k", "v", "ver"),
+      dir, Seq("k"), "ver", nBuckets = 4)
+    val v2 = ManifestCommit.latest(fs, new org.apache.hadoop.fs.Path(dir)).get
+    assert(v2.version === v1.version + 1)
+    assert(v2.dirs.keySet === v1.dirs.keySet)
+    assert(v2.dirs.forall { case (b, rel) => v1.dirs(b) != rel },
+      "all four bucket entries must flip in one manifest commit")
+    // data generations are immutable: nothing the old manifest referenced
+    // was overwritten (readers of v1 mid-merge were never disturbed)
+    val rows = ParquetMergeSink.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(rows === (1L to 40L).map(k => k -> s"w$k").toMap)
   }
 
   test("streaming foreachBatch drives the merge sink end to end") {
@@ -79,7 +104,7 @@ class ParquetMergeSinkSpec extends SparkSpec {
       }
       .start()
     q.awaitTermination(60000)
-    val rows = spark.read.parquet(dir).collect()
+    val rows = ParquetMergeSink.read(spark, dir).collect()
       .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
     assert(rows === Map(1L -> "a2", 2L -> "b1", 3L -> "c1"),
       "micro-batches must merge latest-wins into the lake table")
@@ -90,35 +115,54 @@ class ParquetMergeSinkSpec extends SparkSpec {
     ParquetMergeSink.merge(
       (1L to 20L).map(k => (k, s"v$k", 1L)).toDF("k", "v", "ver"),
       dir, Seq("k"), "ver", nBuckets = 8)
-    // second writer passes a DIFFERENT bucket count: the persisted marker
+    // second writer passes a DIFFERENT bucket count: the committed count
     // must win, so the key's existing bucket is still read and merged
     ParquetMergeSink.merge(
       Seq((7L, "v7-new", 2L)).toDF("k", "v", "ver"),
       dir, Seq("k"), "ver", nBuckets = 2)
-    val rows = spark.read.parquet(dir).collect()
+    val rows = ParquetMergeSink.read(spark, dir).collect()
       .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
     assert(rows.size === 20 && rows(7L) === "v7-new",
       "no duplicate key across buckets, update applied in place")
   }
 
-  test("marker lands at creation; bucket dirs without one fail loudly") {
+  test("bucket count commits before data; generations without a log fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink-crash").toString + "/t"
     ParquetMergeSink.merge(
       (1L to 20L).map(k => (k, s"v$k", 1L)).toDF("k", "v", "ver"),
       dir, Seq("k"), "ver", nBuckets = 8)
-    val marker = new java.io.File(dir, ".graft-buckets")
-    assert(marker.isFile, "marker must exist after the creating merge")
-    assert(java.nio.file.Files.readString(marker.toPath).trim === "8")
-    // Simulate the unknowable state (marker lost while bucket dirs exist):
-    // a merge with a DIFFERENT requested count must refuse rather than
-    // re-bucket — silently splitting existing keys across buckets.
-    assert(marker.delete())
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifests = ManifestCommit.committed(fs, root)
+    assert(manifests.head.entries("buckets") === "8",
+      "v1 must pin the bucket count before any data generation exists")
+    // Simulate the unknowable state (commit log lost while generation
+    // dirs exist): a merge must refuse rather than re-bucket — silently
+    // splitting existing keys across buckets — or reset the table.
+    fs.delete(new org.apache.hadoop.fs.Path(root, ManifestCommit.CommitDir), true)
     val ex = intercept[IllegalStateException] {
       ParquetMergeSink.merge(
         Seq((7L, "v7-new", 2L)).toDF("k", "v", "ver"),
         dir, Seq("k"), "ver", nBuckets = 2)
     }
-    assert(ex.getMessage.contains(".graft-buckets"))
+    assert(ex.getMessage.contains("_commits"))
+  }
+
+  test("vacuum keeps the previous generation for in-flight readers, reclaims older") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink-vac").toString + "/t"
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def gens(): Set[String] = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_g"))
+      .map(_.getPath.getName).toSet
+    ParquetMergeSink.merge(Seq((1L, "a", 1L)).toDF("k", "v", "ver"), dir, Seq("k"), "ver", 2)
+    val g1 = gens()
+    ParquetMergeSink.merge(Seq((1L, "b", 2L)).toDF("k", "v", "ver"), dir, Seq("k"), "ver", 2)
+    assert(gens().intersect(g1) === g1, "previous generation must survive one commit")
+    ParquetMergeSink.merge(Seq((1L, "c", 3L)).toDF("k", "v", "ver"), dir, Seq("k"), "ver", 2)
+    assert(gens().intersect(g1).isEmpty, "fully superseded generation must be reclaimed")
+    assert(ParquetMergeSink.read(spark, dir).collect()
+      .map(_.getAs[String]("v")).toSeq === Seq("c"))
   }
 
   test("incoming row wins a version tie (ON CONFLICT DO UPDATE)") {
@@ -129,7 +173,7 @@ class ParquetMergeSinkSpec extends SparkSpec {
     // changed content: the replayed/incoming row must survive
     val b2 = Seq((100L, "new", 100L)).toDF("height", "v", "ver")
     ParquetMergeSink.merge(b2, dir, Seq("height"), "ver")
-    val v = spark.read.parquet(dir).collect().map(_.getAs[String]("v"))
+    val v = ParquetMergeSink.read(spark, dir).collect().map(_.getAs[String]("v"))
     assert(v.toSeq === Seq("new"))
   }
 }

@@ -100,23 +100,29 @@ class TableMaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === ev.count())
   }
 
-  test("compact rolls back an interrupted swap before proceeding") {
+  test("a crashed compaction (generation written, manifest not) is invisible and reclaimed") {
     val out = tmpDir("recover")
     val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
     ev.repartition(4).write.parquet(out)
-    // simulate a crash between set-aside and commit: table dir moved to
-    // .aside-, nothing at the table path
-    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val root = new Path(out)
-    val aside = new Path(root.getParent, s".aside-${root.getName}")
-    assert(fs.rename(root, aside))
+    // simulate the crash window: a compaction wrote its generation dir in
+    // full but died before the manifest commit — readers must still see
+    // the old table, and the orphan must be cleaned up by the next run
+    val half = spark.read.parquet(out).limit(10)
+    half.write.parquet(out + "/_g1-deadbeef")
+    assert(TableMaintenance.read(spark, out).count() === ev.count(),
+      "an uncommitted generation must be invisible to readers")
+    assert(spark.read.parquet(out).count() === ev.count(),
+      "plain reads must skip _-prefixed generation dirs entirely")
     val n = TableMaintenance.compact(spark, out, targetBytes = 1L << 30)
     assert(n === 1)
-    assert(spark.read.parquet(out).count() === ev.count(),
-      "recovery must restore the set-aside generation, not lose it")
+    assert(TableMaintenance.read(spark, out).count() === ev.count(),
+      "compaction after a crash must start from the committed data, not the orphan")
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(out, "_g1-deadbeef")),
+      "the orphan generation must be reclaimed")
   }
 
-  test("compact merges a strewn table into target-size files, content intact") {
+  test("compact merges a strewn table into target-size files via a manifest flip") {
     val out = tmpDir("compact")
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("value"))
@@ -130,16 +136,34 @@ class TableMaintenanceSpec extends SparkSpec {
     val n = TableMaintenance.compact(spark, out, targetBytes = 1L << 30,
       sortKeys = Seq("user_id"))
     assert(n === 1, s"tiny table should compact to one file, got $n")
-    val after = fs.listStatus(new Path(out))
+    val dataDir = TableMaintenance.resolveDataDir(spark, out)
+    assert(dataDir != out, "compaction must publish a managed generation")
+    val after = fs.listStatus(new Path(dataDir))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     assert(after.length === 1)
     // content identical and the zone-map restored (sorted by user_id)
-    val back = spark.read.parquet(out)
+    val back = TableMaintenance.read(spark, out)
     assert(back.count() === ev.count())
     assert(back.agg(sum("event_id")).head.getLong(0) ===
       ev.agg(sum("event_id")).head.getLong(0))
-    assert(fs.listStatus(new Path(out).getParent)
-      .forall(s => !s.getPath.getName.startsWith(".aside-")),
-      "compact must clean up its aside dir")
+    // migration removed the superseded plain files
+    assert(fs.listStatus(new Path(out))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet")) === 0,
+      "first compaction must clean up the superseded top-level files")
+  }
+
+  test("repeated compaction retains a bounded set of generations") {
+    val out = tmpDir("regen")
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("user_id"))
+    ev.repartition(8).write.parquet(out)
+    TableMaintenance.compact(spark, out, targetBytes = 1L << 30, Seq("user_id"))
+    TableMaintenance.compact(spark, out, targetBytes = 1L << 30, Seq("user_id"))
+    TableMaintenance.compact(spark, out, targetBytes = 1L << 30, Seq("user_id"))
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(new Path(out))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_g"))
+    assert(gens.length <= 2,
+      s"vacuum must bound retained generations, found ${gens.length}")
+    assert(TableMaintenance.read(spark, out).count() === ev.count())
   }
 }
