@@ -197,17 +197,23 @@ object IvfIndex {
     * or s3a://.
     */
   def save(spark: org.apache.spark.sql.SparkSession, path: String,
-      centroids: Array[Array[Double]]): Unit = {
+      centroids: Array[Array[Double]],
+      params: Option[String] = None): Unit = {
     import scala.jdk.CollectionConverters._
     val rows = centroids.zipWithIndex.map { case (c, i) =>
-      org.apache.spark.sql.Row(i, c.toSeq)
+      org.apache.spark.sql.Row(i, c.toSeq, params.orNull)
     }.toSeq
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("cell",
         org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("centroid",
         org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType))))
+          org.apache.spark.sql.types.DoubleType)),
+      // training fingerprint, constant per row — rides inside the same
+      // parquet commit as the centroids so index and provenance can
+      // never drift apart (validated by loadOrBuild)
+      org.apache.spark.sql.types.StructField("train_params",
+        org.apache.spark.sql.types.StringType)))
     spark.createDataFrame(rows.asJava, schema)
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
@@ -217,10 +223,32 @@ object IvfIndex {
     spark.read.parquet(path).orderBy("cell")
       .collect().map(_.getSeq[Double](1).toArray)
 
+  /** The training fingerprint a committed index was built with, if the
+    * index carries one (indexes saved before fingerprinting don't).
+    */
+  private def savedParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] = {
+    val df = spark.read.parquet(path)
+    if (!df.columns.contains("train_params")) None
+    else df.select("train_params").limit(1).collect()
+      .headOption.flatMap(r => Option(r.getString(0)))
+  }
+
+  private def fingerprint(k: Int, sampleCap: Int, iters: Int, seed: Long,
+      restarts: Int): String =
+    s"k=$k;sampleCap=$sampleCap;iters=$iters;seed=$seed;restarts=$restarts"
+
   /** Serving entry: load the persisted index if present, else train from
     * the corpus and persist — so the first session after an index build
     * (or a cold cache) pays training once and every later session reads
     * k × dim doubles.
+    *
+    * The committed index's training fingerprint is validated against the
+    * requested parameters: a caller asking for k=32 against an index
+    * saved with k=8 gets a RETRAIN at the requested shape (and the index
+    * is re-persisted), never a silent 8-centroid answer. An index with
+    * no fingerprint (pre-fingerprint format) is treated the same way —
+    * unverifiable provenance retrains rather than guesses.
     */
   def loadOrBuild(corpus: DataFrame, embCol: String, k: Int, indexPath: String,
       sampleCap: Int = 4096, iters: Int = 10, seed: Long = 42L,
@@ -233,11 +261,13 @@ object IvfIndex {
     // commit protocol drops _SUCCESS only on a completed write.
     val committed = fs.exists(p) &&
       fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
-    if (committed) load(spark, indexPath)
+    val wanted = fingerprint(k, sampleCap, iters, seed, restarts)
+    if (committed && savedParams(spark, indexPath).contains(wanted))
+      load(spark, indexPath)
     else {
       val c = centroids(corpus, embCol, k, cacheKey = indexPath,
         sampleCap = sampleCap, iters = iters, seed = seed, restarts = restarts)
-      save(spark, indexPath, c)
+      save(spark, indexPath, c, Some(wanted))
       c
     }
   }

@@ -233,7 +233,11 @@ case class PqAdcScore(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (codes, lut) =>
-      s"${ev.value} = graft.functions.PqAdcScore.compute($codes, $lut);")
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.PqAdcScore.compute($codes, $lut);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqAdcScore =
@@ -243,13 +247,22 @@ case class PqAdcScore(left: Expression, right: Expression)
 }
 
 object PqAdcScore {
-  def compute(codes: ArrayData, lut: ArrayData): Double = {
+  /** Boxed so a shape mismatch can return null (the expression is
+    * nullable, matching [[PqEncode]]'s bad-vector convention): empty
+    * codes would divide by zero inferring `k`, and a lut that is not an
+    * exact multiple of the code count would silently mis-index the
+    * table and score garbage — both are data bugs, not scores.
+    */
+  def compute(codes: ArrayData, lut: ArrayData): java.lang.Double = {
     val m = codes.numElements()
+    if (m == 0 || lut.numElements() % m != 0) return null
     val k = lut.numElements() / m
     var score = 0.0
     var mi = 0
     while (mi < m) {
-      score += lut.getDouble(mi * k + codes.getInt(mi))
+      val code = codes.getInt(mi)
+      if (code < 0 || code >= k) return null
+      score += lut.getDouble(mi * k + code)
       mi += 1
     }
     score

@@ -552,10 +552,15 @@ object Events {
     * frames need (a raw groupBy silently drops absent days). The spine is
     * generated, not scanned: the day range comes from a 1-row global
     * aggregate, `sequence()` explodes it into the bounded day domain, and
-    * the user dim cross-joins it broadcast — O(users × days) rows, never a
-    * function of the event count. The left join back to the per-(user,
-    * day) aggregate is a broadcast join on the tiny spine side at any
-    * corpus scale.
+    * the user dim cross-joins the broadcast DAY list — O(users × days)
+    * rows, never a function of the event count. Note the spine is NOT
+    * small at scale: millions of users × 365 days is a fact-sized frame,
+    * so the left join back to the per-(user, day) aggregate is left to
+    * AQE — a shuffle join on (user_id, day) at scale, with no broadcast
+    * pin on either side (only the 1-row day LIST is broadcast). The
+    * caller bounds the user dim (here `user_id < 10`, the gate's report
+    * cohort); an unbounded gap-fill over all users should densify only
+    * the cohorts a report actually plots.
     */
   def gapFill(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).filter(col("user_id") < 10)

@@ -101,6 +101,45 @@ class SimilaritySpec extends SparkSpec {
     IvfIndex.clearCache()
   }
 
+  test("ivf index with mismatched training params retrains at the requested shape") {
+    import graft.functions.IvfIndex
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-k").toString + "/idx"
+    IvfIndex.clearCache()
+    val built8 = IvfIndex.loadOrBuild(e, "embedding", 8, dir)
+    assert(built8.length === 8)
+    // a caller asking for k=4 against the k=8 index must NOT silently get
+    // 8 centroids back — the fingerprint mismatch forces a retrain
+    IvfIndex.clearCache()
+    val built4 = IvfIndex.loadOrBuild(e, "embedding", 4, dir)
+    assert(built4.length === 4,
+      "requested k must win over a committed index trained differently")
+    // and the re-persisted index now serves k=4 loads
+    IvfIndex.clearCache()
+    val reload4 = IvfIndex.loadOrBuild(e.limit(50), "embedding", 4, dir)
+    assert(built4.flatten.toSeq === reload4.flatten.toSeq)
+    IvfIndex.clearCache()
+  }
+
+  test("pq_adc returns null on malformed shapes instead of garbage scores") {
+    import graft.functions.PqAdcScore
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // (codes, lut): valid m=2,k=2 lut -> 0.1 + 0.4; empty codes; lut not a
+    // multiple of m; out-of-range code index
+    val df = Seq(
+      (Seq(0, 1), Seq(0.1, 0.2, 0.3, 0.4)),
+      (Seq.empty[Int], Seq(0.1, 0.2)),
+      (Seq(0, 1), Seq(0.1, 0.2, 0.3)),
+      (Seq(0, 7), Seq(0.1, 0.2, 0.3, 0.4))
+    ).toDF("codes", "lut")
+    val out = df.select(PqAdcScore(col("codes"), col("lut")).as("s")).collect()
+    assert(math.abs(out(0).getDouble(0) - 0.5) < 1e-12)
+    assert(out(1).isNullAt(0), "empty codes must score null, not divide by zero")
+    assert(out(2).isNullAt(0), "non-multiple lut must score null, not mis-index")
+    assert(out(3).isNullAt(0), "out-of-range code must score null")
+  }
+
   test("embNorms produces one row per label with sane norms") {
     val rows = Similarity.embNorms(spark, sfDir).collect()
     assert(rows.length === 10)
