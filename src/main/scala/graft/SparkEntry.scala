@@ -103,6 +103,7 @@ object SparkEntry {
     "sim_lsh_topk" -> (Similarity.lshTopk _),
     "sim_ivf_topk" -> (Similarity.ivfTopk _),
     "sim_pq_topk" -> (Similarity.pqTopk _),
+    "sim_ivfpq_topk" -> (Similarity.ivfPqTopk _),
     "emb_norms" -> (Similarity.embNorms _),
     "emb_centroids" -> (Similarity.embCentroids _),
     "emb_quantize" -> (Similarity.embQuantize _),
@@ -128,6 +129,9 @@ object SparkEntry {
     "text_lm_score" -> (TextOps.lmScore _),
     // Structured Streaming inside the correctness gate (bounded replay)
     "stream_daily_stats" -> (graft.streaming.EventStream.dailyStatsStreamed _),
+    // watermarked stream-stream interval join (bounded replay), same
+    // oracle as the batch ev_purchase_context
+    "stream_purchase_context" -> (graft.streaming.EventStream.purchaseContextStreamed _),
     // transformWithState (RocksDB store) over the events table; rows-only
     // check — EventStreamSpec pins it against the batch ev_ema
     "stream_ema_scores" -> (graft.streaming.EventStream.emaScoresStreamed _)
@@ -221,7 +225,8 @@ object SparkEntry {
     "text_contamination" -> TextOps.contaminationOracle,
     "text_tfidf" -> TextOps.tfidfOracle,
     "text_lm_score" -> TextOps.lmScoreOracle,
-    "stream_daily_stats" -> graft.streaming.EventStream.dailyStatsStreamedOracle
+    "stream_daily_stats" -> graft.streaming.EventStream.dailyStatsStreamedOracle,
+    "stream_purchase_context" -> Events.purchaseContextOracle
     // dd_minhash_lsh / dd_simhash / sim_lsh_topk: hash families are not
     // SQL-portable — rows-only check; pinned against exact baselines in
     // DedupSpec / SimilaritySpec instead.

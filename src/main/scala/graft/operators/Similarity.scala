@@ -189,6 +189,71 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ composed approximate top-k — the actual 100 TB serving
+    * architecture: the IVF coarse quantizer prunes the corpus to the
+    * `nprobe` probed cells, PQ/ADC scores ONLY those cells' members from
+    * 16-byte codes (never touching raw vectors), and the shortlist joins
+    * back to the corpus for exact cosine re-ranking. Composition, not a
+    * new mechanism: both halves are the offline-trained, cached indexes
+    * of [[ivfTopk]] and [[pqTopk]].
+    *
+    * Why this shape at scale: IVF alone still reads full vectors in the
+    * probed cells (256 B each); PQ alone scans every code in the corpus.
+    * Composed, the per-query work is `(nprobe/nCells) × N × 16 B` of
+    * sequential code reads plus `shortlist` vector fetches — the FAISS
+    * IVFADC layout (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011, §IV). The index (cell + codes per id)
+    * is a plain projection a real deployment would persist partitioned
+    * by cell, making a probe a partition-pruned scan. No SQL oracle
+    * (approximate); recall vs `topkBruteforce` asserted in
+    * SimilaritySpec.
+    */
+  def ivfPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nCells = 32
+    // 8 probes (vs ivfTopk's 6): the ADC stage after the cell cut is an
+    // additional approximation, so buy back recall by probing wider —
+    // still ~25% of the corpus, scored at 16 B/candidate.
+    val nprobe = 8
+    val shortlistK = 24
+    val e = Tables.fanout(Tables.embeddings(spark, dir))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val cents = IvfIndex.centroids(e, "embedding", nCells, cacheKey = dir)
+    val books = PqIndex.codebooks(corpus, "embedding", m = 16, k = 16,
+      cacheKey = dir + "#pq")
+    // The offline index: one row per candidate — cell id + 16 codes.
+    val indexed = corpus.select(
+      element_at(NearestCells(col("embedding"), cents, 1), 1).as("cell"),
+      col("vec_id").as("cand_id"),
+      PqEncode(col("embedding"), books).as("codes"))
+    val qRows = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val queries = qRows
+      .map { case (qid, v) => (qid, PqIndex.lut(v, books), v) }.toSeq
+      .toDF("query_id", "lut", "qe")
+    // Per query: its probed cells, carrying the ADC table to each.
+    val probes = queries.select(col("query_id"), col("lut"),
+      explode(NearestCells(col("qe"), cents, nprobe)).as("cell"))
+    // A candidate lives in exactly one cell → no pair dedup needed.
+    val adc = broadcast(probes).join(indexed, "cell")
+      .select(col("query_id"), col("cand_id"),
+        PqAdcScore(col("codes"), col("lut")).as("adc"))
+    val shortlist = TopKPerKey.perKey(
+      adc, Seq(col("query_id")), Seq(col("adc").desc, col("cand_id")), shortlistK)
+    val fetched = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      .join(broadcast(shortlist.select(col("query_id"), col("cand_id"))), "cand_id")
+      .join(broadcast(queries.select(col("query_id"), col("qe"))), "query_id")
+    TopKPerKey.perKey(
+      fetched.select(col("query_id"), col("cand_id"),
+        CosineSimilarity(col("qe"), col("ce")).as("cos")),
+      Seq(col("query_id")), Seq(col("cos").desc, col("cand_id")), 3)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), trunc4(col("cos")).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Cross-modal join: documents ↔ embeddings on id, per-language norm
     * stats — the text-plus-vector join a multimodal pipeline runs
     * constantly. Embedding side reduced to (id, norm) before the join.

@@ -321,6 +321,80 @@ object EventStream {
     }
   }
 
+  /** The batch `ev_purchase_context` interval join under STREAMING
+    * semantics — a watermarked stream-stream interval join, the
+    * reference's event-correlation surface as live state. Both sides
+    * stream from the events table; a purchase joins the same user's
+    * views in `[pts − 1h, pts)`.
+    *
+    * Zero-view purchases come from a stateless marker branch (one null
+    * row per purchase, unioned with the join output) rather than a
+    * LEFT OUTER join: outer null rows only flush when the watermark
+    * passes `pts` STRICTLY, so the replay's final purchase — sitting
+    * exactly AT the terminal watermark — would be stranded forever (off
+    * by one vs batch, observed before this shape). The inner join's
+    * matches emit on arrival with no eviction dependency at all, the
+    * marker branch is stateless (append emits everything immediately),
+    * and `count(vts)` ignores the marker nulls — so every purchase
+    * appears exactly once with its exact view count. Watermarks still
+    * bound the join state on both sides, which is what makes the same
+    * plan deployable unbounded. The per-purchase count is the bounded
+    * materialization of the append output (a non-windowed group on
+    * purchase_id can't finalize in append mode in-stream; the purchase
+    * domain is the bounded dimension). Gate-checked against the same
+    * DuckDB oracle as the batch query; EventStreamSpec additionally
+    * pins row-for-row equality with `Events.purchaseContext`.
+    */
+  def purchaseContextStreamed(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val conf = spark.conf
+    val prevNanos = conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val name = s"graft_stream_pctx_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    try {
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+        .withWatermark("pts", "0 seconds")
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_uid"), col("ts").as("vts"))
+        .withWatermark("vts", "0 seconds")
+      val joined = purchases.join(views,
+          col("user_id") === col("v_uid") &&
+            col("vts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+            col("vts") < col("pts"))
+        .select(col("purchase_id"), col("vts"))
+      // stateless zero-fill: one null marker per purchase, not counted
+      val markers = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          lit(null).cast("timestamp").as("vts"))
+      val q = joined.unionByName(markers)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = spark.table(name)
+        .groupBy(col("purchase_id"))
+        .agg(count(col("vts")).as("n_views_1h"))
+        .orderBy("purchase_id")
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(rows.asJava, out.schema)
+    } finally {
+      spark.catalog.dropTempView(name)
+      prevNanos.fold(conf.unset("spark.sql.legacy.parquet.nanosAsLong"))(
+        conf.set("spark.sql.legacy.parquet.nanosAsLong", _))
+    }
+  }
+
   val dailyStatsStreamedOracle: String =
     """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        count(*) AS n_events, round(sum(value), 2) AS total_value

@@ -53,6 +53,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"pq recall $recall below floor")
   }
 
+  test("ivf-pq top-k (cell prune + ADC + exact re-rank) reaches minimum recall") {
+    val exact = Similarity.topkBruteforce(spark, sfDir).collect()
+      .filter(_.getAs[Long]("rank") <= 3)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val ivfpq = Similarity.ivfPqTopk(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    // Two stacked approximations (cell cut, then 8-bit codes) bought back
+    // with nprobe=8 and exact re-rank; deterministic via fixed seeds.
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ivf-pq recall $recall below floor")
+  }
+
+  test("ivf-pq re-ranked cosines are exact for returned pairs") {
+    val exact = Similarity.topkBruteforce(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")),
+        r.getAs[Double]("cosine"))).toMap
+    Similarity.ivfPqTopk(spark, sfDir).collect().foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+      exact.get(key).foreach { c =>
+        assert(r.getAs[Double]("cosine") === c,
+          s"ivf-pq cosine for $key diverged from exact")
+      }
+    }
+  }
+
   test("pq re-ranked cosines are exact for returned pairs") {
     // whatever PQ returns, its reported cosine must equal the true cosine
     // (re-rank scores with CosineSimilarity on the fetched vectors — no

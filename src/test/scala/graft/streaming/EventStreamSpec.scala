@@ -263,6 +263,18 @@ class EventStreamSpec extends SparkSpec {
       "the streaming engine must compute exactly what the batch plan computes")
   }
 
+  test("streamed purchase context is row-identical to the batch interval join") {
+    val streamed = EventStream.purchaseContextStreamed(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batch = graft.operators.Events.purchaseContext(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.length === batch.length,
+      "every purchase must appear exactly once — including zero-view " +
+        "purchases flushed by the watermark's no-data batch")
+    assert(streamed.toSeq === batch.toSeq,
+      "the stream-stream interval join must compute exactly the batch join")
+  }
+
   test("transformWithState maintains per-user EMA across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
