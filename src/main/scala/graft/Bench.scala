@@ -28,10 +28,14 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       Tables.releaseIntermediates(spark)
     }
-    // Min of two timed runs per query: steady-state throughput, robust to
-    // one-off GC/scheduler noise. Checkpoint blocks are released AFTER the
-    // clock stops — each query still pays its own materialization cost,
-    // but queries don't tax each other through block-manager pressure.
+    // Three timed runs per query. `queries` carries the MIN (steady-state
+    // throughput, robust to one-off GC/scheduler noise — the number to
+    // compare against a baseline), and `spread` carries min/median/max so
+    // published claims reflect run-to-run variance instead of the best
+    // observed number. Checkpoint blocks are released AFTER the clock
+    // stops — each query still pays its own materialization cost, but
+    // queries don't tax each other through block-manager pressure.
+    val timedRuns = 3
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -39,13 +43,19 @@ object Bench {
       Tables.releaseIntermediates(spark)
       dt
     }
-    val results = selected.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+    val samples = selected.map { case (name, fn) =>
+      name -> Seq.fill(timedRuns)(timeOnce(fn)).sorted
     }
+    val results = samples.map { case (name, ts) => name -> ts.head }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spread = samples.map { case (k, ts) =>
+      "\"" + k + "\":{\"min\":" + ts.head + ",\"med\":" + ts(ts.size / 2) +
+        ",\"max\":" + ts.last + "}"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalMax = if (samples.nonEmpty) samples.values.map(_.last).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$timedRuns,"total_max":$totalMax,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
