@@ -59,6 +59,72 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(plain - salted) < 1e-6)
   }
 
+  test("AQE splits a skewed join at runtime; manual salt remains the aggregation-skew tool") {
+    import spark.implicits._
+    // Deliberate skew: one hot key carries ~200k rows, 50 cold keys ~100
+    // each — the 100 TB shape where one user/topic dominates the stream.
+    val skewed = spark.range(200000)
+      .select(lit(0L).as("k"), (col("id") % 1000).cast("double").as("v"))
+      .union(spark.range(5000)
+        .select((col("id") % 50 + 1).as("k"), col("id").cast("double").as("v")))
+    val dim = spark.range(51).select(col("id").as("k"),
+      concat(lit("n"), col("id")).as("name"))
+    val confs = Seq(
+      // force the shuffle join (broadcast would hide the skew entirely —
+      // at scale the dim may be broadcast, and then skew is moot)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // shrink AQE's size thresholds so this test-sized hot partition
+      // counts as skewed (defaults target 256 MB partitions)
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val joined = skewed.join(dim, "k")
+      // execute THIS frame's own query execution (count() would build a
+      // separate one and leave this plan un-adapted)
+      val n = joined.collect().length
+      assert(n === 205000)
+      val plan = joined.queryExecution.executedPlan.toString
+      // the hot key's partition must be SPLIT by the runtime rule — the
+      // cluster-side answer to join skew, no salting code needed
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed SMJ (expected skew=true):\n$plan")
+      // and the manual replication join computes the same rows when AQE
+      // isn't available (legacy clusters, or joins AQE can't split)
+      val salted = Scale.saltedJoin(skewed, dim, "k", 8)
+      assert(salted.count() === n)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+
+    // Where the manual salt STILL wins: aggregation skew. AQE's skew rule
+    // only rewrites joins — a groupBy's hot key cannot be split at
+    // runtime because the final aggregate needs the whole group on one
+    // reducer. For ALGEBRAIC aggs Spark's map-side partial aggregation
+    // already absorbs most of it (assert: a partial HashAggregate sits
+    // below the exchange), and saltedSumCount is the explicit two-phase
+    // form — exact, and the tool of choice when partial agg is
+    // ineffective (e.g. exact-distinct state or extreme single-key skew
+    // concentrated in few input partitions).
+    val plainAgg = skewed.groupBy("k")
+      .agg(sum("v").as("total"), count(lit(1)).as("n"))
+    val aggPlan = plainAgg.queryExecution.executedPlan.toString
+    assert(aggPlan.split("Exchange").head.contains("HashAggregate"),
+      s"expected a map-side partial aggregate below the exchange:\n$aggPlan")
+    val direct = plainAgg.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val salted = Scale.saltedSumCount(skewed, "k", "v", 8)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Double]("total"), r.getAs[Long]("n"))).toMap
+    assert(salted.keySet === direct.keySet)
+    salted.foreach { case (k, (t, n)) =>
+      assert(n === direct(k)._2 && math.abs(t - direct(k)._1) < 1e-6)
+    }
+  }
+
   test("bucketed range join is row-identical to the naive range join and hash-planned") {
     val e = Tables.events(spark, sfDir).select("event_id", "event_type", "value")
     val ranges = spark.createDataFrame(Seq(

@@ -152,6 +152,46 @@ class TableMaintenanceSpec extends SparkSpec {
       "first compaction must clean up the superseded top-level files")
   }
 
+  test("schema evolution: a column-added ingest generation reads back merged") {
+    // The reference versions its store schema with sql-migrations/; a
+    // parquet lake evolves per-file — each ingest generation may add
+    // columns, and mergeSchema unifies them at read time with nulls for
+    // files written before the column existed.
+    val out = tmpDir("evolve")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val days = ev.select("day").distinct().orderBy("day")
+      .collect().map(_.getString(0))
+    val (oldDays, newDay) = (days.init.toSet, days.last)
+    // generation 1: the original schema, all but the last day
+    TableMaintenance.writePartitioned(
+      ev.filter(col("day").isin(oldDays.toSeq: _*)), out, Seq("day"))
+    // generation 2: a later ingest adds a quality-score column — a pure
+    // directory add, exactly how the daily pipeline ships schema change
+    ev.filter(col("day") === newDay)
+      .withColumn("quality", col("value") * 2)
+      .write.mode("append").partitionBy("day").parquet(out)
+
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.contains("quality"),
+      "merged schema must surface the added column")
+    assert(merged.count() === ev.count())
+    // rows from before the column existed read as null, new rows carry it
+    assert(merged.filter(col("day") =!= newDay)
+      .filter(col("quality").isNotNull).count() === 0)
+    val newRows = merged.filter(col("day") === newDay)
+    assert(newRows.filter(col("quality").isNull).count() === 0)
+    assert(newRows.filter(col("quality") =!= col("value") * 2).count() === 0)
+    // directory pruning survives schema merge: day predicates still land
+    // in PartitionFilters, so old-generation files are never even listed
+    val q = merged.filter(col("day") === newDay)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("day"),
+      s"schema-merged read lost partition pruning:\n$scan")
+  }
+
   test("repeated compaction retains a bounded set of generations") {
     val out = tmpDir("regen")
     val ev = Tables.events(spark, sfDir).select(col("event_id"), col("user_id"))
