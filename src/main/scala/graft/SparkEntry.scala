@@ -97,6 +97,7 @@ object SparkEntry {
     "dd_embedding_cos" -> (Dedup.embeddingCos _),
     "dd_components" -> (Dedup.components _),
     "dd_exact_clusters" -> (Dedup.exactClusters _),
+    "dd_incremental" -> (Dedup.incremental _),
     "dd_embedding_blocked" -> (Dedup.embeddingCosBlocked _),
     // Similarity search
     "sim_topk_bruteforce" -> (Similarity.topkBruteforce _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "pack_token_budget" -> (Sampling.packTokenBudget _),
     "text_contamination" -> (TextOps.contamination _),
     "text_tfidf" -> (TextOps.tfidf _),
+    "text_ngram_novelty" -> (TextOps.ngramNovelty _),
     "text_lm_score" -> (TextOps.lmScore _),
     // Structured Streaming inside the correctness gate (bounded replay)
     "stream_daily_stats" -> (graft.streaming.EventStream.dailyStatsStreamed _),
@@ -210,6 +212,7 @@ object SparkEntry {
     "dd_embedding_cos" -> Dedup.embeddingCosOracle,
     "dd_components" -> Dedup.componentsOracle,
     "dd_exact_clusters" -> Dedup.exactClustersOracle,
+    "dd_incremental" -> Dedup.incrementalOracle,
     "sim_topk_bruteforce" -> Similarity.topkBruteforceOracle,
     "emb_norms" -> Similarity.embNormsOracle,
     "emb_centroids" -> Similarity.embCentroidsOracle,
@@ -224,6 +227,7 @@ object SparkEntry {
     "pack_token_budget" -> Sampling.packTokenBudgetOracle,
     "text_contamination" -> TextOps.contaminationOracle,
     "text_tfidf" -> TextOps.tfidfOracle,
+    "text_ngram_novelty" -> TextOps.ngramNoveltyOracle,
     "text_lm_score" -> TextOps.lmScoreOracle,
     "stream_daily_stats" -> graft.streaming.EventStream.dailyStatsStreamedOracle,
     "stream_purchase_context" -> Events.purchaseContextOracle

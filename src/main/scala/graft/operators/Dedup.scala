@@ -389,6 +389,59 @@ object Dedup {
        FROM documents GROUP BY md5(text)
        HAVING count(*) > 1 ORDER BY 1"""
 
+  /** Incremental corpus dedup: a NEW ingest batch deduped against the
+    * EXISTING corpus — the daily-ingest shape at 100 TB. The history side
+    * is ONLY its fingerprint column (16 bytes/doc, the persisted dedup
+    * index a real lake maintains as a bucketed table — never the text);
+    * the batch dedups within itself first (keep the lowest doc_id per
+    * fingerprint), then a left-anti join on the fingerprint drops
+    * everything the corpus already holds. Both joins shuffle on the
+    * digest, so cost is O(batch + index), never O(corpus text).
+    *
+    * The batch is built deterministically to exercise the real failure
+    * modes: fresh docs (doc_id % 5 = 0), re-crawled corpus docs under
+    * NEW ids (+1,000,000 — the same page fetched again), and an
+    * intra-batch double-submit (+2,000,000).
+    */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanout(Tables.documents(spark, dir))
+    def fp(c: Column): Column =
+      md5(regexp_replace(lower(trim(c)), "\\s+", " ").cast("binary"))
+    val base = d.select(col("doc_id"), col("lang"), col("source"),
+      fp(col("text")).as("fp"))
+    val corpusIndex = base.filter(col("doc_id") % 5 =!= 0)
+      .select(col("fp")).distinct()
+    val batch = base.filter(col("doc_id") % 5 === 0)
+      .unionByName(base.filter(col("doc_id") % 7 === 1)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      .unionByName(base.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    batch.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .join(corpusIndex, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("fp"))
+      .orderBy("doc_id")
+  }
+
+  val incrementalOracle: String =
+    """WITH f AS (
+         SELECT doc_id, lang, source,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents),
+       corpus AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 <> 0),
+       batch AS (
+         SELECT * FROM f WHERE doc_id % 5 = 0
+         UNION ALL
+         SELECT doc_id + 1000000, lang, source, fp FROM f WHERE doc_id % 7 = 1
+         UNION ALL
+         SELECT doc_id + 2000000, lang, source, fp FROM f WHERE doc_id % 10 = 0),
+       bd AS (
+         SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         FROM batch)
+       SELECT doc_id, lang, source, fp FROM bd
+       WHERE rn = 1 AND fp NOT IN (SELECT fp FROM corpus)
+       ORDER BY doc_id"""
+
   /** 64-bit SimHash over word frequencies + 16-bit band blocking; pairs at
     * hamming distance ≤ 3 are near-duplicates. No SQL oracle (hash family
     * not portable); spec-pinned against `ngramJaccard`.

@@ -233,6 +233,57 @@ object TextOps {
     * term, nothing corpus-sized is broadcast (the 1-row corpus count is).
     * Final ranking runs on the TopKPerKey bounded heap, not a full sort.
     */
+  /** Per-document novel-trigram rate: the fraction of a doc's distinct
+    * word 3-grams not seen in any LOWER-doc_id document — the corpus-
+    * order novelty profile a pretraining pipeline tracks to find
+    * template/boilerplate-dominated sources (low novelty late in the
+    * crawl) and to size dedup aggressiveness.
+    *
+    * Shape: one explode to distinct (doc, trigram) pairs, a two-phase
+    * min-aggregate for each trigram's first-seen doc (map-side combine
+    * absorbs hot boilerplate trigrams — a window over the trigram would
+    * buffer whole partitions instead), and a join back on the trigram.
+    * At 100 TB the join key would be xxhash64(trigram) — constant width;
+    * the string key is kept here for engine-portable oracle parity.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.fanout(Tables.documents(spark, dir))
+    val tri = d.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(
+          sequence(lit(0), size(col("ws")) - 3),
+          i => concat_ws(" ",
+            element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2),
+            element_at(col("ws"), i + 3))))).as("ng"))
+    val firsts = tri.groupBy(col("ng")).agg(min(col("doc_id")).as("first_doc"))
+    tri.join(firsts, "ng")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
+        (floor(col("n_novel") * lit(1e4) / col("n_ngrams")) / lit(1e4)).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val ngramNoveltyOracle: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                  FROM documents),
+       t AS (SELECT doc_id,
+               unnest(list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                 FOR i IN generate_series(1, len(ws) - 2)])) AS ng
+             FROM w WHERE len(ws) >= 3),
+       f AS (SELECT ng, min(doc_id) AS first_doc FROM t GROUP BY 1)
+       SELECT t.doc_id, count(*) AS n_ngrams,
+         CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+         floor(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+           * 1e4 / count(*)) / 1e4 AS novelty
+       FROM t JOIN f USING (ng)
+       GROUP BY 1 ORDER BY 1"""
+
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.fanout(Tables.documents(spark, dir))
     val terms = d.select(col("doc_id"), col("lang"), explode(words(col("text"))).as("term"))

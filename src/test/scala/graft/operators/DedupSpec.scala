@@ -85,6 +85,25 @@ class DedupSpec extends SparkSpec {
     assert(local.nonEmpty)
   }
 
+  test("incremental dedup drops re-crawls and double-submits, keeps fresh docs") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.incremental(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id"))
+    // re-crawled corpus docs (+1,000,000 ids) must ALL be dropped by the
+    // anti-join against the corpus fingerprint index...
+    val recrawls = out.filter(id => id >= 1000000L && id < 2000000L)
+    assert(recrawls.isEmpty, s"re-crawled docs survived: ${recrawls.toSeq}")
+    // ...and the batch's double-submitted copies (+2,000,000) lose the
+    // within-batch tie to the lower original id
+    val doubles = out.filter(_ >= 2000000L)
+    assert(doubles.isEmpty, s"double-submits survived: ${doubles.toSeq}")
+    // fresh docs (batch-only fingerprints) all survive
+    val fresh = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(out.length === fresh.toInt,
+      s"expected $fresh fresh survivors, got ${out.length}")
+  }
+
   test("embeddingCos output is symmetric-free and above threshold") {
     val rows = Dedup.embeddingCos(spark, sfDir).collect()
     rows.foreach { r =>

@@ -33,6 +33,31 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).sum === Tables.documents(spark, sfDir).count())
   }
 
+  test("ngram novelty: doc 0 is fully novel, rates bounded, counts partition") {
+    val rows = TextOps.ngramNovelty(spark, sfDir).collect()
+    val byDoc = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_novel"), r.getAs[Double]("novelty"))).toMap
+    // the lowest doc_id in the corpus can only contain first-seen trigrams
+    val firstDoc = byDoc.keys.min
+    assert(byDoc(firstDoc)._1 === byDoc(firstDoc)._2,
+      "the first document's trigrams are all novel by definition")
+    byDoc.values.foreach { case (n, novel, rate) =>
+      assert(novel <= n && rate >= 0.0 && rate <= 1.0)
+    }
+    // every distinct trigram is novel in exactly ONE document: the novel
+    // counts must sum to the corpus's distinct-trigram count
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.documents(spark, sfDir)
+    val distinctTris = d.select(split(trim(col("text")), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(explode(array_distinct(transform(
+        sequence(lit(0), size(col("ws")) - 3),
+        i => concat_ws(" ", element_at(col("ws"), i + 1),
+          element_at(col("ws"), i + 2), element_at(col("ws"), i + 3))))).as("ng"))
+      .select("ng").distinct().count()
+    assert(byDoc.values.map(_._2).sum === distinctTris)
+  }
+
   test("lm cross-entropy is positive, bounded, and replay-stable") {
     val r1 = TextOps.lmScore(spark, sfDir).collect()
     assert(r1.nonEmpty)
