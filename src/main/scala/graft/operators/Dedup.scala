@@ -193,16 +193,17 @@ object Dedup {
     val bs = (0 until nPerm).map(i => ((i + 1L) * 40503L * 69069L) % P)
 
     // Signature is a pure projection over the per-doc shingle array — no
-    // explode, no shuffle: 64 array_min(transform(...)) expressions stay
-    // inside whole-stage codegen on a single corpus scan.
+    // explode, no shuffle — and ONE native codegen'd pass over the array
+    // (graft.functions.MinHashSig): the earlier 64 ×
+    // array_min(transform(...)) form walked the array 64 times through
+    // interpreted HOF eval and allocated 64 intermediate arrays per doc,
+    // dominating the query (same lesson as SimHash64).
     val hashed = shingles.select(
       col("doc_id"),
       transform(col("shingles"), s => pmod(xxhash64(s), lit(P))).as("xs"))
     val sigArr = hashed.select(
       col("doc_id"),
-      array((0 until nPerm).map(i =>
-        array_min(transform(col("xs"), x => pmod(lit(as(i)) * x + lit(bs(i)), lit(P))))): _*)
-        .as("sig"))
+      graft.functions.MinHashSig(col("xs"), as, bs).as("sig"))
       // both sides of the band self-join read this — materialize once
       .barrier()
     val bandedAll = sigArr.select(
