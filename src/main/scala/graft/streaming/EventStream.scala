@@ -352,6 +352,14 @@ object EventStream {
     val conf = spark.conf
     val prevNanos = conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // A stream-stream join spins FOUR state stores per shuffle partition;
+    // at 32 partitions that is 128 store lifecycles for a bounded replay
+    // whose state fits in a handful. Cap the width for this query (the
+    // dominant cost is store setup, not data) and restore after. An
+    // unbounded deployment sizes this to its key cardinality instead.
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = conf.getOption(shufKey)
+    conf.set(shufKey, math.min(8, conf.get(shufKey, "8").toInt).toString)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
@@ -392,6 +400,7 @@ object EventStream {
       spark.catalog.dropTempView(name)
       prevNanos.fold(conf.unset("spark.sql.legacy.parquet.nanosAsLong"))(
         conf.set("spark.sql.legacy.parquet.nanosAsLong", _))
+      prevShuf.fold(conf.unset(shufKey))(conf.set(shufKey, _))
     }
   }
 
