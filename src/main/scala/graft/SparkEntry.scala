@@ -77,6 +77,8 @@ object SparkEntry {
     "ev_band_join" -> (Events.bandJoin _),
     "ev_daily_incremental" -> (IncrementalAgg.dailyStatsIncremental _),
     "ev_browse_abandon" -> (Events.browseAbandon _),
+    "ev_transition_matrix" -> (Events.transitionMatrix _),
+    "ev_attribution" -> (Events.attribution _),
     "samp_target_mix" -> (Sampling.targetMix _),
     // Text analysis
     "text_tokens" -> (TextOps.tokens _),
@@ -196,6 +198,8 @@ object SparkEntry {
     "ev_band_join" -> Events.bandJoinOracle,
     "ev_daily_incremental" -> IncrementalAgg.dailyStatsIncrementalOracle,
     "ev_browse_abandon" -> Events.browseAbandonOracle,
+    "ev_transition_matrix" -> Events.transitionMatrixOracle,
+    "ev_attribution" -> Events.attributionOracle,
     "samp_target_mix" -> Sampling.targetMixOracle,
     "text_tokens" -> TextOps.tokensOracle,
     "text_quality" -> TextOps.qualityOracle,

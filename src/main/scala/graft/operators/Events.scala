@@ -829,6 +829,82 @@ object Events {
     * Reference analog: the multi-step inference→forecast→score ordering
     * checks the indexer applies within a block's messages.
     */
+  /** Event-type Markov transition matrix: counts and row-normalized
+    * probabilities of consecutive (prev → next) event types per user —
+    * the sequence-structure profile behind session modeling and
+    * anomaly detection on event streams. One per-user window (lag on the
+    * in-stream order key) feeding one hash aggregation; the normalizing
+    * window runs on the AGGREGATED frame, whose domain is |types|² rows —
+    * bounded regardless of corpus size.
+    */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val pairs = e.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val agg = pairs.groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val norm = Window.partitionBy(col("prev_type"))
+    agg
+      .withColumn("p", floor(col("n") * lit(1e4) / sum(col("n")).over(norm)) / lit(1e4))
+      .select(col("prev_type"), col("event_type").as("next_type"), col("n"), col("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val transitionMatrixOracle: String =
+    """WITH s AS (
+         SELECT event_type,
+                lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+                  AS prev_type
+         FROM events),
+       a AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+             FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+       SELECT prev_type, next_type, n,
+              floor(n * 1e4 / sum(n) OVER (PARTITION BY prev_type)) / 1e4 AS p
+       FROM a ORDER BY 1, 2"""
+
+  /** Last-touch attribution: each purchase is credited to the nearest
+    * PRECEDING non-purchase event of the same user (the classic
+    * marketing-attribution rule), rolled up to channel totals. The
+    * carry-forward is `last(..., ignoreNulls)` over an unbounded-
+    * preceding row frame — per-user state, one shuffle, no self-join;
+    * purchases with no prior activity credit "none".
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attributed = e
+      .withColumn("attr", last(
+        when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("attr"), lit("none")).as("attributed_type"))
+    val total = Window.partitionBy(lit(1))
+    attributed.groupBy(col("attributed_type"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .withColumn("share",
+        floor(col("n_purchases") * lit(1e4) / sum(col("n_purchases")).over(total)) / lit(1e4))
+      .orderBy("attributed_type")
+  }
+
+  val attributionOracle: String =
+    """WITH s AS (
+         SELECT event_type,
+                last_value(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS attr
+         FROM events),
+       p AS (SELECT coalesce(attr, 'none') AS attributed_type
+             FROM s WHERE event_type = 'purchase')
+       SELECT attributed_type, count(*) AS n_purchases,
+              floor(count(*) * 1e4 / sum(count(*)) OVER ()) / 1e4 AS share
+       FROM p GROUP BY 1 ORDER BY 1"""
+
   def browseAbandon(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
