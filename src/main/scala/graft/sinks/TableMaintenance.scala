@@ -75,6 +75,173 @@ object TableMaintenance {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(resolveDataDir(spark, path))
 
+  private def encPart(name: String): String =
+    java.net.URLEncoder.encode(name, "UTF-8")
+  private def decPart(key: String): String =
+    java.net.URLDecoder.decode(key, "UTF-8")
+
+  /** Read a directory-partitioned table maintained by
+    * [[compactPartitioned]]: the union of (a) every partition the current
+    * manifest references — grouped by generation so each group reads with
+    * `basePath` and keeps its partition column and directory pruning —
+    * and (b) any plain `key=value` dirs at the root, which are either
+    * not-yet-compacted ingest partitions or late data appended into an
+    * already-compacted partition. Ingest keeps writing plain partition
+    * dirs exactly as before; compaction absorbs them on its next run.
+    */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = ManifestCommit.latest(fs, root)
+    val entries = m.map(_.dirs).getOrElse(Map.empty)
+    val managed = entries.toSeq
+      .map { case (k, rel) => (decPart(k), rel) }
+      .groupBy(_._2.split("/").head)
+      .map { case (gen, parts) =>
+        spark.read.option("basePath", new Path(root, gen).toString)
+          .parquet(parts.map(p => new Path(root, p._2).toString): _*)
+      }.toSeq
+    // Plain files, EXCLUDING any an already-committed generation absorbed
+    // (they linger only in the crash window between a compaction's commit
+    // and its cleanup — reading them would double-count).
+    val absorbed: Map[String, Set[String]] =
+      m.map(_.entries).getOrElse(Map.empty)
+        .collect { case (k, v) if k.startsWith("absorbed.") =>
+          decPart(k.stripPrefix("absorbed.")) ->
+            v.split(",").filter(_.nonEmpty).toSet
+        }
+    val plainFiles =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap { d =>
+          val skip = absorbed.getOrElse(d.getPath.getName, Set.empty)
+          fs.listStatus(d.getPath).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+              !skip.contains(s.getPath.getName))
+            .map(_.getPath.toString)
+        }
+    val plain =
+      if (plainFiles.isEmpty) Seq.empty
+      else Seq(spark.read.option("basePath", root.toString).parquet(plainFiles: _*))
+    val branches = managed ++ plain
+    require(branches.nonEmpty, s"readPartitioned: no data at $path")
+    branches.reduce(_.unionByName(_))
+  }
+
+  /** Compact every partition of a directory-partitioned table toward
+    * `targetBytes` per file, committing ALL rewritten partitions in one
+    * manifest flip — atomic across partitions, which Hive-style dynamic
+    * partition overwrite is not. Only partitions whose current file
+    * count exceeds their target are rewritten; the rest carry their
+    * manifest entries (or plain dirs) forward untouched, so the nightly
+    * run over a years-deep table costs O(recently-ingested partitions).
+    * A partition with BOTH a managed generation and late plain data is
+    * merged and the plain dir retired after the commit. Returns the
+    * partitions rewritten this run.
+    */
+  def compactPartitioned(spark: SparkSession, path: String, targetBytes: Long,
+      sortKeys: Seq[String] = Nil): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = ManifestCommit.latest(fs, root)
+    if (manifest.isDefined) ManifestCommit.vacuum(fs, root, keep = 2)
+    else fs.listStatus(root).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.matches("_g\\d+-[0-9a-f]+"))
+        fs.delete(st.getPath, true) // crashed-run orphan, unreferenced
+    }
+    val entries = manifest.map(_.dirs).getOrElse(Map.empty)
+    val plainParts = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName)
+    val allParts = (entries.keys.map(decPart) ++ plainParts).toSeq.distinct.sorted
+
+    def filesUnder(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+
+    // Absorbed-file bookkeeping closes the crash window between commit
+    // and plain-file cleanup: each commit records exactly WHICH plain
+    // files it folded into the new generation (`absorbed.<part>`), so a
+    // crash mid-delete can never cause a double-absorb — leftover
+    // absorbed files are deleted on sight next run, and only files NOT
+    // on the list count as fresh late data.
+    val prevEntries = manifest.map(_.entries).getOrElse(Map.empty)
+    def absorbedOf(part: String): Set[String] =
+      prevEntries.get(s"absorbed.${encPart(part)}")
+        .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+    val work = allParts.flatMap { part =>
+      val managedDir = entries.get(encPart(part)).map(rel => new Path(root, rel))
+      val plainDir = Some(new Path(root, part)).filter(p => fs.exists(p))
+      val absorbed = absorbedOf(part)
+      // cleanup retry: absorbed files that survived a crashed delete
+      plainDir.foreach { p =>
+        filesUnder(p).filter(f => absorbed.contains(f.getPath.getName))
+          .foreach(f => fs.delete(f.getPath, false))
+        if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, false)
+      }
+      val lateFiles = plainDir.toSeq.flatMap(filesUnder)
+        .filterNot(f => absorbed.contains(f.getPath.getName))
+      val files = managedDir.toSeq.flatMap(filesUnder) ++ lateFiles
+      if (files.isEmpty) None
+      else {
+        val bytes = files.map(_.getLen).sum
+        val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        // rewrite when strewn, or whenever late plain data must fold into
+        // an existing managed generation (two sources -> one)
+        if (files.size > nOut || (managedDir.isDefined && lateFiles.nonEmpty))
+          Some((part, managedDir, lateFiles, nOut))
+        else None
+      }
+    }
+    if (work.isEmpty) return Seq.empty
+
+    val gen = ManifestCommit.newGeneration(
+      manifest.map(_.version).getOrElse(0L) + 1L)
+    work.foreach { case (part, managedDir, lateFiles, nOut) =>
+      val srcs = managedDir.map(_.toString).toSeq ++
+        lateFiles.map(_.getPath.toString)
+      val df = spark.read.parquet(srcs: _*)
+      val shaped =
+        if (sortKeys.nonEmpty)
+          df.repartitionByRange(nOut, sortKeys.map(col): _*)
+            .sortWithinPartitions(sortKeys.map(col): _*)
+        else df.repartition(nOut)
+      shaped.write.mode(SaveMode.Overwrite)
+        .parquet(new Path(root, s"$gen/$part").toString)
+    }
+    val updated = work.flatMap { case (part, _, lateFiles, _) =>
+      Seq(s"dir.${encPart(part)}" -> s"$gen/$part") ++
+        (if (lateFiles.nonEmpty)
+           Seq(s"absorbed.${encPart(part)}" ->
+             lateFiles.map(_.getPath.getName).mkString(","))
+         else Seq.empty)
+    }.toMap
+    val carried = prevEntries.filter { case (k, _) =>
+      val isDir = k.startsWith("dir.")
+      val isAbs = k.startsWith("absorbed.")
+      // absorbed markers only carry while their partition's files may
+      // still exist; a rewritten partition gets a fresh (or no) marker
+      (!isDir && !isAbs && !updated.contains(k)) ||
+        (isDir && !updated.contains(k)) ||
+        (isAbs && !updated.contains(k) &&
+          !updated.contains("dir." + k.stripPrefix("absorbed.")))
+    }
+    // THE commit: every rewritten partition flips in this one small file
+    ManifestCommit.commit(fs, root, carried ++ updated)
+    ManifestCommit.vacuum(fs, root, keep = 2)
+    // retire exactly the files this commit absorbed (pure cleanup: a
+    // crash here is healed by the absorbed-list retry above)
+    work.foreach { case (part, _, lateFiles, _) =>
+      lateFiles.foreach(f => fs.delete(f.getPath, false))
+      val p = new Path(root, part)
+      if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, false)
+    }
+    work.map(_._1)
+  }
+
   /** Compact a table toward `targetBytes` per file.
     *
     * Streaming sinks and frequent small merges strew thousands of tiny
@@ -114,8 +281,8 @@ object TableMaintenance {
     if (dataFiles.isEmpty && entries.exists(s =>
         s.isDirectory && s.getPath.getName.contains("=")))
       throw new IllegalArgumentException(
-        s"compact: $path is directory-partitioned — compact each " +
-          "partition dir (path/key=value) individually")
+        s"compact: $path is directory-partitioned — use compactPartitioned, " +
+          "which rewrites strewn partitions and commits them atomically")
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(dataDir.toString)

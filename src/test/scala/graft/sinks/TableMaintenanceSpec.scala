@@ -192,6 +192,91 @@ class TableMaintenanceSpec extends SparkSpec {
       s"schema-merged read lost partition pruning:\n$scan")
   }
 
+  test("compactPartitioned: strewn partitions compact atomically, content and pruning intact") {
+    val out = tmpDir("pcompact")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    // strewn ingest: many small files inside each day partition
+    ev.repartition(8).write.partitionBy("day").parquet(out)
+    val total = ev.count()
+    val days = ev.select("day").distinct().count()
+
+    val rewritten = TableMaintenance.compactPartitioned(
+      spark, out, targetBytes = 1L << 30, sortKeys = Seq("user_id"))
+    assert(rewritten.size === days.toInt,
+      s"all $days strewn partitions should compact, got ${rewritten.size}")
+    val back = TableMaintenance.readPartitioned(spark, out)
+    assert(back.count() === total)
+    assert(back.agg(sum("event_id")).head.getLong(0) ===
+      ev.agg(sum("event_id")).head.getLong(0))
+    // each compacted partition is one file now
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = ManifestCommit.latest(fs, new Path(out)).get
+    assert(m.dirs.size === days.toInt)
+    m.dirs.values.foreach { rel =>
+      val files = fs.listStatus(new Path(new Path(out), rel))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"$rel not compacted to one file")
+    }
+    // a day predicate still prunes: only that partition's files are read
+    val one = ev.select("day").distinct().orderBy("day").head.getString(0)
+    val q = back.filter(col("day") === one)
+    assert(q.count() === ev.filter(col("day") === one).count())
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scanned.contains("PartitionFilters"),
+      s"managed partitioned read lost pruning:\n$scanned")
+    // a second run with nothing strewn is a no-op (no new commit)
+    val v = m.version
+    assert(TableMaintenance.compactPartitioned(spark, out, 1L << 30).isEmpty)
+    assert(ManifestCommit.latest(fs, new Path(out)).get.version === v)
+  }
+
+  test("compactPartitioned: late plain data folds in once, even across a crashed cleanup") {
+    import spark.implicits._
+    val out = tmpDir("plate")
+    val v1 = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+      (3L, "2024-01-02", 30.0)).toDF("id", "day", "v")
+    v1.repartition(4).write.partitionBy("day").parquet(out)
+    TableMaintenance.compactPartitioned(spark, out, 1L << 30)
+    // late data arrives for an ALREADY-compacted day, via plain append —
+    // exactly how the ingest job keeps writing
+    Seq((4L, "2024-01-01", 40.0)).toDF("id", "day", "v")
+      .write.mode("append").partitionBy("day").parquet(out)
+    assert(TableMaintenance.readPartitioned(spark, out).count() === 4,
+      "late plain data must be visible before the next compaction")
+    val r2 = TableMaintenance.compactPartitioned(spark, out, 1L << 30)
+    assert(r2 === Seq("day=2024-01-01"), s"late partition should fold, got $r2")
+    val after = TableMaintenance.readPartitioned(spark, out)
+    assert(after.count() === 4, "fold must not lose or duplicate late rows")
+    assert(after.agg(sum("id")).head.getLong(0) === 10L)
+
+    // simulate the crashed cleanup: re-create an absorbed file by copying
+    // the committed manifest's absorbed name back into the plain dir —
+    // readers and the next run must NOT double-count it
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = ManifestCommit.latest(fs, new Path(out)).get
+    val absorbedKey = m.entries.keys.find(_.startsWith("absorbed.")).get
+    val absorbedName = m.entries(absorbedKey).split(",").head
+    val plainDir = new Path(out, "day=2024-01-01")
+    fs.mkdirs(plainDir)
+    // write a file with the absorbed NAME (content irrelevant — the name
+    // is the absorption contract)
+    Seq((4L, 40.0)).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(out + "/.tmp-resurrect")
+    val tmpFile = fs.listStatus(new Path(out + "/.tmp-resurrect"))
+      .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+    fs.rename(tmpFile, new Path(plainDir, absorbedName))
+    fs.delete(new Path(out + "/.tmp-resurrect"), true)
+    assert(TableMaintenance.readPartitioned(spark, out).count() === 4,
+      "an absorbed leftover must be invisible to readers")
+    TableMaintenance.compactPartitioned(spark, out, 1L << 30)
+    assert(TableMaintenance.readPartitioned(spark, out).count() === 4,
+      "the cleanup retry must delete, not re-absorb, the leftover")
+    assert(!fs.exists(new Path(plainDir, absorbedName)))
+  }
+
   test("repeated compaction retains a bounded set of generations") {
     val out = tmpDir("regen")
     val ev = Tables.events(spark, sfDir).select(col("event_id"), col("user_id"))
