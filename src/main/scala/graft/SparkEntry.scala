@@ -122,6 +122,7 @@ object SparkEntry {
     "pipe_training_set" -> (Pipeline.trainingSet _),
     // Corpus sampling / training-set assembly
     "samp_stratified" -> (Sampling.stratified _),
+    "samp_kfold" -> (Sampling.kfoldSplit _),
     "samp_reservoir" -> (Sampling.reservoir _),
     "samp_weighted" -> (Sampling.weighted _),
     "samp_topp_sources" -> (Sampling.topPSources _),
@@ -224,6 +225,7 @@ object SparkEntry {
     "ev_decimal_totals" -> Events.decimalTotalsOracle,
     "mm_doc_embedding" -> Similarity.docEmbeddingOracle,
     "samp_stratified" -> Sampling.stratifiedOracle,
+    "samp_kfold" -> Sampling.kfoldSplitOracle,
     "samp_reservoir" -> Sampling.reservoirOracle,
     "samp_weighted" -> Sampling.weightedOracle,
     "samp_topp_sources" -> Sampling.topPSourcesOracle,

@@ -47,6 +47,46 @@ object Sampling {
              < CASE WHEN lang = 'en' THEN '40000000' ELSE 'c0000000' END
        ORDER BY doc_id"""
 
+  /** Deterministic train/val/test assignment — the split step every
+    * training pipeline runs, as a pure hash of the stable key (never
+    * `rand()`): a document's split is a FUNCTION of its id, so re-runs,
+    * partition replays, and incremental ingest extend the split
+    * consistently — a doc can never migrate between train and test
+    * across runs (the leakage a random split invites). The first hex
+    * nibble of the draw buckets 16 ways: 12 train / 2 val / 2 test
+    * (75/12.5/12.5). Reported per (split, lang) with within-language
+    * shares — the balance check that catches a skewed split before
+    * training does. Pure projection + one bounded aggregation.
+    */
+  def kfoldSplit(spark: SparkSession, dir: String): DataFrame = {
+    val nib = substring(draw("split"), 1, 1)
+    val split = when(nib.between("0", "b"), lit("train"))
+      .when(nib.between("c", "d"), lit("val"))
+      .otherwise(lit("test"))
+    val perLang = Window.partitionBy(col("lang"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), split.as("split"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        floor(col("n_docs") * lit(1e4) / sum(col("n_docs")).over(perLang)) / lit(1e4))
+      .orderBy("split", "lang")
+  }
+
+  val kfoldSplitOracle: String =
+    """WITH s AS (
+         SELECT lang,
+                CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                          BETWEEN '0' AND 'b' THEN 'train'
+                     WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                          BETWEEN 'c' AND 'd' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents)
+       SELECT split, lang, count(*) AS n_docs,
+              floor(count(*) * 1e4 /
+                    sum(count(*)) OVER (PARTITION BY lang)) / 1e4 AS share
+       FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Fixed-size uniform sample per stratum (k = 20 per language):
     * deterministic "reservoir" — the k smallest hash draws win. Runs on
     * [[TopKPerKey]], the bounded-heap plan node: per-partition heaps of

@@ -56,6 +56,27 @@ object TableMaintenance {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(path)
 
+  /** [[writeSorted]] through the manifest protocol: the refresh job for a
+    * MAINTAINED table. A plain `SaveMode.Overwrite` deletes the old data
+    * before the new write commits — a reader (or a crash) mid-write sees
+    * a missing or partial table. This writes the sorted layout as a new
+    * immutable generation and flips the manifest: readers observe the
+    * previous or the next table, never a mix, on any store.
+    */
+  def writeSortedManaged(df: DataFrame, path: String, numFiles: Int,
+      keys: Seq[String]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val gen = ManifestCommit.newGeneration(
+      ManifestCommit.latest(fs, root).map(_.version).getOrElse(0L) + 1L)
+    df.repartitionByRange(numFiles, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(new Path(root, gen).toString)
+    ManifestCommit.commit(fs, root, Map("dir.table" -> gen))
+    ManifestCommit.vacuum(fs, root, keep = 2)
+  }
+
   /** The directory the current committed generation lives in — `path`
     * itself for a plain (never-compacted) table.
     */

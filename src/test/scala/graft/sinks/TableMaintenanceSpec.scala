@@ -277,6 +277,40 @@ class TableMaintenanceSpec extends SparkSpec {
     assert(!fs.exists(new Path(plainDir, absorbedName)))
   }
 
+  test("writeSortedManaged refreshes a table without a readable gap") {
+    val out = tmpDir("managed-sorted")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    TableMaintenance.writeSortedManaged(ev, out, numFiles = 4, keys = Seq("user_id"))
+    val first = TableMaintenance.resolveDataDir(spark, out)
+    assert(first != out, "managed write must publish a generation")
+    // the sorted zone-map contract holds inside the resolved generation
+    val ranges = footerRanges(first, "user_id").sortBy(_._1)
+    assert(ranges.size === 4)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi <= lo)
+      case _ =>
+    }
+    // a refresh flips the manifest; the PREVIOUS generation's files are
+    // untouched on disk (readers mid-scan keep a whole table)
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val firstFiles = fs.listStatus(new Path(first))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    TableMaintenance.writeSortedManaged(ev.filter(col("event_id") % 2 === 0),
+      out, numFiles = 2, keys = Seq("user_id"))
+    assert(TableMaintenance.resolveDataDir(spark, out) != first)
+    assert(fs.listStatus(new Path(first))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap === firstFiles,
+      "the superseded generation must remain byte-identical for in-flight readers")
+    assert(TableMaintenance.read(spark, out).count() ===
+      ev.filter(col("event_id") % 2 === 0).count())
+    // and one more refresh reclaims the first generation
+    TableMaintenance.writeSortedManaged(ev, out, numFiles = 1, keys = Seq("user_id"))
+    assert(!fs.exists(new Path(first)), "vacuum must reclaim fully superseded generations")
+  }
+
   test("repeated compaction retains a bounded set of generations") {
     val out = tmpDir("regen")
     val ev = Tables.events(spark, sfDir).select(col("event_id"), col("user_id"))
