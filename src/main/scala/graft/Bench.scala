@@ -36,15 +36,22 @@ object Bench {
     // stops — each query still pays its own materialization cost, but
     // queries don't tax each other through block-manager pressure.
     val timedRuns = 3
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed run must NOT become a timing sample: elapsed-to-exception
+    // would publish a broken query as the suite's fastest. Failures are
+    // reported by name in `failed` and excluded from every statistic.
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       Tables.releaseIntermediates(spark)
-      dt
+      if (ok) Some(dt) else None
     }
-    val samples = selected.map { case (name, fn) =>
-      name -> Seq.fill(timedRuns)(timeOnce(fn)).sorted
+    val all = selected.map { case (name, fn) =>
+      name -> Seq.fill(timedRuns)(timeOnce(fn))
+    }
+    val failed = all.collect { case (n, ts) if ts.exists(_.isEmpty) => n }.toSeq.sorted
+    val samples = all.collect { case (n, ts) if ts.forall(_.isDefined) =>
+      n -> ts.flatten.sorted
     }
     val results = samples.map { case (name, ts) => name -> ts.head }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -53,9 +60,10 @@ object Bench {
       "\"" + k + "\":{\"min\":" + ts.head + ",\"med\":" + ts(ts.size / 2) +
         ",\"max\":" + ts.last + "}"
     }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalMax = if (samples.nonEmpty) samples.values.map(_.last).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$timedRuns,"total_max":$totalMax,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$timedRuns,"total_max":$totalMax,"failed":$failedJson,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

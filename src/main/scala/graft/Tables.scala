@@ -85,7 +85,16 @@ object Tables {
       val dir = spark.conf.getOption("spark.sql.graft.checkpointDir").getOrElse(
         throw new IllegalArgumentException(
           "spark.sql.graft.barrier=checkpoint requires spark.sql.graft.checkpointDir"))
-      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      // setCheckpointDir stores `<dir>/<random-uuid>` (qualified), so an
+      // equality check against `dir` is always false and every barrier
+      // would mint a fresh checkpoint subdirectory. Substring-match the
+      // configured path instead — one checkpoint dir per session.
+      // (Checkpoint FILES are reclaimed by Spark's ContextCleaner only
+      // under spark.cleaner.referenceTracking.cleanCheckpoints=true; set
+      // it on clusters that run iterative barriered operators.)
+      val needle = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+      if (!sc.getCheckpointDir.exists(_.contains(needle)))
+        sc.setCheckpointDir(dir)
       ds.checkpoint()
     }
     spark.conf.get("spark.sql.graft.barrier", "auto") match {

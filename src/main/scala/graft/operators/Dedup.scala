@@ -273,12 +273,14 @@ object Dedup {
       maxDriverEdges: Long = 500000L): DataFrame = {
     // Strategy probe costs O(cap), not a full materialization of the pair
     // graph: a limit(cap + 1) count proves "fits under the cap" / "does
-    // not" without counting the (possibly huge) remainder. Saturating
-    // bounds keep degenerate caps (negative = force distributed,
-    // Long.MaxValue = force driver) meaningful.
-    val probeLimit = math.max(0L, math.min(maxDriverEdges, Int.MaxValue - 1L)) + 1L
-    val probe = pairs.limit(probeLimit.toInt).count()
-    if (probe <= maxDriverEdges) return componentsLocal(spark, pairs)
+    // not" without counting the (possibly huge) remainder. The EFFECTIVE
+    // cap clamps to Int.MaxValue − 1: limit() can't probe past 2³¹, and a
+    // driver-local edge array can't hold more anyway — so a larger
+    // requested cap routes to the distributed path instead of silently
+    // collecting an unbounded edge set (negative = force distributed).
+    val effCap = math.max(-1L, math.min(maxDriverEdges, Int.MaxValue - 1L))
+    val probe = pairs.limit((effCap + 1L).toInt).count()
+    if (probe <= effCap) return componentsLocal(spark, pairs)
     // undirected: send labels both ways
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").barrier()

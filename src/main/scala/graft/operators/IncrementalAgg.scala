@@ -106,6 +106,9 @@ object IncrementalAgg {
       throw new IllegalStateException(
         s"$statePath has state generations but no commit log: refusing to " +
           "silently reset additive state. Restore the _commits dir.")
+    def plainStateFiles = if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(root).filter(s => s.isFile &&
+        (s.getPath.getName.endsWith(".parquet") || s.getPath.getName == "_SUCCESS"))
     // Table creation commits v1 BEFORE any generation data, so a crash
     // can never leave generation dirs without a log (see guard above).
     val manifest = ManifestCommit.latest(fs, root).getOrElse {
@@ -116,9 +119,25 @@ object IncrementalAgg {
     val lastApplied = manifest.entries.get("batch").map(_.toLong)
     if (batchId.exists(id => lastApplied.exists(_ >= id)))
       return // replayed batch: already folded into the committed state
+    // Once a committed generation holds the state, plain top-level files
+    // are pre-protocol migration debris — reclaimed here, one full
+    // advance AFTER the absorbing commit (legacy readers in flight at
+    // migration time keep a whole table).
+    if (manifest.dirs.contains("state"))
+      plainStateFiles.foreach(f => fs.delete(f.getPath, false))
     val delta = partial(batch, keys, valueCol)
+    // State resolution order: committed generation, else PRE-PROTOCOL
+    // plain parquet at the root (a state table written before the
+    // manifest protocol) — folding the first post-upgrade batch into the
+    // legacy state and committing it as generation data. Ignoring the
+    // plain files would silently reset the additive state to one batch.
     val state = manifest.dirs.get("state")
       .map(rel => spark.read.parquet(new org.apache.hadoop.fs.Path(root, rel).toString))
+      .orElse {
+        if (plainStateFiles.exists(_.getPath.getName.endsWith(".parquet")))
+          Some(spark.read.parquet(statePath))
+        else None
+      }
     val merged = state.fold(delta)(st => merge(st, delta, keys))
     val gen = ManifestCommit.newGeneration(manifest.version + 1)
     merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)

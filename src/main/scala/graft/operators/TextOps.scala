@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Tables.BarrierOps
 
 /** Text-analysis suite over the `documents` table: token counting, quality
   * scoring, heuristic language ID, content fingerprinting, corpus stats.
@@ -257,6 +258,9 @@ object TextOps {
             element_at(col("ws"), i + 1),
             element_at(col("ws"), i + 2),
             element_at(col("ws"), i + 3))))).as("ng"))
+      // both the first-seen aggregate and the join probe read this —
+      // materialize the corpus-wide explode once
+      .barrier()
     val firsts = tri.groupBy(col("ng")).agg(min(col("doc_id")).as("first_doc"))
     tri.join(firsts, "ng")
       .groupBy(col("doc_id"))

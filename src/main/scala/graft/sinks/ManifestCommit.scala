@@ -112,26 +112,39 @@ object ManifestCommit {
     * entries reference must already be fully written — this call is the
     * commit point. Returns the committed version. Fails (leaving the
     * table at the previous generation) if another writer took the slot.
+    *
+    * Race detection is exists-check + rename + READ-BACK: rename onto an
+    * existing target fails on HDFS, but POSIX/local rename silently
+    * replaces it, so a racing writer could otherwise overwrite a
+    * committed manifest and both writers report success. Every commit
+    * therefore carries a unique `txid` entry and verifies after the
+    * rename that the committed file holds ITS txid — the loser of any
+    * interleaving throws instead of silently clobbering (tables are
+    * single-writer by contract; this turns a misconfigured double-writer
+    * into a loud failure instead of data loss).
     */
   def commit(fs: FileSystem, root: Path, entries: Map[String, String]): Long = {
     val version = latest(fs, root).map(_.version).getOrElse(0L) + 1L
     val dir = new Path(root, CommitDir)
     fs.mkdirs(dir)
-    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+    val txid = java.util.UUID.randomUUID().toString
+    val tmp = new Path(dir, s".tmp-$txid")
     val out = fs.create(tmp, false)
     try {
-      val text = entries.toSeq.sortBy(_._1)
+      val text = (entries - "txid" + ("txid" -> txid)).toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
       out.write(text.getBytes(Utf8))
     } finally out.close()
     val target = commitPath(root, version)
-    if (fs.exists(target) || !fs.rename(tmp, target)) {
+    def lose(): Nothing = {
       fs.delete(tmp, false)
       throw new java.io.IOException(
         s"manifest commit lost the race for version $version at $root — " +
           "tables are single-writer; the data generation written for this " +
           "commit is an orphan and will be vacuumed")
     }
+    if (fs.exists(target) || !fs.rename(tmp, target)) lose()
+    if (!readEntries(fs, target).get("txid").contains(txid)) lose()
     version
   }
 
@@ -160,6 +173,13 @@ object ManifestCommit {
         fs.delete(st.getPath, true)
     }
     all.dropRight(keep).foreach(m => fs.delete(commitPath(root, m.version), false))
+    // a crash between tmp-write and rename leaves a .tmp debris file; the
+    // table is single-writer, so any tmp present OUTSIDE an in-flight
+    // commit (and vacuum runs post-commit) is dead — reclaim it
+    fs.listStatus(new Path(root, CommitDir)).foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith(".tmp-"))
+        fs.delete(st.getPath, false)
+    }
   }
 
   /** True when the root holds generation-pattern dirs but no committed

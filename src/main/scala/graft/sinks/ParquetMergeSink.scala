@@ -63,6 +63,35 @@ object ParquetMergeSink {
           "log: bucket layout unknowable; refusing to guess (re-bucketing " +
           "would silently duplicate keys). Restore the commit log.")
 
+  private val LegacyMarker = ".graft-buckets"
+
+  /** A pre-protocol table (top-level `__bucket=N` dirs + `.graft-buckets`
+    * marker, the layout this sink wrote before the manifest commit):
+    * synthesized as a virtual manifest so reads serve it unchanged and
+    * the first merge commits it as v1. Bucket dirs WITHOUT the marker
+    * are the same unknowable state the marker always guarded against —
+    * fail loudly rather than re-bucket.
+    */
+  private def legacyLayout(fs: FileSystem, table: Path): Option[Map[String, String]] = {
+    if (!fs.exists(table)) return None
+    val bucketDirs = fs.listStatus(table)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
+    if (bucketDirs.isEmpty) return None
+    val marker = new Path(table, LegacyMarker)
+    if (!fs.exists(marker))
+      throw new IllegalStateException(
+        s"$table has $BucketCol= dirs but neither a manifest nor a " +
+          s"$LegacyMarker marker: bucket count unknowable; refusing to " +
+          "guess (re-bucketing would silently duplicate keys).")
+    val in = fs.open(marker)
+    val buckets = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt finally in.close()
+    Some(Map("buckets" -> buckets.toString) ++ bucketDirs.map { d =>
+      val name = d.getPath.getName
+      s"dir.${name.stripPrefix(s"$BucketCol=")}" -> name
+    })
+  }
+
   /** The committed table as a DataFrame, or None before the first merge
     * lands data. Reads exactly the bucket dirs the current manifest
     * references.
@@ -71,10 +100,14 @@ object ParquetMergeSink {
     val table = new Path(path)
     val fs = fsFor(spark, table)
     guardReadable(fs, table)
-    ManifestCommit.latest(fs, table).flatMap { m =>
-      val dirs = m.dirs.values.toSeq.sorted.map(rel => new Path(table, rel).toString)
-      if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
-    }
+    ManifestCommit.latest(fs, table)
+      .map(_.dirs)
+      .orElse(legacyLayout(fs, table).map(e =>
+        ManifestCommit.Manifest(0L, e).dirs))
+      .flatMap { dirMap =>
+        val dirs = dirMap.values.toSeq.sorted.map(rel => new Path(table, rel).toString)
+        if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+      }
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
@@ -91,11 +124,17 @@ object ParquetMergeSink {
     // Table creation commits the bucket count FIRST, before any data
     // generation exists: a crash mid-first-merge leaves a committed count,
     // so a later merge (even with a different requested nBuckets) reads
-    // the committed layout instead of silently re-bucketing keys.
+    // the committed layout instead of silently re-bucketing keys. A
+    // pre-protocol table migrates here: its marker count and existing
+    // bucket dirs become manifest v1, so the first post-upgrade merge
+    // reads the legacy rows instead of silently starting an empty table
+    // beside them.
     val manifest = ManifestCommit.latest(fs, table).getOrElse {
       fs.mkdirs(table)
-      val v = ManifestCommit.commit(fs, table, Map("buckets" -> nBuckets.toString))
-      ManifestCommit.Manifest(v, Map("buckets" -> nBuckets.toString))
+      val entries = legacyLayout(fs, table)
+        .getOrElse(Map("buckets" -> nBuckets.toString))
+      val v = ManifestCommit.commit(fs, table, entries)
+      ManifestCommit.Manifest(v, entries)
     }
     val buckets = manifest.entries("buckets").toInt
 
@@ -149,5 +188,16 @@ object ParquetMergeSink {
     // keep=2: the previous manifest's generations survive one more commit
     // for in-flight readers; fully superseded generations are reclaimed.
     ManifestCommit.vacuum(fs, table, keep = 2)
+    // Legacy `__bucket=N` dirs (pre-protocol layout, referenced by the
+    // migration manifest until superseded) get the same keep=2 grace:
+    // reclaim only the dirs no retained manifest references.
+    val stillReferenced = ManifestCommit.committed(fs, table).takeRight(2)
+      .flatMap(_.dirs.values).filter(!_.contains("/")).toSet
+    fs.listStatus(table).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith(s"$BucketCol=") &&
+          !stillReferenced.contains(name))
+        fs.delete(st.getPath, true)
+    }
   }
 }

@@ -253,13 +253,11 @@ object TableMaintenance {
     // THE commit: every rewritten partition flips in this one small file
     ManifestCommit.commit(fs, root, carried ++ updated)
     ManifestCommit.vacuum(fs, root, keep = 2)
-    // retire exactly the files this commit absorbed (pure cleanup: a
-    // crash here is healed by the absorbed-list retry above)
-    work.foreach { case (part, _, lateFiles, _) =>
-      lateFiles.foreach(f => fs.delete(f.getPath, false))
-      val p = new Path(root, part)
-      if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, false)
-    }
+    // Absorbed plain files are NOT deleted here: a reader that resolved
+    // the PREVIOUS manifest may still have them in its scan plan.
+    // They are invisible to readers of the new manifest (absorbed list)
+    // and reclaimed by the next run's cleanup retry — the same one-run
+    // grace the generation vacuum gives (keep = 2).
     work.map(_._1)
   }
 
@@ -285,9 +283,25 @@ object TableMaintenance {
       root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = ManifestCommit.latest(fs, root)
     // A crashed previous compaction leaves an orphan generation that no
-    // manifest references; reclaim it before writing the next one.
-    if (manifest.isDefined) ManifestCommit.vacuum(fs, root, keep = 2)
-    else fs.listStatus(root).foreach { st =>
+    // manifest references; reclaim it before writing the next one. On a
+    // managed table, top-level plain files are migration debris: their
+    // rows live in the committed generation, and they have now had a
+    // full compaction interval of grace for readers that were mid-scan
+    // when the migration committed — reclaim them too.
+    // A manifest whose dir entries are NOT the single-table pointer is a
+    // partition-managed table: its generations are live data this method
+    // must never touch (and resolveDataDir would misread it as plain).
+    if (manifest.exists(m => m.dirs.nonEmpty && !m.dirs.contains("table")))
+      throw new IllegalArgumentException(
+        s"compact: $path is partition-managed — use compactPartitioned")
+    if (manifest.exists(_.dirs.contains("table"))) {
+      ManifestCommit.vacuum(fs, root, keep = 2)
+      fs.listStatus(root).foreach { st =>
+        if (st.isFile && (st.getPath.getName.endsWith(".parquet") ||
+            st.getPath.getName == "_SUCCESS"))
+          fs.delete(st.getPath, false)
+      }
+    } else if (manifest.isEmpty) fs.listStatus(root).foreach { st =>
       if (st.isDirectory && st.getPath.getName.matches("_g\\d+-[0-9a-f]+"))
         fs.delete(st.getPath, true)
     }
@@ -320,15 +334,11 @@ object TableMaintenance {
     // generation from this point on and never observe a partial table.
     ManifestCommit.commit(fs, root, Map("dir.table" -> gen))
     ManifestCommit.vacuum(fs, root, keep = 2)
-    // First-compaction migration: the plain top-level files are now
-    // superseded by the committed generation. Removing them is pure
-    // cleanup — a crash mid-delete leaves debris the manifest ignores
-    // and [[read]] never touches.
-    if (manifest.isEmpty)
-      dataFiles.foreach(s => fs.delete(s.getPath, false))
-    fs.listStatus(root).foreach { s =>
-      if (s.isFile && s.getPath.getName == "_SUCCESS") fs.delete(s.getPath, false)
-    }
+    // First-compaction migration does NOT delete the superseded plain
+    // files here: a plain reader that listed the directory before the
+    // commit may still be scanning them. [[read]] already resolves the
+    // manifest, and the next compact run reclaims the debris after a
+    // full interval of grace (the cleanup at the top of this method).
     nOut
   }
 }

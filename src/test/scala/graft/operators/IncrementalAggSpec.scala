@@ -114,6 +114,31 @@ class IncrementalAggSpec extends SparkSpec {
       stateSet(IncrementalAgg.partial(ev, keys, "value")))
   }
 
+  test("a pre-protocol plain state table migrates instead of silently resetting") {
+    val base = java.nio.file.Files.createTempDirectory("graft-incagg-legacy").toString
+    val statePath = base + "/state"
+    val half = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+    val rest = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+    // the OLD layout: state written as plain parquet at the root
+    IncrementalAgg.partial(half, keys, "value")
+      .write.parquet(statePath)
+    // first post-upgrade advance must FOLD INTO the legacy state — a
+    // reset-to-one-batch would drop half the history
+    IncrementalAgg.advance(spark, statePath, rest, keys, "value")
+    assert(stateSet(IncrementalAgg.readState(spark, statePath).get) ===
+      stateSet(IncrementalAgg.partial(ev, keys, "value")),
+      "legacy plain state was not carried into the managed fold")
+    // the plain debris survives the migrating commit (legacy-reader
+    // grace) and is reclaimed by the following advance
+    val empty = ev.filter(lit(false))
+    IncrementalAgg.advance(spark, statePath, empty, keys, "value")
+    val plainLeft = new java.io.File(statePath).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(plainLeft === 0, "migration debris must be reclaimed by the next advance")
+    assert(stateSet(IncrementalAgg.readState(spark, statePath).get) ===
+      stateSet(IncrementalAgg.partial(ev, keys, "value")))
+  }
+
   test("served view derives avg from exact carried monoids") {
     val served = IncrementalAgg.serve(
       IncrementalAgg.partial(ev, keys, "value"), keys).collect()

@@ -165,6 +165,41 @@ class ParquetMergeSinkSpec extends SparkSpec {
       .map(_.getAs[String]("v")).toSeq === Seq("c"))
   }
 
+  test("a pre-protocol table (bucket dirs + marker) migrates instead of resetting") {
+    // hand-build the OLD layout this sink wrote before the manifest
+    // protocol: top-level __bucket=N dirs + a .graft-buckets marker
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink-legacy").toString + "/t"
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val legacy = (1L to 20L).map(k => (k, s"v$k", 1L)).toDF("k", "v", "ver")
+      .withColumn("__bucket", pmod(xxhash64($"k"), lit(4)).cast("int"))
+    legacy.write.partitionBy("__bucket").parquet(dir)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, ".graft-buckets"), "4".getBytes)
+    // reads serve the legacy rows as-is
+    assert(ParquetMergeSink.read(spark, dir).count() === 20)
+    // the first post-upgrade merge folds INTO the legacy rows (a silent
+    // fresh-table reset would drop 19 of them / duplicate key 7)
+    ParquetMergeSink.merge(Seq((7L, "v7-new", 2L)).toDF("k", "v", "ver"),
+      dir, Seq("k"), "ver", nBuckets = 16) // wrong count must be ignored too
+    val rows = ParquetMergeSink.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(rows.size === 20 && rows(7L) === "v7-new" && rows(8L) === "v8")
+    // legacy dirs get the same keep=2 grace as generations, then reclaim
+    ParquetMergeSink.merge(Seq((7L, "v7-n2", 3L)).toDF("k", "v", "ver"),
+      dir, Seq("k"), "ver")
+    ParquetMergeSink.merge(Seq((8L, "v8-n2", 3L)).toDF("k", "v", "ver"),
+      dir, Seq("k"), "ver")
+    assert(ParquetMergeSink.read(spark, dir).count() === 20)
+    // bucket dirs without marker or manifest stay a loud failure
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-sink-nomark").toString + "/t"
+    legacy.write.partitionBy("__bucket").parquet(dir2)
+    new java.io.File(dir2, "_SUCCESS").delete()
+    val ex = intercept[IllegalStateException] {
+      ParquetMergeSink.merge(Seq((1L, "x", 9L)).toDF("k", "v", "ver"),
+        dir2, Seq("k"), "ver")
+    }
+    assert(ex.getMessage.contains("unknowable"))
+  }
+
   test("incoming row wins a version tie (ON CONFLICT DO UPDATE)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink-tie").toString + "/t"
     val b1 = Seq((100L, "old", 100L)).toDF("height", "v", "ver")

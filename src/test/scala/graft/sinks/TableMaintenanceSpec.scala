@@ -146,10 +146,18 @@ class TableMaintenanceSpec extends SparkSpec {
     assert(back.count() === ev.count())
     assert(back.agg(sum("event_id")).head.getLong(0) ===
       ev.agg(sum("event_id")).head.getLong(0))
-    // migration removed the superseded plain files
+    // the superseded plain files SURVIVE the migrating commit (a plain
+    // reader that listed the dir pre-commit may still be scanning them)…
+    assert(fs.listStatus(new Path(out))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet")) === 32,
+      "migration must leave the superseded plain files for in-flight readers")
+    // …and the NEXT run reclaims them after a full interval of grace
+    TableMaintenance.compact(spark, out, targetBytes = 1L << 30,
+      sortKeys = Seq("user_id"))
     assert(fs.listStatus(new Path(out))
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet")) === 0,
-      "first compaction must clean up the superseded top-level files")
+      "the following compaction must reclaim the migration debris")
+    assert(TableMaintenance.read(spark, out).count() === ev.count())
   }
 
   test("schema evolution: a column-added ingest generation reads back merged") {
