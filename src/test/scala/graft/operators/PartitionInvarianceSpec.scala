@@ -32,7 +32,14 @@ class PartitionInvarianceSpec extends SparkSpec {
       "pack_token_budget" -> (() => Sampling.packTokenBudget(spark, sfDir)),
       "reservoir" -> (() => Sampling.reservoir(spark, sfDir)),
       "tfidf" -> (() => TextOps.tfidf(spark, sfDir)),
-      "contamination" -> (() => TextOps.contamination(spark, sfDir)))
+      "contamination" -> (() => TextOps.contamination(spark, sfDir)),
+      // round-4 operators
+      "incremental_dedup" -> (() => Dedup.incremental(spark, sfDir)),
+      "ngram_novelty" -> (() => TextOps.ngramNovelty(spark, sfDir)),
+      "transition_matrix" -> (() => Events.transitionMatrix(spark, sfDir)),
+      "attribution" -> (() => Events.attribution(spark, sfDir)),
+      "kfold_split" -> (() => Sampling.kfoldSplit(spark, sfDir)),
+      "ivfpq_topk" -> (() => Similarity.ivfPqTopk(spark, sfDir)))
     ops.foreach { case (name, op) =>
       val results = Seq(3, 8, 32).map(n => withPartitions(n) { rowsOf(op()) })
       assert(results(0) === results(1),
