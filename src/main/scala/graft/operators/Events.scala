@@ -829,6 +829,45 @@ object Events {
     * Reference analog: the multi-step inference→forecast→score ordering
     * checks the indexer applies within a block's messages.
     */
+  /** Per-type inter-arrival statistics: for consecutive events of the
+    * same (user, type), the gap in whole seconds — the stream-cadence
+    * profile behind rate alerting and session-gap tuning. One per-key
+    * lag window feeding one hash aggregation; gaps are floored to
+    * integer seconds and averaged over exact integer sums, so the
+    * result is reduction-order-free and engine-exact.
+    */
+  def interEvent(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+    e.withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap_s"),
+        max(col("gap")).as("max_gap_s"),
+        (floor(sum(col("gap")) * lit(1e4) / count(lit(1))) / lit(1e4)).as("avg_gap_s"))
+      .orderBy("event_type")
+  }
+
+  val interEventOracle: String =
+    """WITH g AS (
+         SELECT event_type,
+                CAST(floor(epoch(ts)) AS BIGINT)
+                  - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                      OVER (PARTITION BY user_id, event_type
+                            ORDER BY event_id) AS gap
+         FROM events)
+       SELECT event_type, count(*) AS n_gaps,
+              min(gap) AS min_gap_s, max(gap) AS max_gap_s,
+              floor(CAST(sum(gap) AS BIGINT) * 1e4 / count(*)) / 1e4
+                AS avg_gap_s
+       FROM g WHERE gap IS NOT NULL
+       GROUP BY 1 ORDER BY 1"""
+
   /** Event-type Markov transition matrix: counts and row-normalized
     * probabilities of consecutive (prev → next) event types per user —
     * the sequence-structure profile behind session modeling and
