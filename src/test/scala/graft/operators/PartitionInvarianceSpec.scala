@@ -39,6 +39,7 @@ class PartitionInvarianceSpec extends SparkSpec {
       "transition_matrix" -> (() => Events.transitionMatrix(spark, sfDir)),
       "attribution" -> (() => Events.attribution(spark, sfDir)),
       "kfold_split" -> (() => Sampling.kfoldSplit(spark, sfDir)),
+      "inter_event" -> (() => Events.interEvent(spark, sfDir)),
       "ivfpq_topk" -> (() => Similarity.ivfPqTopk(spark, sfDir)))
     ops.foreach { case (name, op) =>
       val results = Seq(3, 8, 32).map(n => withPartitions(n) { rowsOf(op()) })
