@@ -368,6 +368,58 @@ object Dedup {
       "SELECT doc_a, doc_b FROM (" + ngramJaccardOracle
         .replace("ORDER BY doc_a, doc_b", "") + ")")
 
+  /** Quality-aware cluster canonicalization: for every near-dup cluster
+    * ([[components]]), keep the HIGHEST-QUALITY copy instead of the
+    * lowest id — real pipelines collapse duplicate families toward the
+    * cleanest exemplar, not an arbitrary one. Composition: component
+    * labels join the per-doc quality score and a bounded-heap top-1 per
+    * cluster ([[graft.plans.TopKPerKey]]) picks the keeper (quality
+    * desc, doc_id tie-break — ties are exact because quality is already
+    * truncated to 4 decimals on both engines).
+    */
+  def bestOfCluster(spark: SparkSession, dir: String): DataFrame = {
+    val comp = components(spark, dir)
+    val q = TextOps.quality(spark, dir).select(col("doc_id"), col("quality"))
+    val members = comp.join(q, "doc_id")
+    val sizes = members.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+    graft.plans.TopKPerKey.perKey(members,
+        Seq(col("component")), Seq(col("quality").desc, col("doc_id").asc), 1)
+      .select(col("component"), col("doc_id").as("keep_doc"), col("quality"))
+      .join(sizes, "component")
+      .select(col("component"), col("keep_doc"), col("quality"), col("n_members"))
+      .orderBy("component")
+  }
+
+  val bestOfClusterOracle: String = {
+    val jaccard = "SELECT doc_a, doc_b FROM (" +
+      ngramJaccardOracle.replace("ORDER BY doc_a, doc_b", "") + ")"
+    val quality = "(" + graft.operators.TextOps.qualityOracle
+      .replace("ORDER BY doc_id", "") + ")"
+    s"""WITH RECURSIVE p AS (
+         $jaccard
+       ),
+       e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+             UNION ALL SELECT doc_b, doc_a FROM p),
+       reach(doc_id, lab) AS (
+         SELECT DISTINCT src, src FROM e
+         UNION
+         SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.doc_id
+       ),
+       comp AS (SELECT doc_id, min(lab) AS component FROM reach GROUP BY doc_id),
+       q AS (SELECT doc_id, quality FROM $quality),
+       j AS (SELECT comp.component, comp.doc_id, q.quality
+             FROM comp JOIN q ON q.doc_id = comp.doc_id),
+       r AS (SELECT *,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY quality DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY component) AS n_members
+             FROM j)
+       SELECT component, doc_id AS keep_doc, quality,
+              CAST(n_members AS BIGINT) AS n_members
+       FROM r WHERE rn = 1 ORDER BY component"""
+  }
+
   /** Exact-duplicate cluster report: one row per content-hash group with
     * more than one member — the "what did dedup remove" audit view
     * ([[exact]] keeps the representatives; this names the clusters). The

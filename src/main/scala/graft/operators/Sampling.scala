@@ -87,6 +87,34 @@ object Sampling {
                     sum(count(*)) OVER (PARTITION BY lang)) / 1e4 AS share
        FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Epoch/repetition schedule: low-resource strata are up-sampled by an
+    * integer repeat factor and EXPLODED into per-epoch rows — the
+    * "repeat under-represented sources N times per training epoch" step
+    * of real data mixtures (multi-epoch up-sampling rather than
+    * duplication at rest). A pure `sequence` explode: no shuffle, no
+    * state, fanout bounded by the largest factor, and deterministic —
+    * replays assemble the identical epoch stream.
+    */
+  def epochSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val repeats = when(col("lang") === "en", lit(1))
+      .when(col("lang").isin("es", "zh"), lit(2))
+      .otherwise(lit(3))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1), repeats)).as("epoch"))
+      .select(col("doc_id"), col("lang"), col("epoch").cast("long").as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  val epochScheduleOracle: String =
+    """SELECT doc_id, lang,
+         CAST(unnest(generate_series(1,
+           CASE WHEN lang = 'en' THEN 1
+                WHEN lang IN ('es', 'zh') THEN 2
+                ELSE 3 END)) AS BIGINT) AS epoch
+       FROM documents ORDER BY doc_id, epoch"""
+
   /** Fixed-size uniform sample per stratum (k = 20 per language):
     * deterministic "reservoir" — the k smallest hash draws win. Runs on
     * [[TopKPerKey]], the bounded-heap plan node: per-partition heaps of
