@@ -380,7 +380,9 @@ object Dedup {
   def bestOfCluster(spark: SparkSession, dir: String): DataFrame = {
     val comp = components(spark, dir)
     val q = TextOps.quality(spark, dir).select(col("doc_id"), col("quality"))
-    val members = comp.join(q, "doc_id")
+    // the size aggregate and the top-1 heap both read this — materialize
+    // the components run + quality scan once
+    val members = comp.join(q, "doc_id").barrier()
     val sizes = members.groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"))
     graft.plans.TopKPerKey.perKey(members,
@@ -392,21 +394,12 @@ object Dedup {
   }
 
   val bestOfClusterOracle: String = {
-    val jaccard = "SELECT doc_a, doc_b FROM (" +
-      ngramJaccardOracle.replace("ORDER BY doc_a, doc_b", "") + ")"
+    // derive, don't duplicate: the components CTE body is exactly
+    // componentsOracle (nested as a subquery), same for quality
+    val comp = "(" + componentsOracle.replace("ORDER BY doc_id", "") + ")"
     val quality = "(" + graft.operators.TextOps.qualityOracle
       .replace("ORDER BY doc_id", "") + ")"
-    s"""WITH RECURSIVE p AS (
-         $jaccard
-       ),
-       e AS (SELECT doc_a AS src, doc_b AS dst FROM p
-             UNION ALL SELECT doc_b, doc_a FROM p),
-       reach(doc_id, lab) AS (
-         SELECT DISTINCT src, src FROM e
-         UNION
-         SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.doc_id
-       ),
-       comp AS (SELECT doc_id, min(lab) AS component FROM reach GROUP BY doc_id),
+    s"""WITH comp AS (SELECT * FROM $comp),
        q AS (SELECT doc_id, quality FROM $quality),
        j AS (SELECT comp.component, comp.doc_id, q.quality
              FROM comp JOIN q ON q.doc_id = comp.doc_id),

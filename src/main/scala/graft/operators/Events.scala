@@ -819,16 +819,6 @@ object Events {
       .orderBy("event_type", "band_id")
   }
 
-  /** Sequence pattern per (user, day): a "browse session" is a user-day
-    * with ≥3 views; it CONVERTS if any purchase follows the 3rd view in
-    * event order. The per-key sequence logic runs on a bounded
-    * `collect_list` (events per user-day, not per user — the grouping key
-    * includes the day precisely so no reducer ever holds an unbounded
-    * history) sorted in-row; the daily rollup keeps the conversion ratio
-    * as exact integer counts divided once at the output edge.
-    * Reference analog: the multi-step inference→forecast→score ordering
-    * checks the indexer applies within a block's messages.
-    */
   /** Per-type inter-arrival statistics: for consecutive events of the
     * same (user, type), the gap in whole seconds — the stream-cadence
     * profile behind rate alerting and session-gap tuning. One per-key
@@ -944,6 +934,16 @@ object Events {
               floor(count(*) * 1e4 / sum(count(*)) OVER ()) / 1e4 AS share
        FROM p GROUP BY 1 ORDER BY 1"""
 
+  /** Sequence pattern per (user, day): a "browse session" is a user-day
+    * with ≥3 views; it CONVERTS if any purchase follows the 3rd view in
+    * event order. The per-key sequence logic runs on a bounded
+    * `collect_list` (events per user-day, not per user — the grouping key
+    * includes the day precisely so no reducer ever holds an unbounded
+    * history) sorted in-row; the daily rollup keeps the conversion ratio
+    * as exact integer counts divided once at the output edge.
+    * Reference analog: the multi-step inference→forecast→score ordering
+    * checks the indexer applies within a block's messages.
+    */
   def browseAbandon(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),

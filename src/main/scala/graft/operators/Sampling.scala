@@ -96,14 +96,12 @@ object Sampling {
     * replays assemble the identical epoch stream.
     */
   def epochSchedule(spark: SparkSession, dir: String): DataFrame = {
-    val repeats = when(col("lang") === "en", lit(1))
-      .when(col("lang").isin("es", "zh"), lit(2))
-      .otherwise(lit(3))
+    val repeats = when(col("lang") === "en", lit(1L))
+      .when(col("lang").isin("es", "zh"), lit(2L))
+      .otherwise(lit(3L))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"))
       .select(col("doc_id"), col("lang"),
-        explode(sequence(lit(1), repeats)).as("epoch"))
-      .select(col("doc_id"), col("lang"), col("epoch").cast("long").as("epoch"))
+        explode(sequence(lit(1L), repeats)).as("epoch"))
       .orderBy("doc_id", "epoch")
   }
 

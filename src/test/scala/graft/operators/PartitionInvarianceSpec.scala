@@ -40,9 +40,18 @@ class PartitionInvarianceSpec extends SparkSpec {
       "attribution" -> (() => Events.attribution(spark, sfDir)),
       "kfold_split" -> (() => Sampling.kfoldSplit(spark, sfDir)),
       "inter_event" -> (() => Events.interEvent(spark, sfDir)),
+      "epoch_schedule" -> (() => Sampling.epochSchedule(spark, sfDir)),
+      "best_of_cluster" -> (() => Dedup.bestOfCluster(spark, sfDir)),
       "ivfpq_topk" -> (() => Similarity.ivfPqTopk(spark, sfDir)))
     ops.foreach { case (name, op) =>
-      val results = Seq(3, 8, 32).map(n => withPartitions(n) { rowsOf(op()) })
+      val results = Seq(3, 8, 32).map(n => withPartitions(n) {
+        // drop cached ANN quantizers so index TRAINING re-runs under each
+        // width too — otherwise runs 2 and 3 would pin only the serving
+        // path against run 1's trained centroids/codebooks
+        graft.functions.IvfIndex.clearCache()
+        graft.functions.PqIndex.clearCache()
+        rowsOf(op())
+      })
       assert(results(0) === results(1),
         s"$name differs between 3 and 8 shuffle partitions")
       assert(results(1) === results(2),
