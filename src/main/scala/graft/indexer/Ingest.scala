@@ -56,6 +56,74 @@ object Ingest {
   def messagesFromBlocks(blocks: DataFrame): DataFrame =
     messages(txsFromBlocks(blocks))
 
+  /** Per-tx decode contract: raw tx entry (base64 protobuf on a real
+    * chain) → decoded JSON, or None for undecodable input. Implemented
+    * by a pluggable codec constructed BY NAME per partition (a no-arg
+    * class; nothing is serialized), so a real deployment drops in a
+    * protobuf-descriptor or CLI-backed decoder and nothing else changes.
+    */
+  trait TxDecoder {
+    def decode(raw: String): Option[String]
+  }
+
+  /** Already-JSON entries pass through; everything else is dropped —
+    * the pre-decoded-landing contract of [[txsFromBlocks]] as a codec.
+    */
+  class JsonPassthroughDecoder extends TxDecoder {
+    override def decode(raw: String): Option[String] = {
+      val t = raw.trim
+      if (t.startsWith("{")) Some(t) else None
+    }
+  }
+
+  /** STUB chain codec — the sandbox stand-in for the reference's CLI
+    * decode (execute.go:82-109, main.go:271-284; no chain binary exists
+    * in a Spark cluster). JSON passes through; a valid base64 entry
+    * decodes to a DETERMINISTIC envelope carrying the payload's length
+    * and crc32 under a clearly-fake message type, so the full
+    * block→tx→message lineage is exercisable end-to-end; corrupt
+    * entries yield None (null-routed, never a failed task). Production
+    * replaces this class with a protobuf decoder behind the same
+    * two-line contract.
+    */
+  class StubBase64Decoder extends TxDecoder {
+    override def decode(raw: String): Option[String] = {
+      val t = raw.trim
+      if (t.startsWith("{")) Some(t)
+      else {
+        try {
+          val bytes = java.util.Base64.getDecoder.decode(t)
+          val crc = new java.util.zip.CRC32
+          crc.update(bytes)
+          Some(s"""{"body":{"messages":[{"@type":"/graft.stub.DecodedTx",""" +
+            s""""n_bytes":${bytes.length},"crc32":"${crc.getValue}"}]}}""")
+        } catch { case _: IllegalArgumentException => None }
+      }
+    }
+  }
+
+  /** The decode step of the reference's worker loop as a distributed
+    * transform: `(height, tx_json)` rows run through the codec with
+    * per-partition initialization (`mapPartitions` — one decoder
+    * instance per task, the seam a descriptor-set or JNI codec needs
+    * for its own expensive init). Undecodable entries are DROPPED here
+    * rather than poisoning downstream parsing; [[messages]] would
+    * null-route them anyway, so the two stages compose either way.
+    */
+  def decodeTxs(txs: DataFrame,
+      decoderClass: String = classOf[JsonPassthroughDecoder].getName): DataFrame = {
+    val spark = txs.sparkSession
+    import spark.implicits._
+    txs.select(col("height").cast("long"), col("tx_json").cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val dec = Class.forName(decoderClass).getDeclaredConstructor()
+          .newInstance().asInstanceOf[TxDecoder]
+        it.flatMap { case (h, raw) => dec.decode(raw).map(j => (h, j)) }
+      }
+      .toDF("height", "tx_json")
+  }
+
   /** Decoded txs: `(height, tx_json)` → one row per message with type,
     * sender (creator|sender|from_address precedence, process_tx.go:48-57),
     * raw payload, and a content hash for insert-ignore dedup (db.go:573).

@@ -305,6 +305,39 @@ class IndexerSpec extends SparkSpec {
     assert(graft.sinks.ParquetMergeSink.read(spark, table).count() === 6)
   }
 
+  test("tx decode seam: codec runs per partition, JSON passes, base64 decodes, corrupt drops") {
+    val jsonTx = """{"body":{"messages":[{"@type":"/t.M","creator":"allo1x","v":"1"}]}}"""
+    val b64 = java.util.Base64.getEncoder.encodeToString("payload-bytes".getBytes)
+    val txs = Seq(
+      (1L, jsonTx),          // pre-decoded landing: must pass through verbatim
+      (2L, b64),             // encoded: the stub codec decodes deterministically
+      (3L, "!!!not-base64")  // corrupt: dropped, never a failed task
+    ).toDF("height", "tx_json")
+
+    // default codec = the pre-decoded-landing contract
+    val passthrough = Ingest.decodeTxs(txs)
+    assert(passthrough.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, jsonTx)))
+
+    // stub chain codec: full lineage flows for BOTH transport shapes
+    val decoded = Ingest.decodeTxs(txs,
+      classOf[Ingest.StubBase64Decoder].getName)
+    val rows = decoded.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.keySet === Set(1L, 2L))
+    assert(rows(1L) === jsonTx, "already-JSON txs must pass through unchanged")
+    assert(rows(2L).contains("\"n_bytes\":13") &&
+      rows(2L).contains("/graft.stub.DecodedTx"),
+      s"stub decode must be deterministic over the payload bytes: ${rows(2L)}")
+    // …and the decoded envelopes route through the message explode
+    val msgs = Ingest.messages(decoded).collect()
+    assert(msgs.map(_.getAs[String]("type")).sorted.toSeq ===
+      Seq("/graft.stub.DecodedTx", "/t.M"))
+    // replay determinism: decoding twice yields identical rows
+    val again = Ingest.decodeTxs(txs, classOf[Ingest.StubBase64Decoder].getName)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(again === rows)
+  }
+
   test("upsert operators are idempotent under replay") {
     val df = Seq((1, "a", 10L), (1, "a", 20L), (2, "b", 5L)).toDF("k", "v", "ver")
     val first = Upsert.firstWins(df, Seq("k"), col("ver")).collect()
