@@ -198,4 +198,42 @@ object NearestCells {
   def apply(emb: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     GraftBridge.column(
       NearestCells(GraftBridge.expression(emb), centroids, nprobe))
+
+  /** Driver-side twin of [[compute]] for already-collected query vectors —
+    * same L2 metric, same lower-cell-id tie-break, so a probe list computed
+    * on the driver (to prune index partitions at PLAN time) always matches
+    * the executor-side assignment.
+    */
+  def computeLocal(v: Array[Double], centroids: Array[Array[Double]],
+      nprobe: Int): Array[Int] = {
+    val k = centroids.length
+    val d2 = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val ctr = centroids(c)
+      val n = math.min(v.length, ctr.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { val diff = v(i) - ctr(i); acc += diff * diff; i += 1 }
+      d2(c) = acc
+      c += 1
+    }
+    val m = math.min(nprobe, k)
+    val idx = Array.tabulate(k)(identity)
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = s
+      var j = s + 1
+      while (j < k) {
+        if (d2(idx(j)) < d2(idx(best)) ||
+            (d2(idx(j)) == d2(idx(best)) && idx(j) < idx(best))) best = j
+        j += 1
+      }
+      val tmp = idx(s); idx(s) = idx(best); idx(best) = tmp
+      out(s) = idx(s)
+      s += 1
+    }
+    out
+  }
 }

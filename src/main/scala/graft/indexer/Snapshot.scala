@@ -37,7 +37,7 @@ object Snapshot {
     U.latestWins(
         restored.withColumn("__pref", lit(0))
           .unionByName(fresh.withColumn("__pref", lit(1))),
-        keys, col(version), col("__pref").desc)
+        keys, col(version), col("__pref"))
       .drop("__pref")
   }
 

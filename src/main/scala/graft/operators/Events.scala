@@ -84,18 +84,18 @@ object Events {
   /** Latest-wins upsert per key (ON CONFLICT DO UPDATE semantics): the
     * newest event per user wins. Event ids are assigned in timestamp order,
     * so ordering by id avoids cross-engine sub-microsecond timestamp
-    * comparisons.
+    * comparisons. A two-phase `max_by` hash aggregate, not a window: each
+    * map partition forwards one candidate per user, so a hot user (a 10⁹-
+    * event bot key) costs O(partitions) after the map side instead of one
+    * reducer sorting its full history — same shape as [[dedupFirst]].
     */
   def latestPerUser(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
-    e.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(
-        col("user_id"),
-        col("event_id").as("last_event_id"),
-        col("event_type").as("last_type"),
-        round(col("value"), 2).as("last_value"))
+    e.groupBy(col("user_id"))
+      .agg(
+        max(col("event_id")).as("last_event_id"),
+        max_by(col("event_type"), col("event_id")).as("last_type"),
+        round(max_by(col("value"), col("event_id")), 2).as("last_value"))
       .orderBy("user_id")
   }
 

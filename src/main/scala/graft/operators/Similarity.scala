@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.Tables.BarrierOps
-import graft.functions.{CosineSimilarity, HyperplaneBuckets, IvfIndex, NearestCells, PqAdcScore, PqEncode, PqIndex, Vec}
+import graft.functions.{CosineSimilarity, HyperplaneBuckets, IvfIndex, IvfPqIndex, NearestCells, PqAdcScore, PqEncode, PqIndex, Vec}
 import graft.plans.TopKPerKey
 
 /** Similarity search over the `embeddings` table.
@@ -202,11 +202,13 @@ object Similarity {
     * Composed, the per-query work is `(nprobe/nCells) × N × 16 B` of
     * sequential code reads plus `shortlist` vector fetches — the FAISS
     * IVFADC layout (Jégou et al., "Product Quantization for Nearest
-    * Neighbor Search", TPAMI 2011, §IV). The index (cell + codes per id)
-    * is a plain projection a real deployment would persist partitioned
-    * by cell, making a probe a partition-pruned scan. No SQL oracle
-    * (approximate); recall vs `topkBruteforce` asserted in
-    * SimilaritySpec.
+    * Neighbor Search", TPAMI 2011, §IV). The inverted file (cell + codes
+    * per id) is PERSISTED `partitionBy("cell")` ([[IvfPqIndex]]) and the
+    * probed cells are computed on the driver from the bounded query set,
+    * so the serving scan carries a PartitionFilter: only the probed
+    * `cell=N` directories are listed, the unprobed ~75% of the index is
+    * never read. No SQL oracle (approximate); recall vs `topkBruteforce`,
+    * the pruned plan and load-not-rebuild asserted in SimilaritySpec.
     */
   def ivfPqTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -221,11 +223,15 @@ object Similarity {
     val cents = IvfIndex.centroids(e, "embedding", nCells, cacheKey = dir)
     val books = PqIndex.codebooks(corpus, "embedding", m = 16, k = 16,
       cacheKey = dir + "#pq")
-    // The offline index: one row per candidate — cell id + 16 codes.
-    val indexed = corpus.select(
-      element_at(NearestCells(col("embedding"), cents, 1), 1).as("cell"),
-      col("vec_id").as("cand_id"),
-      PqEncode(col("embedding"), books).as("codes"))
+    // The offline inverted file, committed once per corpus snapshot and
+    // read back partitioned by cell (build-or-load, fingerprint-checked).
+    // fmt bumps on any change to the encode expressions, so a stale index
+    // surviving in the index root can never serve a new code version
+    val fp = s"fmt=1;src=$dir;nCells=$nCells;m=16;k=16;seed=42"
+    val indexed = IvfPqIndex.loadOrBuild(corpus, "embedding", "vec_id",
+      cents, books,
+      s"${IvfPqIndex.indexRoot(spark)}/ivfpq_${Integer.toHexString(dir.hashCode)}",
+      fp)
     val qRows = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect()
@@ -233,11 +239,20 @@ object Similarity {
     val queries = qRows
       .map { case (qid, v) => (qid, PqIndex.lut(v, books), v) }.toSeq
       .toDF("query_id", "lut", "qe")
-    // Per query: its probed cells, carrying the ADC table to each.
-    val probes = queries.select(col("query_id"), col("lut"),
-      explode(NearestCells(col("qe"), cents, nprobe)).as("cell"))
+    // Per query: its probed cells, assigned ON THE DRIVER (same metric as
+    // the executor-side expression) so the union of probed cells is a
+    // plan-time constant…
+    val probes = qRows.map { case (qid, v) =>
+        (qid, PqIndex.lut(v, books), NearestCells.computeLocal(v, cents, nprobe).toSeq)
+      }.toSeq.toDF("query_id", "lut", "cells")
+      .select(col("query_id"), col("lut"), explode(col("cells")).as("cell"))
+    val probedCells = qRows
+      .flatMap { case (_, v) => NearestCells.computeLocal(v, cents, nprobe) }
+      .distinct.sorted
+    // …and the index scan is partition-pruned to exactly those dirs.
     // A candidate lives in exactly one cell → no pair dedup needed.
-    val adc = broadcast(probes).join(indexed, "cell")
+    val adc = broadcast(probes)
+      .join(indexed.filter(col("cell").isin(probedCells.map(Int.box).toSeq: _*)), "cell")
       .select(col("query_id"), col("cand_id"),
         PqAdcScore(col("codes"), col("lut")).as("adc"))
     val shortlist = TopKPerKey.perKey(

@@ -244,8 +244,11 @@ object TextOps {
     * min-aggregate for each trigram's first-seen doc (map-side combine
     * absorbs hot boilerplate trigrams — a window over the trigram would
     * buffer whole partitions instead), and a join back on the trigram.
-    * At 100 TB the join key would be xxhash64(trigram) — constant width;
-    * the string key is kept here for engine-portable oracle parity.
+    * The trigram is hashed to a constant-width md5 key BEFORE the explode,
+    * so the corpus-wide (doc, trigram) shuffle and the join back never
+    * carry raw trigram strings — md5 is portable to the DuckDB oracle, so
+    * parity holds with 16-byte-content keys (as text_contamination does
+    * with 64-bit hashes).
     */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val d = graft.Tables.fanout(Tables.documents(spark, dir))
@@ -254,10 +257,10 @@ object TextOps {
       .select(col("doc_id"), explode(array_distinct(
         transform(
           sequence(lit(0), size(col("ws")) - 3),
-          i => concat_ws(" ",
+          i => md5(concat_ws(" ",
             element_at(col("ws"), i + 1),
             element_at(col("ws"), i + 2),
-            element_at(col("ws"), i + 3))))).as("ng"))
+            element_at(col("ws"), i + 3)))))).as("ng"))
       // both the first-seen aggregate and the join probe read this —
       // materialize the corpus-wide explode once
       .barrier()
@@ -276,7 +279,7 @@ object TextOps {
     """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
                   FROM documents),
        t AS (SELECT doc_id,
-               unnest(list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+               unnest(list_distinct([md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
                  FOR i IN generate_series(1, len(ws) - 2)])) AS ng
              FROM w WHERE len(ws) >= 3),
        f AS (SELECT ng, min(doc_id) AS first_doc FROM t GROUP BY 1)

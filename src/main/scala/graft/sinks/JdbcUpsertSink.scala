@@ -65,7 +65,7 @@ object JdbcUpsertSink {
     // order: the same batch always elects the same survivor, so replays
     // converge even when the version column collides (e.g. version = key).
     val contentTie = xxhash64(batch.columns.map(col).toIndexedSeq: _*)
-    val resolved = Upsert.latestWins(batch, keys, col(version), contentTie.desc)
+    val resolved = Upsert.latestWins(batch, keys, col(version), contentTie)
     val schema = resolved.schema
     val conn0 = DriverManager.getConnection(url)
     try ensureTable(conn0, table, schema, keys) finally conn0.close()

@@ -161,7 +161,7 @@ object ParquetMergeSink {
 
     val merged = Upsert.latestWins(
         current.fold(batchB)(_.unionByName(batchB)),
-        keys, col(version), col(PrefCol).desc)
+        keys, col(version), col(PrefCol))
       .drop(PrefCol)
 
     // New immutable generation holding the touched buckets' merged rows;

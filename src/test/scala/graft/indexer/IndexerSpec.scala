@@ -351,4 +351,43 @@ class IndexerSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(replayed === latest)
   }
+
+  test("upsert aggregate is row-identical to the window-argmax it replaced") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    // Skewed synthetic: one hot key carrying most of the rows, version ties
+    // broken by a precedence column — the exact merge-sink shape.
+    val rows = (1 to 400).map { i =>
+      val k = if (i % 4 == 0) i / 4 else 0 // key 0 is hot (300 of 400 rows)
+      (k, s"payload_$i", (i % 13).toLong, i % 2)
+    }
+    val df = rows.toDF("k", "v", "ver", "pref").repartition(8)
+
+    val viaAgg = Upsert.latestWins(df, Seq("k"), col("ver"), col("pref"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("ver").desc, col("pref").desc, col("v").desc)
+    val viaWindow = df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    // (ver, pref) is not a total order here, so compare the decided part
+    // (key→winning version+pref) exactly — what ON CONFLICT semantics pin.
+    def decided(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "ver", "pref").collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(decided(viaAgg) === decided(viaWindow))
+
+    // And with a total order (unique v tie-break) the full rows must match.
+    val viaAggTotal = Upsert.latestWins(df, Seq("k"), col("ver"),
+      col("pref"), col("v"))
+    assert(viaAggTotal.collect().map(_.toSeq).toSet ===
+      viaWindow.collect().map(_.toSeq).toSet)
+
+    // Plan shape: a partial max_by aggregate must run BELOW the exchange
+    // (map-side combine), the property the window version lacked.
+    viaAgg.collect()
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by") || plan.contains("partial_maxby")
+      || plan.toLowerCase.contains("partial_max_by"),
+      s"expected a partial max_by below the exchange, got:\n$plan")
+  }
 }

@@ -65,6 +65,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"ivf-pq recall $recall below floor")
   }
 
+  test("ivf-pq serves from a persisted cell-partitioned index: " +
+      "partition-pruned scan, load-not-rebuild") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{IvfIndex, IvfPqIndex, PqIndex, NearestCells}
+    // First serve commits the inverted file (or finds it committed)…
+    Similarity.ivfPqTopk(spark, sfDir).collect()
+    val afterFirst = IvfPqIndex.builds.get()
+    // …and a second serve must LOAD it: same results, zero new builds.
+    val again = Similarity.ivfPqTopk(spark, sfDir).collect()
+    assert(IvfPqIndex.builds.get() === afterFirst,
+      "second serve must load the committed index, not re-encode the corpus")
+    assert(again.length === 30)
+
+    // The probe scan carries a PartitionFilter on cell — only probed
+    // cell=N directories are listed, the rest of the index is never read.
+    val e = graft.Tables.fanout(graft.Tables.embeddings(spark, sfDir))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val cents = IvfIndex.centroids(e, "embedding", 32, cacheKey = sfDir)
+    val books = PqIndex.codebooks(corpus, "embedding", m = 16, k = 16,
+      cacheKey = sfDir + "#pq")
+    val fp = s"fmt=1;src=$sfDir;nCells=32;m=16;k=16;seed=42"
+    val idx = IvfPqIndex.loadOrBuild(corpus, "embedding", "vec_id", cents,
+      books,
+      s"${IvfPqIndex.indexRoot(spark)}/ivfpq_${Integer.toHexString(sfDir.hashCode)}",
+      fp)
+    val pruned = idx.filter(col("cell").isin(0, 1, 2))
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      s"expected a partition-pruned index scan, got:\n$scan")
+    // Pruning is real, not cosmetic: the pruned scan reads a strict subset
+    // of the index's cell directories.
+    val allCells = idx.select("cell").distinct().count()
+    val prunedCells = pruned.select("cell").distinct().count()
+    assert(prunedCells <= 3 && prunedCells < allCells)
+  }
+
   test("ivf-pq re-ranked cosines are exact for returned pairs") {
     val exact = Similarity.topkBruteforce(spark, sfDir).collect()
       .map(r => ((r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")),
