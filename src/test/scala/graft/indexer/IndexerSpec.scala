@@ -305,6 +305,64 @@ class IndexerSpec extends SparkSpec {
     assert(graft.sinks.ParquetMergeSink.read(spark, table).count() === 6)
   }
 
+  test("partitioned flow: ingest appends plain day dirs, maintenance " +
+      "absorbs them atomically, re-runs are no-ops") {
+    import graft.sinks.{ManifestCommit, TableMaintenance}
+    val landing = java.nio.file.Files.createTempDirectory("graft-pflow-landing").toString
+    val table = java.nio.file.Files.createTempDirectory("graft-pflow").toString + "/facts"
+    // two block days interleaved across heights (odd → day 1, even → day 2)
+    def block(h: Long): String = blockJson
+      .replace("\"height\":\"100\"", s""""height":"$h"""")
+      .replace("2024-05-01", if (h % 2 == 1) "2024-05-01" else "2024-05-02")
+    def writeRange(lo: Long, hi: Long): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(landing, s"blocks-$lo-$hi.jsonl"),
+        (lo to hi).map(h => s"$h\t${block(h)}").mkString("\n").getBytes)
+    def days(): Seq[String] =
+      TableMaintenance.readPartitioned(spark, table)
+        // partition-dir inference reads day back as DATE; canonicalize
+        .select(col("day").cast("string"), col("height")).collect()
+        .map(r => s"${r.getString(0)}:${r.getLong(1)}").sorted.toSeq
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // two ingest passes: plain day= dirs appear and strew (one file per
+    // append per day), no manifest yet — the cheapest possible write
+    writeRange(100, 102)
+    assert(IndexerFlow.runBatchPartitioned(spark, landing, table) === 3)
+    writeRange(103, 104)
+    assert(IndexerFlow.runBatchPartitioned(spark, landing, table) === 2)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(table, "day=2024-05-01")))
+    assert(ManifestCommit.latest(fs,
+      new org.apache.hadoop.fs.Path(table)).isEmpty,
+      "ingest must stay append-only plain — maintenance owns the manifest")
+    val before = days()
+    assert(before.size === 5 && before.count(_.startsWith("2024-05-01")) === 2)
+
+    // maintenance absorbs both strewn plain day dirs in ONE manifest flip
+    val rewritten = IndexerFlow.maintain(spark, table, targetBytes = 1L << 20)
+    assert(rewritten.toSet === Set("day=2024-05-01", "day=2024-05-02"))
+    assert(days() === before, "maintenance must not change visible rows")
+
+    // catch-up re-run with no new data: no-op on both halves
+    assert(IndexerFlow.runBatchPartitioned(spark, landing, table) === 0)
+    assert(IndexerFlow.maintain(spark, table, targetBytes = 1L << 20) === Seq.empty,
+      "re-running maintenance on a quiet table must rewrite nothing")
+    assert(days() === before)
+
+    // late data lands plain into the already-compacted days: visible
+    // immediately, folded into the managed generations by the NEXT pass
+    writeRange(105, 106)
+    assert(IndexerFlow.runBatchPartitioned(spark, landing, table) === 2)
+    assert(days().size === 7)
+    val rewritten2 = IndexerFlow.maintain(spark, table, targetBytes = 1L << 20)
+    assert(rewritten2.toSet === Set("day=2024-05-01", "day=2024-05-02"),
+      s"late-data days must fold into their generations, got $rewritten2")
+    assert(days().size === 7)
+    assert(IndexerFlow.runBatchPartitioned(spark, landing, table) === 0)
+    assert(IndexerFlow.maintain(spark, table, targetBytes = 1L << 20) === Seq.empty)
+  }
+
   test("tx decode seam: codec runs per partition, JSON passes, base64 decodes, corrupt drops") {
     val jsonTx = """{"body":{"messages":[{"@type":"/t.M","creator":"allo1x","v":"1"}]}}"""
     val b64 = java.util.Base64.getEncoder.encodeToString("payload-bytes".getBytes)

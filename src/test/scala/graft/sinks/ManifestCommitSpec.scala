@@ -61,6 +61,79 @@ class ManifestCommitSpec extends SparkSpec {
     assert(ManifestCommit.committed(fs, r).map(_.version) === Seq(2L, 3L))
   }
 
+  test("two racing committers: one winner per version, loud loser, " +
+      "a polling reader never sees a mixed manifest") {
+    val (r, fs) = root()
+    ManifestCommit.commit(fs, r, Map("dir.t" -> "gen-base", "n" -> "1"))
+
+    // A concurrent reader polls latest() for the whole race; every
+    // observation must be ONE writer's complete entry set — never a mix,
+    // never a partial file (manifests become visible via a single rename).
+    @volatile var racing = true
+    val readerBad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() => {
+      while (racing) {
+        try ManifestCommit.latest(fs, r).foreach { m =>
+          val tags = m.dirs.values.map(_.stripPrefix("gen-")).toSet
+          if (tags.size != 1 || m.entries.get("n").isEmpty)
+            readerBad.add(s"v${m.version}: ${m.entries}")
+        } catch { case e: Exception => readerBad.add(s"reader threw: $e") }
+      }
+    })
+    reader.start()
+
+    val successes = scala.collection.mutable.Map[String, Int]("A" -> 0, "B" -> 0)
+    val returnedVersions = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (1 to 12).foreach { round =>
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      val outcome = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Long]]()
+      val ws = Seq("A", "B").map { tag =>
+        new Thread(() => {
+          gate.await() // both writers enter commit() together
+          val res =
+            try Right(ManifestCommit.commit(fs, r,
+              Map("dir.t" -> s"gen-$tag", "dir.u" -> s"gen-$tag", "n" -> "2")))
+            catch { case e: Throwable => Left(e) }
+          outcome.put(tag, res)
+        })
+      }
+      ws.foreach(_.start()); ws.foreach(_.join())
+      Seq("A", "B").foreach { tag =>
+        outcome.get(tag) match {
+          case Right(v) =>
+            successes(tag) += 1; returnedVersions += v
+          case Left(e) => // the loser must fail LOUDLY with the race message
+            assert(e.isInstanceOf[java.io.IOException] &&
+              e.getMessage.contains("lost the race"),
+              s"round $round loser threw the wrong error: $e")
+        }
+      }
+      assert(outcome.values().size === 2)
+      assert(Seq("A", "B").exists(outcome.get(_).isRight),
+        s"round $round: at least one writer must commit")
+    }
+    racing = false
+    reader.join()
+
+    assert(readerBad.isEmpty, s"reader saw inconsistent manifests: $readerBad")
+    // exactly one winner per version: every returned version is distinct
+    // and the committed log holds exactly the winners' manifests
+    assert(returnedVersions.distinct.size === returnedVersions.size)
+    val committed = ManifestCommit.committed(fs, r).filter(_.version > 1L)
+    assert(committed.map(_.version).toSet === returnedVersions.toSet)
+    val byTag = committed.groupBy(_.dirs("t").stripPrefix("gen-"))
+      .view.mapValues(_.size).toMap
+    assert(byTag.getOrElse("A", 0) === successes("A") &&
+      byTag.getOrElse("B", 0) === successes("B"),
+      s"committed manifests $byTag must match the winners $successes — " +
+        "a loser's entries leaked into the log")
+    // and every committed manifest is complete (no partial writes)
+    committed.foreach { m =>
+      assert(m.dirs.keySet === Set("t", "u") && m.entries("n") === "2",
+        s"v${m.version} is not a complete single-writer manifest: ${m.entries}")
+    }
+  }
+
   test("non-generation directories are never vacuum candidates") {
     val (r, fs) = root()
     fs.mkdirs(new Path(r, "day=2024-01-01")) // partitioned-table plain dir
