@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor multiplier for the driver testdata: replicates the sf0.1
+  * tables `copies`× with disjoint key ranges into a new directory, so the
+  * whole suite (oracle gate + bench) can be proven at 10× the largest
+  * generated SF. Usage:
+  *
+  *   runMain graft.ScaleUp <srcDir> <destDir> <copies>
+  *
+  * Design — the point is to scale DATA VOLUME without changing the data's
+  * character, so per-operator cost curves are attributable to size alone:
+  *
+  *  - Every key family shifts by `copy × stride` with strides far above
+  *    the source key ranges, preserving referential integrity per copy
+  *    (copy i's orders reference copy i's customers) and global key
+  *    uniqueness. `doc_id`/`vec_id` share one stride (they join).
+  *  - Dimension-like tables (region, nation) stay 1× — they are bounded
+  *    in the real schema too; customer/supplier/part/orders/lineitem/
+  *    events/documents/embeddings all scale, as they do with SF.
+  *  - Document TEXT is word-rotated per copy (rotation grows with the
+  *    copy number): copies of one document share vocabulary and length
+  *    but almost no shingles, so the near-duplicate structure SCALES
+  *    (each copy carries the organic dup pairs of the original corpus)
+  *    instead of exploding (verbatim copies would make every document a
+  *    10-way exact-dup cluster — a different workload, not a bigger one).
+  *  - Embedding vectors are cyclically rotated per copy: same norm and
+  *    coordinate distribution, effectively unrelated direction, so ANN
+  *    candidate structure also scales instead of collapsing into
+  *    10-way cos≈1 clusters. Query vectors stay `vec_id < 10` — a fixed
+  *    query set against a 10× corpus, the serving shape.
+  *  - `events.ts` arrives as parquet TIMESTAMP(NANOS); the copy is
+  *    written as a plain micros timestamp (what Spark 4 can write);
+  *    [[Tables.events]] reads either layout.
+  *
+  * Timestamps/dates/values are NOT shifted: the same time window holds
+  * 10× the volume, which is what a higher SF means in TPC-H too.
+  */
+object ScaleUp {
+
+  // Key strides, all far above the source max at sf0.1.
+  private val CustStride = 1000000L // also events.user_id
+  private val SuppStride = 100000L
+  private val PartStride = 1000000L
+  private val OrderStride = 10000000L
+  private val EventStride = 10000000L
+  private val DocStride = 1000000L // doc_id and vec_id (they join)
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <srcDir> <destDir> <copies>")
+    val Array(src, dest, copiesStr) = args
+    val copies = copiesStr.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // Spark's default timestamp layout is INT96, which pinned-schema
+      // streaming readers cannot consume; micros is the modern layout
+      // both engines and the streaming schema probe understand.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rep(df: DataFrame): DataFrame =
+      df.withColumn("__c",
+        explode(lit((0L until copies.toLong).toArray)))
+
+    // Shift key columns by copy×stride; SUFFIX name columns per copy —
+    // scaled entities are NEW entities, and duplicate display names
+    // would silently change name-grouped query semantics (two distinct
+    // suppliers sharing s_name must not merge).
+    def shift(df: DataFrame, names: Seq[String], cols: (String, Long)*): DataFrame = {
+      val keyed = cols.foldLeft(rep(df)) { case (d, (c, stride)) =>
+        d.withColumn(c, col(c) + col("__c") * stride)
+      }
+      names.foldLeft(keyed) { case (d, nc) =>
+        d.withColumn(nc, when(col("__c") === 0, col(nc))
+          .otherwise(concat(col(nc), lit("_"), col("__c"))))
+      }.drop("__c")
+    }
+
+    /** Cyclic left-rotation of an array column by `k` (0 ⇒ identity). */
+    def rotated(arr: Column, n: Column, k: Column): Column =
+      when(k === 0, arr).otherwise(concat(
+        slice(arr, k + 1, n - k), slice(arr, lit(1), k)))
+
+    val tables: Seq[(String, DataFrame)] = Seq(
+      "region" -> Tables.region(spark, src),
+      "nation" -> Tables.nation(spark, src),
+      "customer" -> shift(Tables.customer(spark, src), Seq("c_name"),
+        "c_custkey" -> CustStride),
+      "supplier" -> shift(Tables.supplier(spark, src), Seq("s_name"),
+        "s_suppkey" -> SuppStride),
+      // p_name gets a SUFFIX: every name-prefix/contains filter
+      // (`red%`, `%widget%`) keeps matching the copies
+      "part" -> shift(Tables.part(spark, src), Seq("p_name"),
+        "p_partkey" -> PartStride),
+      "orders" -> shift(Tables.orders(spark, src), Nil,
+        "o_orderkey" -> OrderStride, "o_custkey" -> CustStride),
+      "lineitem" -> shift(Tables.lineitem(spark, src), Nil,
+        "l_orderkey" -> OrderStride, "l_partkey" -> PartStride,
+        "l_suppkey" -> SuppStride),
+      // Tables.events normalizes ts to a micros TimestampType already.
+      "events" -> shift(Tables.events(spark, src), Nil,
+        "event_id" -> EventStride, "user_id" -> CustStride),
+      "documents" -> {
+        val d = rep(Tables.documents(spark, src))
+          .withColumn("__ws", split(trim(col("text")), "\\s+"))
+          .withColumn("__n", size(col("__ws")))
+          // rotation offset varies with the copy and stays inside the doc
+          .withColumn("__k",
+            pmod(col("__c") * 7, greatest(col("__n"), lit(1))).cast("int"))
+          .withColumn("text", when(col("__c") === 0, col("text")).otherwise(
+            concat_ws(" ", rotated(col("__ws"), col("__n"), col("__k")))))
+          .withColumn("doc_id", col("doc_id") + col("__c") * DocStride)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        d.drop("__c", "__ws", "__n", "__k")
+      },
+      "embeddings" -> {
+        val e = rep(Tables.embeddings(spark, src))
+          .withColumn("__n", size(col("embedding")))
+          .withColumn("__k",
+            pmod(col("__c"), greatest(col("__n"), lit(1))).cast("int"))
+          .withColumn("embedding",
+            rotated(col("embedding"), col("__n"), col("__k")))
+          .withColumn("vec_id", col("vec_id") + col("__c") * DocStride)
+        e.drop("__c", "__n", "__k")
+      })
+
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(destPath)
+    tables.foreach { case (name, df) =>
+      // Single file per table, named exactly like the driver layout
+      // (<table>.parquet as a FILE — the DuckDB oracle reads it directly).
+      val tmp = new Path(destPath, s"_tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no output for $name"))
+      val target = new Path(destPath, s"$name.parquet")
+      fs.delete(target, false)
+      fs.rename(part, target)
+      fs.delete(tmp, true)
+      println(s"scaled $name -> $target")
+    }
+    spark.stop()
+  }
+}

@@ -19,16 +19,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp. Read nanos as long (legacy conf) and rebuild a
-    * microsecond TimestampType column — the truncation is harmless (all
-    * downstream logic compares at second granularity or uses `event_id`,
-    * which is assigned in timestamp order).
+  /** `events.ts` is parquet TIMESTAMP(NANOS) in the driver-generated
+    * testdata, which Spark 4 refuses to read as a timestamp. Read nanos as
+    * long (legacy conf) and rebuild a microsecond TimestampType column —
+    * the truncation is harmless (all downstream logic compares at second
+    * granularity or uses `event_id`, which is assigned in timestamp
+    * order). A re-written events table (e.g. a ScaleUp copy, which Spark
+    * can only write as micros) already reads as TimestampType and passes
+    * through unchanged.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame   = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame  = table(s, d, "embeddings")

@@ -128,6 +128,15 @@ object Events {
     * Timestamps are compared at whole-second resolution on both engines
     * (parquet stores nanoseconds; Spark reads microseconds — truncating to
     * seconds makes the session boundaries engine-portable).
+    *
+    * Hot-key residual (SURVEY §5): the gap test needs each user's events
+    * in time order, so one user's full history sorts on one reducer —
+    * unlike the argmax upserts, an order-dependent fold cannot become a
+    * commutative aggregate. A 10⁹-event bot key serializes there; the
+    * bounds are re-keying by (user, day) when session semantics allow a
+    * day cut (browseAbandon does), or the streaming `session_window` /
+    * `flatMapGroupsWithState` path (EventStream), whose state is bounded
+    * by the watermark horizon instead of the key's history.
     */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
@@ -354,6 +363,10 @@ object Events {
 
   /** 7-day moving average of daily revenue (frame-bounded window over the
     * pre-rounded daily series, so both engines average identical doubles).
+    * The unpartitioned window is safe at any corpus size because it runs
+    * over the AGGREGATED |days| domain, never raw events — the partial
+    * daily aggregate absorbs the volume; a hot day is just one row here
+    * (SURVEY §5 hot-key note).
     */
   def movingAvg(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -105,13 +105,32 @@ object Relational {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      // exact integer 10⁻⁴-dollar units: double sums drift a cent at 10×
+      // the rows (fold-order-dependent last ulp crosses a rounding
+      // boundary); integer cents are exact at any SF — the reference's
+      // NUMERIC discipline (db.go:414)
+      .agg((sum(revenueUnits).cast("double") / lit(1e4)).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Revenue of a line in exact 10⁻⁴-dollar integer units:
+    * `cents(extendedprice) × (100 − cents(discount)·100⁻¹·100)` — both
+    * factors are 2-dp decimals in the data, so the product is an exact
+    * long and sums are partition- and fold-order-independent at any
+    * scale (a double `sum(price*(1-disc))` loses a cent at sf1.0).
+    */
+  private def revenueUnits: Column =
+    round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
+
+  /** DuckDB twin of [[revenueUnits]] (HUGEINT-safe, cast per factor). */
+  private val revenueUnitsSql: String =
+    "CAST(round(l_extendedprice*100) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount*100) AS BIGINT))"
+
   val q05Oracle: String =
-    """SELECT n_name,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    s"""SELECT n_name,
+       CAST(sum($revenueUnitsSql) AS BIGINT) / 1e4 AS revenue
        FROM lineitem
        JOIN orders ON l_orderkey = o_orderkey
        JOIN customer ON o_custkey = c_custkey
@@ -163,16 +182,16 @@ object Relational {
       .groupBy(col("p_brand"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        (sum(revenueUnits).cast("double") / lit(1e4)).as("revenue"),
         countDistinct(col("s_suppkey")).as("n_suppliers"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("p_brand"))
   }
 
   val qPartSupplierOracle: String =
-    """SELECT p_brand,
+    s"""SELECT p_brand,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       CAST(sum($revenueUnitsSql) AS BIGINT) / 1e4 AS revenue,
        CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers,
        count(*) AS n_lines
        FROM lineitem
@@ -444,21 +463,27 @@ object Relational {
       .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(snat), col("s_nationkey") === col("s_nk"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
+      // exact integer units end-to-end: the share ratio is an integer
+      // floor-division, so both engines derive identical values at any SF
       .agg(
-        round(sum(when(col("supp_nation") === "NATION_3",
-          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)), 2)
-          .as("nation_revenue"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("total_revenue"))
-      .withColumn("mkt_share",
-        floor(col("nation_revenue") / col("total_revenue") * 1e4) / 1e4)
+        sum(when(col("supp_nation") === "NATION_3", revenueUnits)
+          .otherwise(lit(0L))).as("nu"),
+        sum(revenueUnits).as("tu"))
+      .select(
+        col("o_year"),
+        (col("nu").cast("double") / lit(1e4)).as("nation_revenue"),
+        (col("tu").cast("double") / lit(1e4)).as("total_revenue"),
+        // SQL `div` = integer floor division (Spark's `/` on longs is
+        // true double division), matching DuckDB's `//`
+        (expr("(nu * 10000) div tu").cast("double") / lit(1e4))
+          .as("mkt_share"))
       .orderBy("o_year")
   }
 
   val q08Oracle: String =
-    """WITH base AS (
+    s"""WITH base AS (
          SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-                l_extendedprice * (1.0 - l_discount) AS vol,
+                $revenueUnitsSql AS units,
                 n2.n_name AS supp_nation
          FROM lineitem
          JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
@@ -467,14 +492,15 @@ object Relational {
          JOIN nation n1 ON c_nationkey = n1.n_nationkey
          JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
          JOIN supplier ON l_suppkey = s_suppkey
-         JOIN nation n2 ON s_nationkey = n2.n_nationkey)
-       SELECT o_year,
-              round(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0.0 END), 2)
-                AS nation_revenue,
-              round(sum(vol), 2) AS total_revenue,
-              floor(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0.0 END), 2)
-                    / round(sum(vol), 2) * 1e4) / 1e4 AS mkt_share
-       FROM base GROUP BY 1 ORDER BY 1"""
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey),
+       g AS (
+         SELECT o_year,
+                CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN units ELSE 0 END) AS BIGINT) AS nu,
+                CAST(sum(units) AS BIGINT) AS tu
+         FROM base GROUP BY 1)
+       SELECT o_year, nu / 1e4 AS nation_revenue, tu / 1e4 AS total_revenue,
+              CAST(nu * 10000 // tu AS BIGINT) / 1e4 AS mkt_share
+       FROM g ORDER BY 1"""
 
   /** Promotion revenue share (TPC-H q14 shape): conditional aggregation
     * over a part-type flag for one shipment month; the part side is a
@@ -656,16 +682,22 @@ object Relational {
       .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(snat), col("s_nationkey") === col("s_nk"))
       .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
-      .agg(round(sum(
-        col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
-          lit(0.6) * col("p_retailprice") * col("l_quantity")), 2).as("profit"))
+      // exact 10⁻⁵-dollar units: revenue units (10⁻⁴) × 10 minus
+      // 0.6·retail·qty = 6 × retail_cents × qty_cents (10⁻⁵ exactly,
+      // since 0.6·(10⁻²)·(10⁻²) = 6·10⁻⁵) — all integers, no FP drift
+      .agg(((sum(revenueUnits * lit(10L) -
+          lit(6L) * round(col("p_retailprice") * 100).cast("long") *
+            round(col("l_quantity") * 100).cast("long")))
+        .cast("double") / lit(1e5)).as("profit"))
       .orderBy(col("nation"), col("o_year").desc)
   }
 
   val q09Oracle: String =
-    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-       round(sum(l_extendedprice * (1.0 - l_discount)
-                 - 0.6 * p_retailprice * l_quantity), 2) AS profit
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum(($revenueUnitsSql) * 10
+                 - 6 * CAST(round(p_retailprice*100) AS BIGINT)
+                     * CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+         / 1e5 AS profit
        FROM lineitem
        JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
        JOIN orders ON l_orderkey = o_orderkey

@@ -23,6 +23,30 @@ case class TypeTotal(eventType: String, batchCount: Long, runningTotal: Long)
   */
 object EventStream {
 
+  /** Streaming read of the `events` table with a layout-adaptive `ts`:
+    * driver-generated data stores parquet TIMESTAMP(NANOS) (declared
+    * LongType under the legacy nanos conf, rebuilt at micros), while a
+    * re-written copy (ScaleUp — Spark can only write micros) is already
+    * TimestampType and passes through. Streaming schemas must be pinned
+    * up front, so the layout is probed once via a batch footer read.
+    * Caller must have set `spark.sql.legacy.parquet.nanosAsLong`.
+    */
+  private def eventsStream(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tsIsLong = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType == LongType
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", if (tsIsLong) LongType else TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
   /** Raw JSON lines → typed event rows. Input column: `value` (string). */
   def parse(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
@@ -283,17 +307,11 @@ object EventStream {
     // oracle's strftime buckets the raw UTC timestamp — they agree only
     // under UTC, so pin it for the computation.
     conf.set("spark.sql.session.timeZone", "UTC")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     val name = s"graft_stream_daily_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     try {
       // the file-stream source wants a directory: scan the sf dir, admit
-      // only the events table
-      val q = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // only the events table (ts layout probed by eventsStream)
+      val q = eventsStream(spark, dir)
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
         .select(
@@ -360,14 +378,8 @@ object EventStream {
     val shufKey = "spark.sql.shuffle.partitions"
     val prevShuf = conf.getOption(shufKey)
     conf.set(shufKey, math.min(8, conf.get(shufKey, "8").toInt).toString)
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     val name = s"graft_stream_pctx_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    def src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = eventsStream(spark, dir)
     try {
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
