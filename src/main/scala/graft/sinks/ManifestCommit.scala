@@ -113,15 +113,27 @@ object ManifestCommit {
     * commit point. Returns the committed version. Fails (leaving the
     * table at the previous generation) if another writer took the slot.
     *
-    * Race detection is exists-check + rename + READ-BACK: rename onto an
-    * existing target fails on HDFS, but POSIX/local rename silently
-    * replaces it, so a racing writer could otherwise overwrite a
-    * committed manifest and both writers report success. Every commit
-    * therefore carries a unique `txid` entry and verifies after the
-    * rename that the committed file holds ITS txid — the loser of any
-    * interleaving throws instead of silently clobbering (tables are
-    * single-writer by contract; this turns a misconfigured double-writer
-    * into a loud failure instead of data loss).
+    * The slot is claimed with an ATOMIC put-if-absent, dispatched per
+    * store the way Delta's LogStore is (one primitive per store's actual
+    * atomicity guarantee):
+    *
+    *  - local `file://` — hard-link tmp → target. `link(2)` is the one
+    *    POSIX primitive that is both atomic and exclusive; POSIX
+    *    `rename(2)` silently REPLACES an existing destination, so a
+    *    tmp+rename protocol lets a racing writer clobber a committed
+    *    manifest after its writer's read-back already passed (both report
+    *    success for one version — observed, then designed out). The link
+    *    makes the full content visible in the same atomic step.
+    *  - everything else (HDFS-semantics stores) — rename with no
+    *    overwrite, which HDFS refuses atomically at the NameNode when the
+    *    destination exists, then a txid READ-BACK: the manifest carries a
+    *    unique `txid` entry and the committer verifies the committed file
+    *    holds ITS txid, so on any store whose rename replaces (object
+    *    stores without conditional puts) a clobbered writer still fails
+    *    loudly instead of silently losing its commit.
+    *
+    * Tables are single-writer by contract; this turns a misconfigured
+    * double-writer into a loud failure instead of data loss.
     */
   def commit(fs: FileSystem, root: Path, entries: Map[String, String]): Long = {
     val version = latest(fs, root).map(_.version).getOrElse(0L) + 1L
@@ -143,8 +155,19 @@ object ManifestCommit {
           "tables are single-writer; the data generation written for this " +
           "commit is an orphan and will be vacuumed")
     }
-    if (fs.exists(target) || !fs.rename(tmp, target)) lose()
-    if (!readEntries(fs, target).get("txid").contains(txid)) lose()
+    if (fs.exists(target)) lose()
+    if (fs.getScheme == "file") {
+      try java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(target.toUri.getPath),
+        java.nio.file.Paths.get(tmp.toUri.getPath))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => lose()
+      }
+      fs.delete(tmp, false)
+    } else {
+      if (!fs.rename(tmp, target)) lose()
+      if (!readEntries(fs, target).get("txid").contains(txid)) lose()
+    }
     version
   }
 
