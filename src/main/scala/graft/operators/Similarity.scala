@@ -389,4 +389,53 @@ object Similarity {
          floor(max(err) * 1e6) / 1e6 AS max_err,
          floor(sum(floor(err * 1e9)) * 1.0 / count(*) / 1e9 * 1e6) / 1e6 AS avg_err
        FROM e GROUP BY 1 ORDER BY 1"""
+
+  /** Per-label embedding dispersion — the mean pairwise cosine similarity
+    * within each label — in O(n·d) via the Gram identity: for unit
+    * vectors uᵢ, Σᵢ≠ⱼ uᵢ·uⱼ = ‖Σᵢuᵢ‖² − n, so the ordered-pair mean is
+    * (‖Σu‖² − n) / (n(n−1)). The naive formulation is an O(n²·d)
+    * self-join per label — dead on arrival over a 100 TB corpus — while
+    * this is one normalize projection, one (label, dim) two-phase hash
+    * aggregate (d partial sums per vector, map-side combined; a skewed
+    * label streams through like any word-count), and a d-row fold per
+    * label. The curation use: a label whose dispersion approaches 1 is a
+    * near-duplicate cluster; one near 0 is semantically incoherent.
+    * SimilaritySpec pins the identity against the brute-force all-pairs
+    * mean.
+    */
+  def embDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanout(Tables.embeddings(spark, dir))
+    val unit = e
+      .select(col("label"), col("embedding").cast("array<double>").as("v"),
+        Vec.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+      .select(col("label"), transform(col("v"), x => x / col("nrm")).as("u"))
+    val perDim = unit
+      .select(col("label"), posexplode(col("u")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+    perDim.groupBy("label")
+      .agg(sum(col("s") * col("s")).as("gram"), max(col("cnt")).as("n_vectors"))
+      .filter(col("n_vectors") > 1)
+      .select(col("label"), col("n_vectors"),
+        trunc4((col("gram") - col("n_vectors")) /
+          (col("n_vectors") * (col("n_vectors") - lit(1L)))).as("mean_pairwise_cos"))
+      .orderBy("label")
+  }
+
+  val embDispersionOracle: String =
+    """WITH nv AS (
+         SELECT label, embedding,
+           sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN embedding])) AS nrm
+         FROM embeddings),
+       d AS (
+         SELECT label, i, sum(embedding[i]::DOUBLE / nrm) AS s, count(*) AS cnt
+         FROM nv, generate_series(1, 64) AS t(i)
+         WHERE nrm > 0
+         GROUP BY 1, 2),
+       g AS (
+         SELECT label, sum(s * s) AS gram, max(cnt) AS n FROM d GROUP BY 1)
+       SELECT label, CAST(n AS BIGINT) AS n_vectors,
+         floor((gram - n) / (n * (n - 1)) * 1e4) / 1e4 AS mean_pairwise_cos
+       FROM g WHERE n > 1 ORDER BY label"""
 }

@@ -567,4 +567,47 @@ object TextOps {
               len(string_split(chunk, ' ')) AS n_tokens,
               md5(chunk) AS chunk_md5
        FROM c ORDER BY doc_id, chunk_id"""
+
+  /** Corpus vocabulary head: the 20 most frequent words with rank and
+    * corpus share — the Zipf-profile health check a corpus build runs
+    * before training (a head word owning an outsized share usually means
+    * boilerplate or a broken extractor upstream).
+    *
+    * Shape: one word-count (explode → two-phase hash aggregate; map-side
+    * combine absorbs the head words' skew exactly like a word-count), the
+    * corpus total folded from the per-word counts (vocabulary-sized
+    * input, not a second corpus pass), top-20 via TakeOrdered (bounded
+    * per-partition heaps + driver merge — NO global window over the
+    * vocabulary, which is 10⁷+ types in a real corpus), and a rank window
+    * over only the 20 surviving rows.
+    */
+  def zipf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    val counts = w.groupBy("word").agg(count(lit(1)).as("cnt")).barrier()
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts.orderBy(desc("cnt"), asc("word")).limit(20)
+      .crossJoin(broadcast(total))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("cnt"), asc("word"))).cast("long"))
+      .select(col("rank"), col("word"), col("cnt"),
+        trunc4(col("cnt").cast("double") / col("total")).as("share"))
+      .orderBy("rank")
+  }
+
+  val zipfOracle: String =
+    """WITH w AS (
+         SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+         FROM documents),
+       c AS (
+         SELECT word, count(*) AS cnt FROM w
+         WHERE length(word) > 0 GROUP BY 1),
+       t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+       top AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 20)
+       SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank,
+              word, CAST(cnt AS BIGINT) AS cnt,
+              floor(cnt * 1.0 / total * 1e4) / 1e4 AS share
+       FROM top, t ORDER BY rank"""
 }

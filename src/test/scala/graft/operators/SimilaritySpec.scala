@@ -211,4 +211,30 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("avg_norm") <= r.getAs[Double]("max_norm"))
     }
   }
+
+  test("dispersion via the Gram identity equals the brute-force all-pairs mean") {
+    import org.apache.spark.sql.functions._
+    val disp = Similarity.embDispersion(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Double]("mean_pairwise_cos"))).toMap
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val allPairs = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.label").as("label"),
+        graft.functions.Vec.cosine(col("a.v"), col("b.v")).as("cos"))
+      .groupBy("label")
+      .agg(avg(col("cos")).as("m"), count(lit(1)).as("np"))
+      .collect()
+    assert(allPairs.length === disp.size)
+    allPairs.foreach { r =>
+      val (n, got) = disp(r.getAs[Int]("label"))
+      assert(r.getAs[Long]("np") === n * (n - 1), "pair count must be n(n-1)")
+      // got is the floor-truncated identity value; the all-pairs mean may
+      // differ by fp noise plus the 1e-4 truncation step
+      assert(math.abs(got - r.getAs[Double]("m")) <= 2e-4,
+        s"label ${r.getAs[Int]("label")}: identity $got vs all-pairs ${r.getAs[Double]("m")}")
+    }
+  }
 }

@@ -74,4 +74,16 @@ class TextOpsSpec extends SparkSpec {
     val mean = r1.map(_.getAs[Double]("cross_entropy")).sum / r1.length
     assert(mean < 10.0, s"mean cross-entropy $mean looks like an OOV-only score")
   }
+
+  test("zipf head: dense ranks, nonincreasing counts, bounded shares") {
+    val rows = TextOps.zipf(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to rows.length.toLong))
+    val counts = rows.map(_.getAs[Long]("cnt"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "counts must fall (or tie) as rank grows")
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(shares.forall(s => s > 0.0 && s <= 1.0))
+    assert(shares.sum <= 1.0 + 1e-9, "head shares cannot exceed the corpus")
+  }
 }
