@@ -59,6 +59,46 @@ object IvfPqIndex {
     spark.read.parquet(indexPath).select("cell", "cand_id", "codes")
   }
 
+  /** Append a new vector batch to a COMMITTED inverted file using the
+    * index's FROZEN quantizers — the daily-drop maintenance shape at
+    * 100 TB: encode cost is O(batch) (one pass assigning cells + PQ
+    * codes), the committed corpus' codes are untouched, and the new rows
+    * land in the same `cell=N` partition directories, so serving plans
+    * (probe-list PartitionFilters) are unchanged. This is the ANN analog
+    * of `dd_incremental`: never re-touch the corpus to absorb a batch.
+    *
+    * The caller passes the quantizers it holds plus their fingerprint; a
+    * mismatch against the committed index FAILS rather than retrains —
+    * codes from a different codebook would silently corrupt ADC
+    * distances for every future probe, and the retrain decision belongs
+    * to the owner of the full corpus, not an incremental writer. Because
+    * encoding is per-row deterministic under a frozen quantizer,
+    * build(half) + append(half) ≡ build(full) — SimilaritySpec pins that
+    * equality. Runs under the table's single-writer maintenance
+    * contract, like compaction.
+    */
+  def append(batch: DataFrame, embCol: String, idCol: String,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      indexPath: String, fingerprint: String): DataFrame = {
+    val spark = batch.sparkSession
+    val p = new Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p) && fs.exists(new Path(p, "_SUCCESS")),
+      s"no committed index at $indexPath to append to — build first")
+    val saved = savedFingerprint(spark, indexPath)
+    require(saved.contains(fingerprint),
+      s"committed index fingerprint ${saved.orNull} does not match the " +
+        s"batch quantizers ($fingerprint) — appending would corrupt ADC " +
+        "scores; retrain the full corpus instead")
+    batch.select(
+        element_at(NearestCells(col(embCol), cents, 1), 1).as("cell"),
+        col(idCol).as("cand_id"),
+        PqEncode(col(embCol), books).as("codes"),
+        lit(fingerprint).as("train_params"))
+      .write.mode("append").partitionBy("cell").parquet(indexPath)
+    spark.read.parquet(indexPath).select("cell", "cand_id", "codes")
+  }
+
   private def savedFingerprint(spark: SparkSession, path: String): Option[String] = {
     val df = spark.read.parquet(path)
     if (!df.columns.contains("train_params")) None

@@ -212,6 +212,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq append with frozen quantizers equals the full offline build") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{IvfIndex, IvfPqIndex, PqIndex}
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val cents = IvfIndex.centroids(e, "embedding", 8, cacheKey = sfDir + "#apx")
+    val books = PqIndex.codebooks(corpus, "embedding", m = 16, k = 16,
+      cacheKey = sfDir + "#apxpq")
+    val fp = "fmt=1;append-test;nc=8;m=16;k=16"
+    def tmp(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft-ivfpq-$tag").toString + "/idx"
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("cand_id"),
+        r.getAs[Seq[Int]]("codes").mkString(","))).sortBy(t => (t._1, t._2)).toSeq
+
+    val full = IvfPqIndex.loadOrBuild(corpus, "embedding", "vec_id",
+      cents, books, tmp("full"), fp)
+    val dirInc = tmp("inc")
+    IvfPqIndex.loadOrBuild(corpus.filter(col("vec_id") % 2 === 0),
+      "embedding", "vec_id", cents, books, dirInc, fp)
+    val before = IvfPqIndex.builds.get()
+    val appended = IvfPqIndex.append(corpus.filter(col("vec_id") % 2 === 1),
+      "embedding", "vec_id", cents, books, dirInc, fp)
+    assert(IvfPqIndex.builds.get() === before,
+      "append must encode only the batch, never rebuild the committed corpus")
+    assert(key(appended) === key(full),
+      "frozen quantizers: build(evens) + append(odds) must equal build(full)")
+    // appending under a different codebook fingerprint must fail loudly —
+    // mixed-codebook codes silently corrupt every future ADC probe
+    intercept[IllegalArgumentException] {
+      IvfPqIndex.append(corpus.limit(5), "embedding", "vec_id",
+        cents, books, dirInc, "fmt=1;other-quantizer")
+    }
+    // and appending into nothing is a build error, not a quiet bootstrap
+    intercept[IllegalArgumentException] {
+      IvfPqIndex.append(corpus.limit(5), "embedding", "vec_id",
+        cents, books, tmp("empty"), fp)
+    }
+  }
+
   test("dispersion via the Gram identity equals the brute-force all-pairs mean") {
     import org.apache.spark.sql.functions._
     val disp = Similarity.embDispersion(spark, sfDir).collect()
