@@ -149,4 +149,35 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
       s"expected a hash-family join:\n$plan")
   }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // At 100 TB the common killer join is fact-fact with a selective dim
+    // filter: the probe side shuffles EVERYTHING, then the join drops
+    // ~90% of it. Spark's runtime bloom-filter injection builds a bloom
+    // filter from the filtered build side and pushes it into the probe
+    // side's scan, so the shuffle carries only likely-matching rows. The
+    // size thresholds that gate injection (10 GB application side in
+    // production) are floored here to prove the capability at test SF.
+    import org.apache.spark.sql.functions.col
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.Tables.lineitem(spark, sfDir)
+      val o = graft.Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val n = j.count()
+      assert(n > 0)
+      val plan = j.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(plan.contains("bloom"),
+        s"no runtime bloom filter injected into the probe side:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
