@@ -171,6 +171,32 @@ object ManifestCommit {
     version
   }
 
+  /** The manifest at an exact version, if vacuum still retains it. */
+  def at(fs: FileSystem, root: Path, version: Long): Option[Manifest] =
+    committed(fs, root).find(_.version == version)
+
+  /** History-preserving rollback (the Delta RESTORE shape): re-commit
+    * `toVersion`'s entries as the NEW head version. Nothing is deleted —
+    * readers of the current head are untouched until the new commit
+    * lands atomically, the log keeps every intermediate state for
+    * forensics, and vacuum retention is unchanged (the restored
+    * generations are referenced by the new head, so they survive it).
+    * Fails loudly when the target version, or any generation directory
+    * it references, has already been vacuumed — a rollback that silently
+    * resurrected a half-reclaimed generation would serve partial data.
+    */
+  def rollback(fs: FileSystem, root: Path, toVersion: Long): Long = {
+    val m = at(fs, root, toVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $toVersion is not in the retained commit log at $root — " +
+          s"retained: ${committed(fs, root).map(_.version).mkString(", ")}"))
+    val missing = m.liveGenerations.filterNot(g => fs.exists(new Path(root, g)))
+    require(missing.isEmpty,
+      s"cannot roll back to version $toVersion: generation dir(s) " +
+        s"${missing.mkString(", ")} already vacuumed")
+    commit(fs, root, m.entries - "txid")
+  }
+
   /** New generation dir name for `version` (collision-free under crash
     * retries of the same version: the uuid disambiguates).
     */

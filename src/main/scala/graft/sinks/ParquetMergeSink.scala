@@ -114,6 +114,28 @@ object ParquetMergeSink {
     readIfExists(spark, path).getOrElse(throw new IllegalStateException(
       s"$path has no committed merge-sink data"))
 
+  /** The table as of a RETAINED manifest version — time travel for
+    * audits and incident forensics ("what did the upsert state look like
+    * before batch N?"), free under the generation-log commit protocol:
+    * an old manifest still names its immutable bucket dirs, so reading
+    * it is exactly [[read]] against that manifest. Only versions vacuum
+    * retains are addressable (the merge path keeps 2); the error lists
+    * what is. Paired with [[ManifestCommit.rollback]], which re-commits
+    * an old version's entries as the new head without deleting history.
+    */
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val table = new Path(path)
+    val fs = fsFor(spark, table)
+    guardReadable(fs, table)
+    val m = ManifestCommit.at(fs, table, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $version of $path is not retained — retained: " +
+          ManifestCommit.committed(fs, table).map(_.version).mkString(", ")))
+    val dirs = m.dirs.values.toSeq.sorted.map(rel => new Path(table, rel).toString)
+    require(dirs.nonEmpty, s"version $version of $path references no data dirs")
+    spark.read.parquet(dirs: _*)
+  }
+
   def merge(batch: DataFrame, path: String, keys: Seq[String], version: String,
       nBuckets: Int = 16): Unit = {
     val spark = batch.sparkSession

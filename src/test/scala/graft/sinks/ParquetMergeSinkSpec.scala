@@ -200,6 +200,50 @@ class ParquetMergeSinkSpec extends SparkSpec {
     assert(ex.getMessage.contains("unknowable"))
   }
 
+  test("time travel reads a retained version; rollback re-commits it as the head") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink-tt").toString + "/t"
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def vAt(d: String, ver: Long): Map[Long, String] =
+      ParquetMergeSink.readVersion(spark, d, ver).collect()
+        .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    def vNow(d: String): Map[Long, String] =
+      ParquetMergeSink.read(spark, d).collect()
+        .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+
+    ParquetMergeSink.merge(
+      Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "v", "ver"),
+      dir, Seq("k"), "ver")
+    val vOrig = ManifestCommit.latest(fs, root).get.version
+    ParquetMergeSink.merge(Seq((1L, "a2", 20L)).toDF("k", "v", "ver"),
+      dir, Seq("k"), "ver")
+    val vHead = ManifestCommit.latest(fs, root).get.version
+    assert(vHead === vOrig + 1)
+
+    // head sees the upsert; the superseded version is still addressable
+    assert(vNow(dir) === Map(1L -> "a2", 2L -> "b"))
+    assert(vAt(dir, vOrig) === Map(1L -> "a", 2L -> "b"))
+
+    // rollback re-commits the old entries as a NEW head: nothing deleted,
+    // the overwritten head remains addressable for forensics
+    val vRestored = ManifestCommit.rollback(fs, root, vOrig)
+    assert(vRestored === vHead + 1)
+    assert(vNow(dir) === Map(1L -> "a", 2L -> "b"))
+    assert(vAt(dir, vHead) === Map(1L -> "a2", 2L -> "b"))
+
+    // and a merge on top of the rollback builds on the restored state
+    ParquetMergeSink.merge(Seq((2L, "b2", 30L)).toDF("k", "v", "ver"),
+      dir, Seq("k"), "ver")
+    assert(vNow(dir) === Map(1L -> "a", 2L -> "b2"))
+
+    // unretained / never-committed versions fail loudly on both paths
+    intercept[IllegalArgumentException](
+      ParquetMergeSink.readVersion(spark, dir, 999L))
+    intercept[IllegalArgumentException](
+      ManifestCommit.rollback(fs, root, 999L))
+  }
+
   test("incoming row wins a version tie (ON CONFLICT DO UPDATE)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink-tie").toString + "/t"
     val b1 = Seq((100L, "old", 100L)).toDF("height", "v", "ver")
