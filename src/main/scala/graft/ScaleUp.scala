@@ -112,9 +112,18 @@ object ScaleUp {
         val d = rep(Tables.documents(spark, src))
           .withColumn("__ws", split(trim(col("text")), "\\s+"))
           .withColumn("__n", size(col("__ws")))
-          // rotation offset varies with the copy and stays inside the doc
+          // Rotation offsets spread evenly over [0, n): floor(c·n/copies)
+          // is injective in c whenever n ≥ copies, so every copy gets a
+          // DISTINCT rotation. (A fixed-stride `7c mod n` silently
+          // collided whenever n | 7Δc — e.g. every 14-word doc collapsed
+          // its even copies into verbatim duplicates, re-creating exactly
+          // the exact-dup inflation this rotation exists to avoid.) For
+          // n < copies, collisions are pigeonhole-unavoidable; they are
+          // counted and reported below so a dataset with shorter docs
+          // announces the distortion instead of hiding it.
           .withColumn("__k",
-            pmod(col("__c") * 7, greatest(col("__n"), lit(1))).cast("int"))
+            floor(col("__c") * col("__n") / lit(copies))
+              .cast("int"))
           .withColumn("text", when(col("__c") === 0, col("text")).otherwise(
             concat_ws(" ", rotated(col("__ws"), col("__n"), col("__k")))))
           .withColumn("doc_id", col("doc_id") + col("__c") * DocStride)
@@ -145,10 +154,18 @@ object ScaleUp {
         .getOrElse(throw new IllegalStateException(s"no output for $name"))
       val target = new Path(destPath, s"$name.parquet")
       fs.delete(target, false)
-      fs.rename(part, target)
+      require(fs.rename(part, target),
+        s"rename $part -> $target failed; aborting before the tmp delete " +
+          "would drop the only copy")
       fs.delete(tmp, true)
       println(s"scaled $name -> $target")
     }
+    val shortDocs = Tables.documents(spark, src)
+      .filter(size(split(trim(col("text")), "\\s+")) < copies).count()
+    if (shortDocs > 0)
+      println(s"WARNING: $shortDocs source docs have fewer words than " +
+        s"$copies copies — their rotations collide (verbatim duplicate " +
+        "copies); exact-dup counts at the scaled SF are inflated for them")
     spark.stop()
   }
 }

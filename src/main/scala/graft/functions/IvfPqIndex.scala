@@ -106,6 +106,25 @@ object IvfPqIndex {
       .headOption.flatMap(r => Option(r.getString(0)))
   }
 
+  /** Cheap corpus snapshot identity for index fingerprints: total bytes
+    * and newest modification time across the table's file(s) — O(driver
+    * listing), no data scan, the same identity a lake snapshot pins. An
+    * index fingerprinted with this can never silently serve codes built
+    * from a table that was since overwritten in place: the quantizers
+    * retrain on the new data while a path-only fingerprint would still
+    * match the stale persisted codes — ADC scores computed with new LUTs
+    * against old codes, the corruption `append`'s guard exists for.
+    */
+  def snapshotId(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val files = if (st.isDirectory) fs.listStatus(p).filter(_.isFile) else Array(st)
+    val bytes = files.map(_.getLen).sum
+    val mtime = if (files.isEmpty) 0L else files.map(_.getModificationTime).max
+    s"bytes=$bytes;mtime=$mtime"
+  }
+
   /** Where a corpus directory's serving indexes live. Defaults to a
     * per-user temp root (the sandbox cannot write next to the read-only
     * testdata); a deployment sets `spark.graft.index.dir` to a path beside

@@ -156,42 +156,18 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], npro
 }
 
 object NearestCells {
+  /** Executor-side entry: widen the ArrayData once, then run the ONE
+    * shared kernel. Driver probe lists and executor cell assignment must
+    * never diverge — routing both through [[computeLocal]] makes the
+    * divergence impossible rather than merely tested-against.
+    */
   def compute(emb: ArrayData, centroids: Array[Array[Double]], nprobe: Int,
       isFloat: Boolean): ArrayData = {
-    val k = centroids.length
-    val d2 = new Array[Double](k)
-    var c = 0
-    while (c < k) {
-      val ctr = centroids(c)
-      val n = math.min(emb.numElements(), ctr.length)
-      var acc = 0.0
-      var i = 0
-      while (i < n) {
-        val diff = VectorIndexKernels.elem(emb, i, isFloat) - ctr(i)
-        acc += diff * diff
-        i += 1
-      }
-      d2(c) = acc
-      c += 1
-    }
-    // Selection of nprobe smallest (k is tiny — a partial selection sort).
-    val m = math.min(nprobe, k)
-    val idx = Array.tabulate(k)(identity)
-    val out = new Array[Int](m)
-    var s = 0
-    while (s < m) {
-      var best = s
-      var j = s + 1
-      while (j < k) {
-        if (d2(idx(j)) < d2(idx(best)) ||
-            (d2(idx(j)) == d2(idx(best)) && idx(j) < idx(best))) best = j
-        j += 1
-      }
-      val tmp = idx(s); idx(s) = idx(best); idx(best) = tmp
-      out(s) = idx(s)
-      s += 1
-    }
-    new GenericArrayData(out)
+    val n = emb.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) { v(i) = VectorIndexKernels.elem(emb, i, isFloat); i += 1 }
+    new GenericArrayData(computeLocal(v, centroids, nprobe))
   }
 
   /** Column-API entry point. */
@@ -199,10 +175,10 @@ object NearestCells {
     GraftBridge.column(
       NearestCells(GraftBridge.expression(emb), centroids, nprobe))
 
-  /** Driver-side twin of [[compute]] for already-collected query vectors —
-    * same L2 metric, same lower-cell-id tie-break, so a probe list computed
-    * on the driver (to prune index partitions at PLAN time) always matches
-    * the executor-side assignment.
+  /** The kernel: indexes of the `nprobe` L2-nearest centroids, ties by
+    * lower cell id (a partial selection sort — k is tiny). Used verbatim
+    * by the driver (plan-time partition pruning) and by [[compute]]
+    * (executor-side assignment).
     */
   def computeLocal(v: Array[Double], centroids: Array[Array[Double]],
       nprobe: Int): Array[Int] = {

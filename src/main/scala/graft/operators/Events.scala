@@ -91,18 +91,26 @@ object Events {
     */
   def latestPerUser(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
+    // ONE max_by over a payload struct, not one aggregate per output
+    // column: independent max_by calls resolve an event_id tie
+    // independently, composing a (type, value) pair that never existed
+    // as one physical event. The full (id, type, value) ordering struct
+    // also makes the tie itself deterministic.
+    val payload = struct(col("event_id"), col("event_type"), col("value"))
     e.groupBy(col("user_id"))
-      .agg(
-        max(col("event_id")).as("last_event_id"),
-        max_by(col("event_type"), col("event_id")).as("last_type"),
-        round(max_by(col("value"), col("event_id")), 2).as("last_value"))
+      .agg(max_by(payload, payload).as("last"))
+      .select(col("user_id"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        round(col("last.value"), 2).as("last_value"))
       .orderBy("user_id")
   }
 
   val latestPerUserOracle: String =
     """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
        round(value, 2) AS last_value
-       FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+       FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY event_id DESC, event_type DESC, value DESC) AS rn
              FROM events) WHERE rn = 1 ORDER BY user_id"""
 
   /** First-wins insert-ignore per (user, type) key (ON CONFLICT DO NOTHING):
@@ -110,19 +118,27 @@ object Events {
     */
   def dedupFirst(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
+    // Same single-struct discipline as [[latestPerUser]]: id and value
+    // come from ONE physical row even under duplicate event_ids.
+    val payload = struct(col("event_id"), col("value"))
     e.groupBy(col("user_id"), col("event_type"))
       .agg(
-        min(col("event_id")).as("first_event_id"),
-        round(min_by(col("value"), col("event_id")), 2).as("first_value"),
+        min_by(payload, payload).as("first"),
         (count(lit(1)) - 1).as("n_ignored"))
+      .select(col("user_id"), col("event_type"),
+        col("first.event_id").as("first_event_id"),
+        round(col("first.value"), 2).as("first_value"),
+        col("n_ignored"))
       .orderBy("user_id", "event_type")
   }
 
   val dedupFirstOracle: String =
-    """SELECT user_id, event_type, min(event_id) AS first_event_id,
-       round(min_by(value, event_id), 2) AS first_value,
-       count(*) - 1 AS n_ignored
-       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+    """SELECT user_id, event_type, event_id AS first_event_id,
+       round(value, 2) AS first_value, n_ignored
+       FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY event_id, value) AS rn,
+               count(*) OVER (PARTITION BY user_id, event_type) - 1 AS n_ignored
+             FROM events) WHERE rn = 1 ORDER BY user_id, event_type"""
 
   /** Gap-based sessionization: a >30-minute silence starts a new session.
     * Timestamps are compared at whole-second resolution on both engines

@@ -474,9 +474,14 @@ object Relational {
         (col("nu").cast("double") / lit(1e4)).as("nation_revenue"),
         (col("tu").cast("double") / lit(1e4)).as("total_revenue"),
         // SQL `div` = integer floor division (Spark's `/` on longs is
-        // true double division), matching DuckDB's `//`
-        (expr("(nu * 10000) div tu").cast("double") / lit(1e4))
-          .as("mkt_share"))
+        // true double division), matching DuckDB's `//`. The scaled
+        // numerator is widened to decimal(38,0) / HUGEINT first: in
+        // LongType, nu * 10000 overflows once yearly revenue passes
+        // ~9.2e14 units (~sf100) — ANSI mode would kill the query and
+        // non-ANSI would wrap negative, either way breaking the
+        // "exact at any SF" contract this formulation exists for.
+        (expr("(cast(nu as decimal(38,0)) * 10000) div tu").cast("double")
+          / lit(1e4)).as("mkt_share"))
       .orderBy("o_year")
   }
 
@@ -499,7 +504,7 @@ object Relational {
                 CAST(sum(units) AS BIGINT) AS tu
          FROM base GROUP BY 1)
        SELECT o_year, nu / 1e4 AS nation_revenue, tu / 1e4 AS total_revenue,
-              CAST(nu * 10000 // tu AS BIGINT) / 1e4 AS mkt_share
+              CAST(nu::HUGEINT * 10000 // tu AS BIGINT) / 1e4 AS mkt_share
        FROM g ORDER BY 1"""
 
   /** Promotion revenue share (TPC-H q14 shape): conditional aggregation

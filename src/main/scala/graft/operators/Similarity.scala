@@ -226,8 +226,12 @@ object Similarity {
     // The offline inverted file, committed once per corpus snapshot and
     // read back partitioned by cell (build-or-load, fingerprint-checked).
     // fmt bumps on any change to the encode expressions, so a stale index
-    // surviving in the index root can never serve a new code version
-    val fp = s"fmt=1;src=$dir;nCells=$nCells;m=16;k=16;seed=42"
+    // surviving in the index root can never serve a new code version; the
+    // snapshot id (file bytes+mtime, no scan) ties the index to the DATA
+    // snapshot, so an in-place table rewrite rebuilds instead of serving
+    // old codes against freshly retrained LUTs
+    val snap = IvfPqIndex.snapshotId(spark, s"$dir/embeddings.parquet")
+    val fp = s"fmt=2;src=$dir;$snap;nCells=$nCells;m=16;k=16;seed=42"
     val indexed = IvfPqIndex.loadOrBuild(corpus, "embedding", "vec_id",
       cents, books,
       s"${IvfPqIndex.indexRoot(spark)}/ivfpq_${Integer.toHexString(dir.hashCode)}",

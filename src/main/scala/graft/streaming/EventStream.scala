@@ -32,10 +32,23 @@ object EventStream {
     * Caller must have set `spark.sql.legacy.parquet.nanosAsLong`.
     */
   private def eventsStream(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+      dir: String): DataFrame =
+    eventsStream(spark, dir, eventsTsIsLong(spark, dir))
+
+  /** The one batch footer probe behind [[eventsStream]] — callers that
+    * build several stream branches over the same table run it once and
+    * pass the result down, instead of paying a driver-side parquet
+    * listing + footer read per branch.
+    */
+  private def eventsTsIsLong(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
     import org.apache.spark.sql.types._
-    val tsIsLong = spark.read.parquet(s"$dir/events.parquet")
-      .schema("ts").dataType == LongType
+    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType
+  }
+
+  private def eventsStream(spark: org.apache.spark.sql.SparkSession,
+      dir: String, tsIsLong: Boolean): DataFrame = {
+    import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", if (tsIsLong) LongType else TimestampType),
@@ -379,7 +392,9 @@ object EventStream {
     val prevShuf = conf.getOption(shufKey)
     conf.set(shufKey, math.min(8, conf.get(shufKey, "8").toInt).toString)
     val name = s"graft_stream_pctx_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    def src = eventsStream(spark, dir)
+    // separate source instances per branch, ONE footer probe for all three
+    val tsIsLong = eventsTsIsLong(spark, dir)
+    def src = eventsStream(spark, dir, tsIsLong)
     try {
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))

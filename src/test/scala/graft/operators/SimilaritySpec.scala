@@ -252,6 +252,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("an in-place corpus rewrite invalidates the persisted ivf-pq index") {
+    import graft.functions.IvfPqIndex
+    import java.nio.file.{Files => JFiles, Path => JPath, StandardCopyOption}
+    val tmp = JFiles.createTempDirectory("graft-snap").toString
+    JFiles.copy(JPath.of(sfDir + "/embeddings.parquet"),
+      JPath.of(tmp + "/embeddings.parquet"))
+    Similarity.ivfPqTopk(spark, tmp).collect()
+    val built = IvfPqIndex.builds.get()
+    // same snapshot: the committed index serves, no re-encode
+    Similarity.ivfPqTopk(spark, tmp).collect()
+    assert(IvfPqIndex.builds.get() === built)
+    // in-place rewrite at the SAME path (same content is enough — the
+    // snapshot id is bytes+mtime): the fingerprint must miss and rebuild,
+    // not serve codes from the pre-rewrite table
+    Thread.sleep(1100) // mtime granularity on coarse filesystems
+    JFiles.copy(JPath.of(sfDir + "/embeddings.parquet"),
+      JPath.of(tmp + "/embeddings.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Similarity.ivfPqTopk(spark, tmp).collect()
+    assert(IvfPqIndex.builds.get() === built + 1,
+      "a rewritten corpus must rebuild the persisted index, never serve stale codes")
+  }
+
   test("dispersion via the Gram identity equals the brute-force all-pairs mean") {
     import org.apache.spark.sql.functions._
     val disp = Similarity.embDispersion(spark, sfDir).collect()
