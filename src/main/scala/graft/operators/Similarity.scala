@@ -399,13 +399,15 @@ object Similarity {
     * vectors uᵢ, Σᵢ≠ⱼ uᵢ·uⱼ = ‖Σᵢuᵢ‖² − n, so the ordered-pair mean is
     * (‖Σu‖² − n) / (n(n−1)). The naive formulation is an O(n²·d)
     * self-join per label — dead on arrival over a 100 TB corpus — while
-    * this is one normalize projection, one (label, dim) two-phase hash
-    * aggregate (d partial sums per vector, map-side combined; a skewed
-    * label streams through like any word-count), and a d-row fold per
-    * label. The curation use: a label whose dispersion approaches 1 is a
-    * near-duplicate cluster; one near 0 is semantically incoherent.
-    * SimilaritySpec pins the identity against the brute-force all-pairs
-    * mean.
+    * this is one normalize projection and ONE two-phase hash aggregate
+    * whose buffer is the d-vector sum itself ([[graft.functions.VecSumDoubles]]
+    * — each map partition reduces its vectors into one double[d] per
+    * label, so the exchange carries groups × d doubles and no exploded
+    * (dim, x) rows exist at any point; a skewed label streams through
+    * like any word-count). The curation use: a label whose dispersion
+    * approaches 1 is a near-duplicate cluster; one near 0 is
+    * semantically incoherent. SimilaritySpec pins the identity against
+    * the brute-force all-pairs mean.
     */
   def embDispersion(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.fanout(Tables.embeddings(spark, dir))
@@ -414,15 +416,13 @@ object Similarity {
         Vec.norm(col("embedding")).as("nrm"))
       .filter(col("nrm") > 0)
       .select(col("label"), transform(col("v"), x => x / col("nrm")).as("u"))
-    val perDim = unit
-      .select(col("label"), posexplode(col("u")).as(Seq("dim", "x")))
-      .groupBy("label", "dim")
-      .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
-    perDim.groupBy("label")
-      .agg(sum(col("s") * col("s")).as("gram"), max(col("cnt")).as("n_vectors"))
+    unit.groupBy("label")
+      .agg(graft.functions.VecSumDoubles(col("u")).as("s"),
+        count(lit(1)).as("n_vectors"))
       .filter(col("n_vectors") > 1)
       .select(col("label"), col("n_vectors"),
-        trunc4((col("gram") - col("n_vectors")) /
+        trunc4((aggregate(col("s"), lit(0.0), (a, x) => a + x * x)
+            - col("n_vectors")) /
           (col("n_vectors") * (col("n_vectors") - lit(1L)))).as("mean_pairwise_cos"))
       .orderBy("label")
   }
