@@ -324,18 +324,23 @@ object Similarity {
        FROM n GROUP BY label ORDER BY label"""
 
   /** Per-label centroid embeddings, one row per (label, dimension) — the
-    * class-prototype computation feeding classifiers and IVF seeding. A
-    * single posexplode + hash aggregation: 64 rows per vector shuffle on
-    * (label, dim), two-phase partial agg, no per-label vector collected
-    * anywhere (a skewed label streams through the aggregation).
+    * class-prototype computation feeding classifiers and IVF seeding.
+    * One `vec_sum` hash aggregate (double[d] buffer per label, map-side
+    * reduced — a skewed label streams through), then a posexplode of
+    * only the |labels| summed vectors to the (label, dim) output rows;
+    * no per-vector explode exists at any point.
     */
   def embCentroids(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.fanout(Tables.embeddings(spark, dir))
-    e.select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "x")))
-      .groupBy(col("label"), (col("dim0") + 1).cast("long").as("dim"))
-      .agg(
-        count(lit(1)).as("n_vectors"),
-        trunc4(avg(col("x").cast("double"))).as("centroid"))
+    e.select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .groupBy(col("label"))
+      .agg(graft.functions.VecSumDoubles(col("v")).as("s"),
+        count(lit(1)).as("n_vectors"))
+      .select(col("label"), col("n_vectors"),
+        posexplode(col("s")).as(Seq("dim0", "x")))
+      .select(col("label"), (col("dim0") + 1).cast("long").as("dim"),
+        col("n_vectors"),
+        trunc4(col("x") / col("n_vectors")).as("centroid"))
       .orderBy("label", "dim")
   }
 
