@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, MinKLongs, SimHash64, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, MinKLongs, SimHash64, SortedIntersectCount, VecSumDoubles}
 
 /** Session extensions registering graft's native expressions for SQL use
   * and the custom-plan optimizations:
@@ -51,5 +51,9 @@ object GraftExtensions {
           case _ => throw new IllegalArgumentException("min_k_longs: k must be a literal")
         }
         MinKLongs(children.head, k).toAggregateExpression()
-      }))
+      }),
+    (FunctionIdentifier("vec_sum"),
+      new ExpressionInfo(classOf[VecSumDoubles].getName, "vec_sum"),
+      (children: Seq[Expression]) =>
+        VecSumDoubles(children.head).toAggregateExpression()))
 }

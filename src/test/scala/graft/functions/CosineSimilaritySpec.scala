@@ -45,5 +45,9 @@ class CosineSimilaritySpec extends SparkSpec {
     val mk = spark.sql(
       "SELECT min_k_longs(v, 2) AS m FROM VALUES (5L), (1L), (9L), (3L) AS t(v)").head()
     assert(mk.getSeq[Long](0).toSeq === Seq(1L, 3L))
+    val vs = spark.sql(
+      "SELECT vec_sum(v) AS s FROM VALUES (array(1.0D, 2.0D)), (array(3.0D, 4.0D)) AS t(v)")
+      .head()
+    assert(vs.getSeq[Double](0).toSeq === Seq(4.0, 6.0))
   }
 }
