@@ -610,4 +610,198 @@ object TextOps {
               word, CAST(cnt AS BIGINT) AS cnt,
               floor(cnt * 1.0 / total * 1e4) / 1e4 AS share
        FROM top, t ORDER BY rank"""
+
+  // PII scrub regexes — the subset of regex syntax whose semantics agree
+  // between Java's engine (Spark) and RE2 (the DuckDB oracle): character
+  // classes, bounded/unbounded repetition, \b word boundaries; no
+  // backreferences or lookaround (RE2 has neither).
+  private[graft] val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[graft] val IpRe    = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private[graft] val PhoneRe = """\+?\d[\d()\-\s]{6,}\d"""
+
+  /** PII scrubbing — the redaction pass every training-data pipeline runs
+    * before text leaves the ingest boundary: emails, IPv4 addresses, and
+    * phone-shaped digit runs are replaced by typed placeholder tokens, and
+    * the per-document hit counts are kept (the audit trail; a doc whose
+    * counts spike is a dump of a contact table, not prose).
+    *
+    * The sandbox corpus is synthetic word-soup with no organic PII, so a
+    * contact sentence derived from `doc_id` is appended FIRST — identically
+    * in both engines — and the scrub runs on that dirtied text. The regex
+    * matching, replacement order (email → IP → phone: each later pattern
+    * must not see text the earlier one should have consumed), counting,
+    * and the final md5 of the cleaned text are all hash-verified.
+    *
+    * Scale shape: pure per-row projection — no shuffle at all until the
+    * presentation sort, partitioning inherited from the scan, the whole
+    * pipeline one WholeStageCodegen span. The counts come from
+    * `regexp_extract_all` on the SAME stage the replace runs on, so each
+    * count is exactly the number of replacements that stage performed.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanout(Tables.documents(spark, dir))
+    val dirty = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"),
+      lit("."), (expr("doc_id div 256") % 256).cast("string"), lit(".7 now"))
+    def scrub(stage: Column, re: String, tag: String): (Column, Column) =
+      (size(regexp_extract_all(stage, lit(re), lit(0))).cast("long"),
+        regexp_replace(stage, re, tag))
+    d.select(col("doc_id"), dirty.as("s"))
+      .select(col("doc_id"), col("s"), {
+        val (n, s) = scrub(col("s"), EmailRe, "<EMAIL>")
+        struct(n.as("n"), s.as("s")).as("e")
+      })
+      .select(col("doc_id"), col("e.n").as("n_emails"), {
+        val (n, s) = scrub(col("e.s"), IpRe, "<IP>")
+        struct(n.as("n"), s.as("s")).as("i")
+      })
+      .select(col("doc_id"), col("n_emails"), col("i.n").as("n_ips"), {
+        val (n, s) = scrub(col("i.s"), PhoneRe, "<PHONE>")
+        struct(n.as("n"), s.as("s")).as("p")
+      })
+      .select(col("doc_id"), col("n_emails"), col("n_ips"),
+        col("p.n").as("n_phones"), md5(col("p.s").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val piiScrubOracle: String =
+    s"""WITH dirty AS (
+         SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@mail.example.com or +1-555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.'
+             || CAST(doc_id % 256 AS VARCHAR) || '.'
+             || CAST((doc_id // 256) % 256 AS VARCHAR) || '.7 now' AS s
+         FROM documents),
+       s1 AS (SELECT doc_id,
+           len(regexp_extract_all(s, '$EmailRe')) AS n_emails,
+           regexp_replace(s, '$EmailRe', '<EMAIL>', 'g') AS s FROM dirty),
+       s2 AS (SELECT doc_id, n_emails,
+           len(regexp_extract_all(s, '$IpRe')) AS n_ips,
+           regexp_replace(s, '$IpRe', '<IP>', 'g') AS s FROM s1),
+       s3 AS (SELECT doc_id, n_emails, n_ips,
+           len(regexp_extract_all(s, '$PhoneRe')) AS n_phones,
+           regexp_replace(s, '$PhoneRe', '<PHONE>', 'g') AS s FROM s2)
+       SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+         CAST(n_ips AS BIGINT) AS n_ips, CAST(n_phones AS BIGINT) AS n_phones,
+         md5(s) AS clean_md5
+       FROM s3 ORDER BY doc_id"""
+
+  /** Boilerplate removal — the C4-style cleaning step that strips template
+    * segments (site headers, navigation, footers) by CORPUS frequency: a
+    * text segment that recurs across distinct documents of the same source
+    * is template, not content. Documents here are single-line word soup,
+    * so the segment unit is a fixed non-overlapping 3-word window rather
+    * than a line; the mechanics (segment → corpus-frequency → drop → stitch)
+    * are the real pipeline's.
+    *
+    * Scale shape: segments shuffle as 16-byte md5 keys, never text — the
+    * frequency count is a two-phase hash aggregate on (source, hash) whose
+    * map-side combine absorbs template skew (the whole point: boilerplate
+    * is the high-frequency tail), and the verdict joins back on the same
+    * hash. The stitch is a per-document `collect_list` — bounded by one
+    * document's segment count, the same per-key bound every chunker has.
+    * The segment frame feeds two branches (frequency + join-back) and is
+    * barriered once.
+    */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val K = 2 // segments in ≥K distinct docs of one source are template
+    val segs = Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), words(col("text")).as("ws"))
+      .withColumn("seg_id", explode(sequence(lit(0L),
+        floor((size(col("ws")) - 1) / lit(3.0)).cast("long"))))
+      .select(col("doc_id"), col("source"), col("seg_id"),
+        concat_ws(" ",
+          slice(col("ws"), (col("seg_id") * 3 + 1).cast("int"), lit(3))).as("seg"))
+      .withColumn("h", md5(col("seg").cast("binary")))
+      .barrier()
+    val freq = segs.groupBy(col("source"), col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val kept = segs.join(freq, Seq("source", "h")).filter(col("df") < K)
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("seg_id"), col("seg")))),
+          s => s.getField("seg"))).as("clean"))
+    segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        md5(coalesce(col("clean"), lit("")).cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateOracle: String =
+    """WITH w AS (SELECT doc_id, source,
+           string_split_regex(trim(text), '\s+') AS ws FROM documents),
+       e AS (SELECT doc_id, source, ws,
+               unnest(generate_series(0,
+                 CAST(floor((len(ws) - 1) / 3.0) AS BIGINT))) AS seg_id
+             FROM w),
+       seg AS (SELECT doc_id, source, seg_id,
+                array_to_string(list_slice(ws, seg_id * 3 + 1,
+                  least(seg_id * 3 + 3, len(ws))), ' ') AS seg
+               FROM e),
+       f AS (SELECT source, seg, count(DISTINCT doc_id) AS df
+             FROM seg GROUP BY 1, 2),
+       kept AS (SELECT s.doc_id, s.seg_id, s.seg
+                FROM seg s JOIN f USING (source, seg) WHERE f.df < 2),
+       tot AS (SELECT doc_id, count(*) AS n_segs FROM seg GROUP BY 1),
+       reb AS (SELECT doc_id, count(*) AS n_kept,
+                 string_agg(seg, ' ' ORDER BY seg_id) AS clean
+               FROM kept GROUP BY 1)
+       SELECT t.doc_id, t.n_segs,
+         t.n_segs - coalesce(r.n_kept, 0) AS n_dropped,
+         md5(coalesce(r.clean, '')) AS clean_md5
+       FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id"""
+
+  /** Per-document keyword extraction: the top-3 TF-IDF terms of every
+    * document — the per-doc tagging pass feeding faceted corpus search and
+    * topic balancing. Unlike [[tfidf]] (per-language: a handful of keys),
+    * the key space here is the document id — one key per row of the corpus,
+    * the cardinality regime [[graft.plans.TopKPerKey]] exists for: bounded
+    * per-key heaps on both sides of one hash shuffle, instead of a window
+    * sort over every (doc, term) pair.
+    */
+  def keywords(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanout(Tables.documents(spark, dir))
+    val perDoc = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .barrier()
+    val dfreq = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = perDoc.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        col("tf") * (log((col("n_docs") + 1) * lit(1.0) / (col("df") + 1)) + 1))
+    graft.plans.TopKPerKey.perKey(
+        scored, Seq(col("doc_id")), Seq(col("score").desc, col("term").asc), 3)
+      .select(col("doc_id"), col("term"), trunc4(col("score")).as("score"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val keywordsOracle: String =
+    """WITH terms AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+         FROM documents),
+       per_doc AS (SELECT doc_id, term, count(*) AS tf
+                   FROM terms GROUP BY 1, 2),
+       dfreq AS (SELECT term, count(*) AS df FROM per_doc GROUP BY 1),
+       scored AS (
+         SELECT doc_id, term,
+                tf * (ln((n_docs + 1) * 1.0 / (df + 1)) + 1) AS score
+         FROM per_doc JOIN dfreq USING (term)
+         CROSS JOIN (SELECT count(*) AS n_docs FROM documents)),
+       ranked AS (
+         SELECT doc_id, term, score,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank
+         FROM scored)
+       SELECT doc_id, term, floor(score * 1e4) / 1e4 AS score,
+              CAST(rank AS BIGINT) AS rank
+       FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""
 }

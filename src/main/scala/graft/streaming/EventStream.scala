@@ -352,6 +352,85 @@ object EventStream {
     }
   }
 
+  /** Per-user gap sessions as a STREAMING aggregation over the built-in
+    * `session_window` — the engine-managed complement of the
+    * `flatMapGroupsWithState` sessionizer ([[sessionized]]): state
+    * layout, merge-on-overlap, and eviction all come from the engine,
+    * which is the shape to prefer when the per-session state is exactly
+    * (start, end, aggregates) and no custom emission policy is needed.
+    *
+    * Gap calibration: the batch rule (`ev_sessionize`) starts a new
+    * session when the gap STRICTLY exceeds 1800 s at whole-second
+    * resolution, i.e. events merge iff `next − prev ≤ 1800`. Spark's
+    * session windows merge INCLUSIVELY at the boundary — an event whose
+    * start equals a window's end joins it (observed: gap 1801 s merged
+    * two events under `session_window(_, "1801 seconds")`), i.e. g merges
+    * iff `next ≤ prev + g` — so g = 1800 s over second-truncated
+    * timestamps reproduces the batch islands exactly. The two
+    * formulations are pinned row-identical in EventStreamSpec and this
+    * query is gate-checked against the same DuckDB oracle as the batch
+    * operator.
+    *
+    * A watermark must ride on the very column the session groups on —
+    * projecting `ts` into the second-truncated `sec_ts` sheds any
+    * watermark the caller set upstream — so the delay is a parameter and
+    * is attached to `sec_ts` here, after the derivation. `None` (the
+    * bounded-replay/complete path) declares no watermark.
+    */
+  def sessionWindows(events: DataFrame, gapSeconds: Int,
+      watermark: Option[String] = None): DataFrame = {
+    val secs = events
+      .select(col("user_id"), col("ts").cast("long").as("secl"))
+      .withColumn("sec_ts", timestamp_seconds(col("secl")))
+    watermark.fold(secs)(secs.withWatermark("sec_ts", _))
+      .groupBy(col("user_id"),
+        session_window(col("sec_ts"), s"$gapSeconds seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("secl")) - min(col("secl"))).as("dur_sec"))
+  }
+
+  /** [[sessionWindows]] driven over the events table as a bounded replay,
+    * folded to the exact `ev_sessionize` output schema. Complete output
+    * mode for the same reason as [[dailyStatsStreamed]] (a single
+    * AvailableNow batch never advances the watermark before emission;
+    * session_window additionally rejects update mode); the unbounded
+    * deployment is `withWatermark` + append, exercised multi-batch in
+    * EventStreamSpec.
+    */
+  def sessionStatsStreamed(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.conf
+    val prevNanos = conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"graft_stream_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    try {
+      val q = sessionWindows(eventsStream(spark, dir), 1800)
+        .select(col("user_id"), col("n_events"), col("dur_sec"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = spark.table(name)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session_events"),
+          (floor(sum(col("n_events")) / count(lit(1)) * 1e4) / 1e4)
+            .as("avg_session_events"),
+          sum(col("dur_sec")).as("total_session_sec"))
+        .orderBy("user_id")
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(rows.asJava, out.schema)
+    } finally {
+      spark.catalog.dropTempView(name)
+      prevNanos.fold(conf.unset("spark.sql.legacy.parquet.nanosAsLong"))(
+        conf.set("spark.sql.legacy.parquet.nanosAsLong", _))
+    }
+  }
+
   /** The batch `ev_purchase_context` interval join under STREAMING
     * semantics — a watermarked stream-stream interval join, the
     * reference's event-correlation surface as live state. Both sides

@@ -42,7 +42,11 @@ class PartitionInvarianceSpec extends SparkSpec {
       "inter_event" -> (() => Events.interEvent(spark, sfDir)),
       "epoch_schedule" -> (() => Sampling.epochSchedule(spark, sfDir)),
       "best_of_cluster" -> (() => Dedup.bestOfCluster(spark, sfDir)),
-      "ivfpq_topk" -> (() => Similarity.ivfPqTopk(spark, sfDir)))
+      "ivfpq_topk" -> (() => Similarity.ivfPqTopk(spark, sfDir)),
+      // round-5 operators: corpus-frequency stitch (collect_list +
+      // array_sort) and per-doc top-k under score ties
+      "boilerplate" -> (() => TextOps.boilerplate(spark, sfDir)),
+      "keywords" -> (() => TextOps.keywords(spark, sfDir)))
     ops.foreach { case (name, op) =>
       val results = Seq(3, 8, 32).map(n => withPartitions(n) {
         // drop cached ANN quantizers so index TRAINING re-runs under each

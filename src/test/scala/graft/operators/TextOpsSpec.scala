@@ -75,6 +75,89 @@ class TextOpsSpec extends SparkSpec {
     assert(mean < 10.0, s"mean cross-entropy $mean looks like an OOV-only score")
   }
 
+  test("pii scrub: realistic PII shapes are caught and nothing survives the chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // handcrafted shapes the corpus lacks: subdomain emails, plus-tags,
+    // zero-padded IPs, international and parenthesized phones
+    val samples = Seq(
+      ("reach alice.smith+spam@sub.example.co.uk or bob_2@x.io today", 2, 0, 0),
+      ("server 192.168.001.250 and 10.0.0.7 rebooted", 0, 2, 0),
+      ("call +1 (415) 555-0198 or 020-7946-0958 now", 0, 0, 2),
+      ("plain prose with no contact information at all", 0, 0, 0))
+      .toDF("s", "e", "i", "p")
+    val scrubbed = samples
+      .withColumn("n_e", size(regexp_extract_all(col("s"), lit(TextOps.EmailRe), lit(0))))
+      .withColumn("s", regexp_replace(col("s"), TextOps.EmailRe, "<EMAIL>"))
+      .withColumn("n_i", size(regexp_extract_all(col("s"), lit(TextOps.IpRe), lit(0))))
+      .withColumn("s", regexp_replace(col("s"), TextOps.IpRe, "<IP>"))
+      .withColumn("n_p", size(regexp_extract_all(col("s"), lit(TextOps.PhoneRe), lit(0))))
+      .withColumn("s", regexp_replace(col("s"), TextOps.PhoneRe, "<PHONE>"))
+      .collect()
+    scrubbed.foreach { r =>
+      assert(r.getAs[Int]("n_e") === r.getAs[Int]("e"), s"emails in: ${r.getAs[String]("s")}")
+      assert(r.getAs[Int]("n_i") === r.getAs[Int]("i"), s"ips in: ${r.getAs[String]("s")}")
+      assert(r.getAs[Int]("n_p") === r.getAs[Int]("p"), s"phones in: ${r.getAs[String]("s")}")
+      val clean = r.getAs[String]("s")
+      Seq(TextOps.EmailRe, TextOps.IpRe, TextOps.PhoneRe).foreach { re =>
+        assert(!re.r.findFirstIn(clean).isDefined, s"residue in: $clean")
+      }
+    }
+    // over the corpus: exactly the one injected instance of each family
+    // per document (the synthetic text has no organic digits or @), and
+    // the cleaned texts stay distinct because the injection is id-derived
+    val rows = TextOps.piiScrub(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_emails") === 1L)
+      assert(r.getAs[Long]("n_ips") === 1L)
+      assert(r.getAs[Long]("n_phones") === 1L)
+    }
+    assert(rows.map(_.getAs[String]("clean_md5")).distinct.length === rows.length)
+  }
+
+  test("boilerplate: untouched docs reconstruct byte-identically; drops are real") {
+    import org.apache.spark.sql.functions._
+    val res = TextOps.boilerplate(spark, sfDir).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val (segs, dropped) = (r.getAs[Long]("n_segs"), r.getAs[Long]("n_dropped"))
+      assert(dropped >= 0L && dropped <= segs)
+    }
+    assert(res.exists(_.getAs[Long]("n_dropped") > 0),
+      "corpus is known to contain repeated segments; none were dropped")
+    // a doc with zero drops must stitch back to its whitespace-normalized
+    // text exactly (segmentation + rebuild round-trips)
+    val normMd5 = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", split(trim(col("text")), "\\s+")).cast("binary")).as("m"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("m")).toMap
+    val untouched = res.filter(_.getAs[Long]("n_dropped") == 0L)
+    assert(untouched.nonEmpty)
+    untouched.foreach { r =>
+      assert(r.getAs[String]("clean_md5") === normMd5(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")} did not round-trip")
+    }
+  }
+
+  test("keywords: bounded-heap plan, dense ranks, nonincreasing scores per doc") {
+    val df = TextOps.keywords(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"keywords must plan through the bounded-heap operator:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq === (1L to rs.length.toLong),
+        s"doc $doc ranks not dense")
+      assert(rs.length <= 3, s"doc $doc has ${rs.length} keywords")
+      val scores = byRank.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $doc scores increase with rank")
+    }
+  }
+
   test("zipf head: dense ranks, nonincreasing counts, bounded shares") {
     val rows = TextOps.zipf(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)

@@ -263,6 +263,48 @@ class EventStreamSpec extends SparkSpec {
       "the streaming engine must compute exactly what the batch plan computes")
   }
 
+  test("session_window streaming stats are row-identical to the batch sessionize") {
+    val streamed = EventStream.sessionStatsStreamed(spark, sfDir)
+      .collect().map(_.toSeq)
+    val batch = graft.operators.Events.sessionize(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "session_window(gap=1800s, inclusive merge) must reproduce the " +
+        "batch gap>1800 islands exactly")
+  }
+
+  test("watermarked append session_window closes sessions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val t0 = java.sql.Timestamp.valueOf("2024-05-01 10:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventStream.sessionWindows(
+        input.toDF().toDF("user_id", "ts"), 1800, watermark = Some("0 seconds"))
+      .select(col("user_id"), col("n_events"), col("dur_sec"))
+      .writeStream.format("memory").queryName("sw_append")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: user 7's first session (two events 10 min apart) plus a
+      // second user to keep the key space non-trivial
+      input.addData((7L, at(0)), (7L, at(600)), (8L, at(300)))
+      q.processAllAvailable()
+      // append emits nothing yet — the watermark has not passed any
+      // session's end
+      assert(spark.table("sw_append").count() === 0L)
+      // batch 2: an event far past the gap closes user 7's first session
+      // (and user 8's) once the watermark advances past their window ends
+      input.addData((7L, at(600 + 1801 + 1800 + 1)))
+      q.processAllAvailable()
+      val closed = spark.table("sw_append")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(closed === Set((7L, 2L, 600L), (8L, 1L, 0L)),
+        s"expected exactly the two watermark-expired sessions, got $closed")
+    } finally q.stop()
+  }
+
   test("streamed purchase context is row-identical to the batch interval join") {
     val streamed = EventStream.purchaseContextStreamed(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
