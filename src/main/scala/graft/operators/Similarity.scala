@@ -273,6 +273,61 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Mutual-kNN graph over a bounded node set (vec_id < 500): exact top-5
+    * cosine edges per node plus the mutuality flag (dst also lists src in
+    * ITS top-5). Mutual-kNN is the standard graph for embedding-space
+    * clustering and hubness audits — an asymmetric edge (A→B without B→A)
+    * marks B as a hub, a symmetric one a genuine neighborhood.
+    *
+    * Plan: the node set is broadcast against itself (self-pairs excluded),
+    * each side's top-5 kept by the bounded-heap [[TopKPerKey]] operator
+    * (one hash shuffle, no per-node full sort), and the edge list — at most
+    * 5·|nodes| rows — reverse-self-joined broadcast for mutuality. At
+    * corpus scale the all-pairs scoring step swaps for IVF-cell candidate
+    * generation (the [[graft.operators.Dedup.embeddingCosBlocked]] shape);
+    * the top-k and mutual join stages are unchanged.
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.embeddings(spark, dir).filter(col("vec_id") < 500)
+    val left = s.select(col("vec_id").as("src"), col("embedding").as("se"))
+    val right = Tables.fanout(s)
+      .select(col("vec_id").as("dst"), col("embedding").as("de"))
+    val scored = broadcast(left).join(right, col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        CosineSimilarity(col("se"), col("de")).as("cos"))
+    val edges = TopKPerKey.perKey(
+        scored, Seq(col("src")), Seq(col("cos").desc, col("dst")), 5)
+      .select(col("src"), col("rank").cast("long").as("rank"), col("dst"),
+        trunc4(col("cos")).as("cosine"))
+      .barrier() // both the output and its reverse image read this frame
+    val rev = edges.select(col("src").as("r_dst"), col("dst").as("r_src"))
+    edges.join(broadcast(rev),
+        col("src") === col("r_src") && col("dst") === col("r_dst"), "left")
+      .select(col("src"), col("rank"), col("dst"), col("cosine"),
+        col("r_src").isNotNull.as("mutual"))
+      .orderBy("src", "rank")
+  }
+
+  val knnGraphOracle: String =
+    """WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+       c AS (
+         SELECT a.vec_id AS src, b.vec_id AS dst,
+           list_sum([(a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)
+                     FOR i IN generate_series(1, len(a.embedding))])
+           / (sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN a.embedding]))
+              * sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN b.embedding]))) AS cos
+         FROM s a JOIN s b ON a.vec_id <> b.vec_id),
+       r AS (
+         SELECT src, dst, cos,
+           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+         FROM c),
+       e AS (SELECT * FROM r WHERE rank <= 5)
+       SELECT e.src, CAST(e.rank AS BIGINT) AS rank, e.dst,
+         floor(e.cos * 1e4) / 1e4 AS cosine,
+         (m.src IS NOT NULL) AS mutual
+       FROM e LEFT JOIN e m ON e.src = m.dst AND e.dst = m.src
+       ORDER BY e.src, e.rank"""
+
   /** Cross-modal join: documents ↔ embeddings on id, per-language norm
     * stats — the text-plus-vector join a multimodal pipeline runs
     * constantly. Embedding side reduced to (id, norm) before the join.

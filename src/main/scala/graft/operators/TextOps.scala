@@ -443,6 +443,93 @@ object TextOps {
        FROM g LEFT JOIN h ON g.doc_id = h.doc_id
        WHERE g.is_eval ORDER BY g.doc_id"""
 
+  /** Asymmetric n-gram containment — doc-IN-doc detection. Jaccard
+    * (dd_ngram_jaccard) scores how alike two documents are; containment
+    * C(A→B) = |ngrams(A) ∩ ngrams(B)| / |ngrams(A)| scores how much of A
+    * lives inside B, which is what catches quotes, syndicated excerpts
+    * and wrapper pages that a symmetric measure dilutes away (a 100-word
+    * quote inside a 10 000-word page has Jaccard ≈ 0.01 but containment
+    * ≈ 1.0 from the quote's side). Probe side is the deterministic
+    * `doc_id % 20 = 0` slice — the incremental-ingest shape: a new batch
+    * checked for being-contained against the standing corpus.
+    *
+    * Shape: PPJoin-style candidate generation + merge-pass verification,
+    * all on 64-bit gram hashes (raw trigram strings never cross the
+    * wire). A naive inverted-index count join melts on common trigrams
+    * (one stop-phrase shared by P probes × C corpus docs emits P×C rows
+    * for that gram alone); instead the probe side exposes only its
+    * RAREST-first prefix — overlap ≥ ⌈t·|A|⌉ forces a match inside A's
+    * first |A|−⌈t·|A|⌉+1 grams — the corpus side its full rarest-first
+    * posting list, and the PPJoin positional cap
+    * 1 + min(|A|−pa, |B|−pb) ≥ ⌈t·|A|⌉ discards hopeless pairs before
+    * the survivors' intersection is counted in one sorted-merge pass
+    * ([[graft.functions.SortedIntersectCount]]), never re-joined.
+    */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.2
+    val d = Tables.fanout(Tables.documents(spark, dir))
+    val sh = d.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(0), size(col("ws")) - 3),
+        i => xxhash64(concat_ws(" ",
+          element_at(col("ws"), i + 1),
+          element_at(col("ws"), i + 2),
+          element_at(col("ws"), i + 3)))))).as("g"))
+    // document frequency orders every posting list rarest-first; the
+    // distinct-gram table is corpus-sized, so both sides shuffle (AQE may
+    // still broadcast while it genuinely fits)
+    val df = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val docs = sh.join(df, "g")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("arr"))
+      .select(col("doc_id"), size(col("arr")).as("n"),
+        sort_array(transform(col("arr"), e => e.getField("g"))).as("hs"),
+        transform(col("arr"), e => e.getField("g")).as("rare"))
+      .barrier() // probe prefix, corpus postings and verification all read it
+    val probe = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("a_id"), col("n").as("a_n"),
+        posexplode(slice(col("rare"), lit(1),
+          (col("n") - ceil(col("n") * t) + 1).cast("int"))).as(Seq("pa0", "g")))
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id").as("b_id"), col("n").as("b_n"),
+        posexplode(col("rare")).as(Seq("pb0", "g")))
+    val cands = probe.join(corpus,
+        probe("g") === corpus("g") &&
+          (lit(1) + least(col("a_n") - col("pa0") - 1, col("b_n") - col("pb0") - 1)) >=
+            ceil(col("a_n") * t))
+      .select(col("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    cands
+      .join(docs.select(col("doc_id").as("a_id"), col("n").as("a_n"),
+        col("hs").as("ha")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+      .withColumn("n_common",
+        graft.functions.SortedIntersectCount(col("ha"), col("hb")).cast("long"))
+      .select(col("a_id"), col("b_id"), col("n_common"),
+        trunc4(col("n_common") / col("a_n")).as("containment"))
+      .filter(col("containment") >= t)
+      .orderBy("a_id", "b_id")
+  }
+
+  val containmentOracle: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                  FROM documents
+                  WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
+       g AS (SELECT doc_id,
+               list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                 FOR i IN generate_series(1, len(ws) - 2)]) AS gs
+             FROM w),
+       p AS (SELECT doc_id AS a_id, CAST(len(gs) AS BIGINT) AS a_n,
+               unnest(gs) AS s FROM g WHERE doc_id % 20 = 0),
+       c AS (SELECT doc_id AS b_id, unnest(gs) AS s FROM g WHERE doc_id % 20 <> 0),
+       j AS (SELECT a_id, b_id, a_n, count(*) AS n_common
+             FROM p JOIN c USING (s) GROUP BY 1, 2, 3)
+       SELECT a_id, b_id, n_common,
+         floor(n_common * 1.0 / a_n * 1e4) / 1e4 AS containment
+       FROM j WHERE floor(n_common * 1.0 / a_n * 1e4) / 1e4 >= 0.2
+       ORDER BY a_id, b_id"""
+
   /** Per-language lexical-diversity profile: token volume, vocabulary
     * size and type-token ratio — the corpus-health metric that catches
     * boilerplate floods (TTR collapses) before they hit training. One

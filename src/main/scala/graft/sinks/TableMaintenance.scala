@@ -41,6 +41,67 @@ object TableMaintenance {
       .sortWithinPartitions(keys.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Z-order (Morton-interleaved) clustered write: multi-column skipping
+    * from ONE physical layout. [[writeSorted]] concentrates its whole bit
+    * budget on the leading key — a predicate on any later key scans every
+    * file. Interleaving the keys' bits spends the budget evenly: with two
+    * keys and F files, each file covers ~1/√F of EACH key's domain, so a
+    * selective predicate on EITHER key (or both) prunes most files from
+    * footer stats alone. That is the right trade for fact tables queried
+    * along several independent dimensions (order id, part id, date…) —
+    * the lake-layout analog of multiple b-tree indexes, for the price of
+    * one sort. Linear sort still wins when one key dominates the
+    * workload; see the spec for the measured pruning contrast.
+    *
+    * Mechanics (all scale-safe): each key is bucketed into `2^bitsPerKey`
+    * approximate quantile bins — boundaries come from one lightweight
+    * sample pass and ship as plan literals, so skewed keys still spread
+    * evenly and nothing is shuffled to compute them — then the bucket
+    * ids' bits interleave into one long z-value that drives a single
+    * `repartitionByRange` + within-partition sort. The z column is
+    * dropped before the write; the layout, not the schema, carries it.
+    */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+      keys: Seq[String], bitsPerKey: Int = 8): Unit = {
+    val zcol = "__graft_z"
+    zOrderValue(df, keys, bitsPerKey, zcol)
+      .repartitionByRange(numFiles, col(zcol))
+      .sortWithinPartitions(col(zcol))
+      .drop(zcol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** `df` plus the interleaved z-value column (exposed for spec audit). */
+  private[sinks] def zOrderValue(df: DataFrame, keys: Seq[String],
+      bitsPerKey: Int, zcol: String): DataFrame = {
+    require(keys.nonEmpty && bitsPerKey * keys.size <= 62,
+      s"z budget too wide: ${keys.size} keys × $bitsPerKey bits")
+    val buckets = 1 << bitsPerKey
+    // One approx-quantile pass per key; boundaries become broadcast plan
+    // literals. Duplicated quantiles (heavy hitters) just merge bins.
+    val bounds: Map[String, Array[Double]] = keys.map { k =>
+      val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+      k -> df.select(col(k).cast("double").as(k))
+        .stat.approxQuantile(k, probes, 0.001)
+    }.toMap
+    val bucketCols = keys.map { k =>
+      val bnds = typedLit(bounds(k).toSeq)
+      // bin = #boundaries ≤ x, nulls to bin 0 (sort first, still pruned)
+      k -> coalesce(
+        size(filter(bnds, b => b <= col(k).cast("double"))), lit(0))
+        .cast("long")
+    }
+    val z = (0 until bitsPerKey).foldLeft(lit(0L)) { (acc, bit) =>
+      bucketCols.zipWithIndex.foldLeft(acc) { case (a, ((_, bc), ki)) =>
+        // bit `bit` of key ki lands at interleaved position
+        // bit*nKeys + (nKeys-1-ki): earlier keys take the higher slot
+        val pos = bit * keys.size + (keys.size - 1 - ki)
+        a + shiftleft(shiftright(bc, bit).bitwiseAND(lit(1L)), pos)
+      }
+    }
+    df.withColumn(zcol, z)
+  }
+
   /** Hive-style directory-partitioned layout (`path/day=2024-05-01/…`) —
     * the canonical shape for date-keyed facts. A scan whose filter hits
     * the partition columns prunes whole directories from the file

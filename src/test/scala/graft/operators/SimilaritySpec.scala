@@ -300,4 +300,26 @@ class SimilaritySpec extends SparkSpec {
         s"label ${r.getAs[Int]("label")}: identity $got vs all-pairs ${r.getAs[Double]("m")}")
     }
   }
+
+  test("knn graph: k edges per node, mutual flag is symmetric and honest") {
+    val g = Similarity.knnGraph(spark, sfDir).collect()
+    val nodes = g.map(_.getAs[Long]("src")).distinct
+    // every node emits exactly k=5 edges, ranked 1..5
+    nodes.foreach { n =>
+      val ranks = g.filter(_.getAs[Long]("src") == n)
+        .map(_.getAs[Long]("rank")).sorted
+      assert(ranks.toSeq === Seq(1L, 2L, 3L, 4L, 5L), s"node $n ranks $ranks")
+    }
+    val edgeSet = g.map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    g.foreach { r =>
+      val (s, d) = (r.getAs[Long]("src"), r.getAs[Long]("dst"))
+      val flagged = r.getAs[Boolean]("mutual")
+      // the flag must equal reverse-edge membership, and therefore agree
+      // with the reverse edge's own flag when it exists
+      assert(flagged === edgeSet.contains((d, s)), s"mutual flag wrong on $s->$d")
+    }
+    // sanity: on a near-uniform corpus some but not all edges are mutual
+    assert(g.exists(_.getAs[Boolean]("mutual")))
+    assert(g.exists(!_.getAs[Boolean]("mutual")))
+  }
 }

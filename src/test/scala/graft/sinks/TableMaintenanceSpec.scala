@@ -64,6 +64,41 @@ class TableMaintenanceSpec extends SparkSpec {
       ev.agg(sum("event_id")).head.getLong(0))
   }
 
+  test("writeZOrdered prunes on BOTH keys where a linear sort serves one") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val linear = tmpDir("zlin")
+    val zed = tmpDir("zord")
+    val files = 16
+    TableMaintenance.writeSorted(li, linear, files, Seq("l_orderkey"))
+    TableMaintenance.writeZOrdered(li, zed, files,
+      Seq("l_orderkey", "l_partkey"))
+
+    // a ~5%-of-domain slice per key, from real quantiles
+    def slice(k: String): (Long, Long) = {
+      val Array(lo, hi) = li.stat.approxQuantile(k, Array(0.50, 0.55), 0.0)
+      (lo.toLong, hi.toLong)
+    }
+    // files whose footer [min,max] intersects the slice = files a
+    // row-group-pruning scan must touch
+    def touched(dir: String, k: String, lo: Long, hi: Long): Int =
+      footerRanges(dir, k).count { case (mn, mx) => mx >= lo && mn <= hi }
+
+    val (plo, phi) = slice("l_partkey")
+    val (olo, ohi) = slice("l_orderkey")
+    // linear layout: the secondary key is shredded across every file
+    assert(touched(linear, "l_partkey", plo, phi) >= files - 2)
+    // z-order: BOTH keys prune — each file covers ~a quarter of each
+    // domain, so a 5% slice touches about a quarter of the files
+    assert(touched(zed, "l_partkey", plo, phi) <= files / 2)
+    assert(touched(zed, "l_orderkey", olo, ohi) <= files / 2)
+    // and the table content is unchanged
+    val back = spark.read.parquet(zed)
+    assert(back.count() === li.count())
+    assert(back.agg(sum("l_orderkey")).head.getLong(0) ===
+      li.agg(sum("l_orderkey")).head.getLong(0))
+  }
+
   test("writePartitioned prunes directories on a partition-key predicate") {
     val out = tmpDir("part")
     val ev = Tables.events(spark, sfDir)
