@@ -586,4 +586,102 @@ object Dedup {
          WHERE a.vec_id < 100)
        SELECT probe_id, cand_id, floor(cos * 1e4) / 1e4 AS cosine
        FROM c WHERE cos >= 0.3 ORDER BY probe_id, cand_id"""
+
+  /** Tokens per duplicated-window union. Docs shorter than [[SpanW]]
+    * carry no window and are excluded from the report (they cannot hold a
+    * ≥W-token duplicated run by definition).
+    */
+  private[operators] val SpanW = 15
+
+  /** Exact repeated-span detection — the "exact substring" dedup of
+    * Lee et al., *Deduplicating Training Data Makes Language Models
+    * Better* (ACL 2022), re-expressed for a shuffle engine. Their
+    * suffix-array scan is single-machine; the distributed equivalence is:
+    * any duplicated token run of length ≥ W contains a duplicated W-token
+    * window, so sliding a W-window fingerprint over every document and
+    * counting corpus-wide window multiplicity finds exactly the documents
+    * with ≥W-token verbatim overlap (with any document, themselves
+    * included — self-repetition is duplication too). Per doc: total
+    * windows, duplicated windows, and the token count of the UNION of
+    * duplicated windows (sorted positions, overlap-merged in one fold) —
+    * the span budget an excision pass would cut.
+    *
+    * Scale shape: the only corpus-wide shuffle carries (md5, doc_id, pos)
+    * — constant-width 16-byte digests, never window text (md5 rather than
+    * xxhash keeps the DuckDB oracle byte-portable, as [[exact]] does).
+    * Window multiplicity is a two-phase count aggregate, so map-side
+    * combine absorbs hot boilerplate windows before the exchange; the
+    * duplicated-window filter is a semi join on the digest; the interval
+    * union folds per-doc sorted positions inside one hash aggregate —
+    * the per-doc state is bounded by document length, which a training
+    * pipeline caps at chunking time ([[graft.operators.TextOps.chunk]]).
+    * No reference analog (the indexer stores events, not corpora); this
+    * is the LLM-pipeline surface.
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val W = SpanW
+    val d = Tables.fanout(Tables.documents(spark, dir))
+    val wins = d.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= W)
+      .select(col("doc_id"), size(col("ws")).as("n_toks"),
+        posexplode(transform(
+          sequence(lit(1), size(col("ws")) - (W - 1)),
+          i => md5(array_join(slice(col("ws"), i, lit(W)), " ")))))
+      .withColumnRenamed("col", "h")
+      // multiplicity count, per-doc totals and the semi-join probe all
+      // read this — materialize the corpus-wide explode once
+      .barrier()
+    val tot = wins.groupBy(col("doc_id"))
+      .agg(first(col("n_toks")).as("n_toks"), count(lit(1)).as("n_windows"))
+    val dupHashes = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1).select(col("h"))
+    // union of [p, p+W) intervals over sorted dup positions: each
+    // consecutive gap contributes min(W, next-prev), plus W for the last
+    val dup = wins.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), col("n_dup_windows"),
+        (aggregate(
+          zip_with(
+            slice(col("ps"), lit(1), size(col("ps")) - 1),
+            slice(col("ps"), lit(2), size(col("ps")) - 1),
+            (a, b) => least(b - a, lit(W))),
+          lit(0), (acc, x) => acc + x) + lit(W)).cast("long").as("n_dup_tokens"))
+    tot.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        (floor(coalesce(col("n_dup_tokens"), lit(0L)) * lit(1e4) / col("n_toks"))
+          / lit(1e4)).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val dupSpansOracle: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                  FROM documents),
+       wins AS (SELECT doc_id, n_toks, u.pos AS pos, u.h AS h FROM (
+                  SELECT doc_id, len(ws) AS n_toks,
+                    unnest([{'pos': i - 1,
+                             'h': md5(array_to_string(ws[i : i + 14], ' '))}
+                            FOR i IN generate_series(1, len(ws) - 14)]) AS u
+                  FROM w WHERE len(ws) >= 15)),
+       tot AS (SELECT doc_id, any_value(n_toks) AS n_toks,
+                      count(*) AS n_windows
+               FROM wins GROUP BY 1),
+       dh AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+       dp AS (SELECT doc_id, count(*) AS n_dup_windows,
+                     list_sort(list(pos)) AS ps
+              FROM wins WHERE h IN (SELECT h FROM dh) GROUP BY 1),
+       du AS (SELECT doc_id, n_dup_windows,
+                     coalesce(list_sum([least(ps[j+1] - ps[j], 15)
+                       FOR j IN generate_series(1, len(ps) - 1)]), 0) + 15
+                       AS n_dup_tokens
+              FROM dp)
+       SELECT t.doc_id, t.n_windows,
+         CAST(coalesce(d.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+         CAST(coalesce(d.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+         floor(coalesce(d.n_dup_tokens, 0) * 1e4 / t.n_toks) / 1e4
+           AS dup_ratio
+       FROM tot t LEFT JOIN du d USING (doc_id) ORDER BY 1"""
 }

@@ -352,6 +352,74 @@ object EventStream {
     }
   }
 
+  /** Daily distinct (user, type) actives computed through the engine's
+    * keyed-state streaming dedup (`dropDuplicatesWithinWatermark`) — the
+    * streaming face of the dedup suite. The indexer's at-least-once pump
+    * ([[graft.sources.HeightPollSource]] re-delivers blocks on restart)
+    * needs exactly-once FACTS downstream, and this is the engine operator
+    * that does it at scale: per-key state lives only until the watermark
+    * passes the key, so state is bounded by dedup-horizon × key arrival
+    * rate, not stream lifetime (plain `dropDuplicates` on a stream grows
+    * state forever and is not deployable).
+    *
+    * Determinism: which physical ROW survives per key depends on arrival
+    * order, but the surviving KEY SET does not — so the query aggregates
+    * the deduped stream (count of keys, distinct users per day) and THAT
+    * is hash-checked against the batch count-distinct oracle. The gate
+    * replay is one AvailableNow micro-batch (a single parquet file under
+    * the admission glob), so no watermark eviction can race the replay;
+    * the unbounded multi-batch semantics (duplicate inside the horizon
+    * dropped, beyond it re-admitted — the documented within-watermark
+    * contract) is pinned in EventStreamSpec.
+    */
+  def streamDedupDaily(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.conf
+    val prevNanos = conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    val prevTz = conf.getOption("spark.sql.session.timeZone")
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // date_format buckets in the session timezone; the oracle's strftime
+    // buckets raw UTC — agree only under UTC
+    conf.set("spark.sql.session.timeZone", "UTC")
+    val name = s"graft_stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    try {
+      val q = eventsStream(spark, dir)
+        .select(col("ts"), col("user_id"), col("event_type"))
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("day", "user_id", "event_type")
+        .select(col("day"), col("user_id"), col("event_type"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // one emitted row per first-seen key → count(*) IS count-distinct;
+      // distinct users per day projects the same key set
+      val out = spark.table(name)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active_pairs"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("day")
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(rows.asJava, out.schema)
+    } finally {
+      spark.catalog.dropTempView(name)
+      prevNanos.fold(conf.unset("spark.sql.legacy.parquet.nanosAsLong"))(
+        conf.set("spark.sql.legacy.parquet.nanosAsLong", _))
+      prevTz.fold(conf.unset("spark.sql.session.timeZone"))(
+        conf.set("spark.sql.session.timeZone", _))
+    }
+  }
+
+  val streamDedupDailyOracle: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(DISTINCT (user_id, event_type)) AS BIGINT)
+           AS n_active_pairs,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events GROUP BY 1 ORDER BY 1"""
+
   /** Per-user gap sessions as a STREAMING aggregation over the built-in
     * `session_window` — the engine-managed complement of the
     * `flatMapGroupsWithState` sessionizer ([[sessionized]]): state

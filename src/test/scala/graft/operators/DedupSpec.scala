@@ -130,4 +130,38 @@ class DedupSpec extends SparkSpec {
     val recall = if (exact.isEmpty) 1.0 else (exact & blocked).size.toDouble / exact.size
     assert(recall >= 0.5, s"blocked recall $recall below floor (exact ${exact.size})")
   }
+
+  test("dupSpans finds planted cross-doc and within-doc repeated runs") {
+    import spark.implicits._
+    // doc 1 and doc 2 share an exact 20-token run (tokens w5..w24); every
+    // other token is globally unique, so the only duplicated 15-windows
+    // are the 6 fully inside the run, whose union is the 20-token run.
+    val d1 = (0 to 29).map(i => s"w$i").mkString(" ")
+    val d2 = ((0 to 4).map(i => s"u$i") ++ (5 to 24).map(i => s"w$i") ++
+      (5 to 9).map(i => s"u$i")).mkString(" ")
+    val d3 = (0 to 29).map(i => s"z$i").mkString(" ")   // all unique
+    val d4 = (0 to 9).map(i => s"s$i").mkString(" ")    // < W tokens
+    // doc 5 repeats a 15-token phrase around a unique separator:
+    // windows at pos 0 and 16 collide → union = min(15,16) + 15 = 30
+    val d5 = ((0 to 14).map(i => s"p$i") ++ Seq("sep") ++
+      (0 to 14).map(i => s"p$i")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("dupspans").toString
+    Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4), (5L, d5))
+      .map { case (id, t) => (id, t, "en", "spec", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.dupSpans(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 5L), "sub-window doc 4 must be excluded")
+    for (id <- Seq(1L, 2L)) {
+      assert(out(id).getAs[Long]("n_windows") === 16L)
+      assert(out(id).getAs[Long]("n_dup_windows") === 6L, s"doc $id")
+      assert(out(id).getAs[Long]("n_dup_tokens") === 20L, s"doc $id")
+    }
+    assert(out(3L).getAs[Long]("n_dup_windows") === 0L)
+    assert(out(3L).getAs[Long]("n_dup_tokens") === 0L)
+    assert(out(5L).getAs[Long]("n_dup_windows") === 2L)
+    assert(out(5L).getAs[Long]("n_dup_tokens") === 30L)
+    assert(out(5L).getAs[Double]("dup_ratio") === math.floor(30 * 1e4 / 31) / 1e4)
+  }
 }

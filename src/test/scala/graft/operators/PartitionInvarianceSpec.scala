@@ -46,7 +46,10 @@ class PartitionInvarianceSpec extends SparkSpec {
       // round-5 operators: corpus-frequency stitch (collect_list +
       // array_sort) and per-doc top-k under score ties
       "boilerplate" -> (() => TextOps.boilerplate(spark, sfDir)),
-      "keywords" -> (() => TextOps.keywords(spark, sfDir)))
+      "keywords" -> (() => TextOps.keywords(spark, sfDir)),
+      // round-5 continuation: per-doc interval-union fold over a
+      // collect_list whose input order varies with partitioning
+      "dup_spans" -> (() => Dedup.dupSpans(spark, sfDir)))
     ops.foreach { case (name, op) =>
       val results = Seq(3, 8, 32).map(n => withPartitions(n) {
         // drop cached ANN quantizers so index TRAINING re-runs under each

@@ -370,6 +370,58 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streamDedupDaily matches the batch count-distinct aggregation") {
+    val streamed = EventStream.streamDedupDaily(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val batch = graft.Tables.events(spark, sfDir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id"), col("event_type")).as("n_active_pairs"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.toSeq === batch.toSeq,
+      "keyed-state dedup + key-set aggregate must equal batch count-distinct")
+  }
+
+  test("within-watermark dedup re-admits a key only after its state is evicted") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val name = "dedup_horizon_stream"
+    val q = input.toDF().toDF("user_id", "ts", "event_type")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("day", "user_id", "event_type")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .start()
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    try {
+      // batch 1: key (day, 7, click) admitted; duplicate in the SAME batch
+      // and a duplicate in batch 2 (watermark 09:00, inside the horizon)
+      // are both dropped
+      input.addData((7L, t("2024-05-01T10:00:00Z"), "click"),
+        (7L, t("2024-05-01T10:00:05Z"), "click"))
+      q.processAllAvailable()
+      input.addData((7L, t("2024-05-01T10:30:00Z"), "click"))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 1, "in-horizon duplicates must drop")
+      // batch 3 advances the watermark to 12:00 — past the key's
+      // 10:00+1h expiry — so its state is evicted…
+      input.addData((8L, t("2024-05-01T13:00:00Z"), "view"))
+      q.processAllAvailable()
+      // …and batch 4's same-day duplicate is re-admitted: beyond the
+      // horizon the operator's contract is at-most-once state, not
+      // global exactly-once (that is what bounds the state)
+      input.addData((7L, t("2024-05-01T13:00:01Z"), "click"))
+      q.processAllAvailable()
+      val keys = spark.table(name)
+        .groupBy("user_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(keys === Map(7L -> 2L, 8L -> 1L),
+        s"expected evicted key re-admission, got $keys")
+    } finally q.stop()
+  }
+
   test("dailyStatsStreamed leaves no memory-sink table or conf change behind") {
     val tzBefore = spark.conf.getOption("spark.sql.session.timeZone")
     val viewsBefore = spark.catalog.listTables().collect().map(_.name).toSet
