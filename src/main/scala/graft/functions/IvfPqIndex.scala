@@ -46,7 +46,11 @@ object IvfPqIndex {
     val p = new Path(indexPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = fs.exists(p) && fs.exists(new Path(p, "_SUCCESS"))
-    val ok = committed && savedFingerprint(spark, indexPath).contains(fingerprint)
+    // one listing serves both the fingerprint check and the returned
+    // frame — spark.read.parquet on a partitioned dir re-lists every
+    // file, so paying it twice per probe doubles the serving overhead
+    val existing = if (committed) Some(spark.read.parquet(indexPath)) else None
+    val ok = existing.exists(df => savedFingerprint(df).contains(fingerprint))
     if (!ok) {
       builds.incrementAndGet()
       corpus.select(
@@ -54,9 +58,17 @@ object IvfPqIndex {
           col(idCol).as("cand_id"),
           PqEncode(col(embCol), books).as("codes"),
           lit(fingerprint).as("train_params"))
+        // cluster by cell before the write: without this every shuffle
+        // task writes its own sliver into every cell dir (nCells × tasks
+        // KB-sized files — 875 observed at sf0.1), and each probe then
+        // schedules a task per sliver. One task per cell → one file per
+        // cell; a cell outgrowing a target file size is what
+        // TableMaintenance.compactPartitioned splits, not the builder.
+        .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
     }
-    spark.read.parquet(indexPath).select("cell", "cand_id", "codes")
+    (if (ok) existing.get else spark.read.parquet(indexPath))
+      .select("cell", "cand_id", "codes")
   }
 
   /** Append a new vector batch to a COMMITTED inverted file using the
@@ -85,7 +97,7 @@ object IvfPqIndex {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p) && fs.exists(new Path(p, "_SUCCESS")),
       s"no committed index at $indexPath to append to — build first")
-    val saved = savedFingerprint(spark, indexPath)
+    val saved = savedFingerprint(spark.read.parquet(indexPath))
     require(saved.contains(fingerprint),
       s"committed index fingerprint ${saved.orNull} does not match the " +
         s"batch quantizers ($fingerprint) — appending would corrupt ADC " +
@@ -95,12 +107,14 @@ object IvfPqIndex {
         col(idCol).as("cand_id"),
         PqEncode(col(embCol), books).as("codes"),
         lit(fingerprint).as("train_params"))
+      // one file per cell per appended batch (see loadOrBuild); nightly
+      // compaction absorbs batches when dirs accumulate
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(indexPath)
     spark.read.parquet(indexPath).select("cell", "cand_id", "codes")
   }
 
-  private def savedFingerprint(spark: SparkSession, path: String): Option[String] = {
-    val df = spark.read.parquet(path)
+  private def savedFingerprint(df: DataFrame): Option[String] = {
     if (!df.columns.contains("train_params")) None
     else df.select("train_params").limit(1).collect()
       .headOption.flatMap(r => Option(r.getString(0)))
