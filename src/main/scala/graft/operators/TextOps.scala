@@ -399,8 +399,16 @@ object TextOps {
     * n-gram hash. No broadcast of anything corpus-sized.
     */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.fanout(Tables.documents(spark, dir))
-    val grams = d.select(col("doc_id"), words(col("text")).as("ws"))
+    val grams = splitGrams(Tables.fanout(Tables.documents(spark, dir)))
+    val trainGrams = grams.filter(!col("is_eval"))
+      .select(explode(col("gs")).as("g")).distinct()
+    contamReport(grams, trainGrams)
+  }
+
+  /** Per-doc distinct 5-gram hashes + the deterministic eval/train split
+    * flag — shared front end of [[contamination]]/[[contaminationBloom]]. */
+  private def splitGrams(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 5)
       .select(
         col("doc_id"),
@@ -410,10 +418,13 @@ object TextOps {
             (0 until 5).map(j => element_at(col("ws"), i + j + 1)): _*)))).as("gs"),
         (substring(md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")),
           1, 1) < "2").as("is_eval"))
+
+  /** Exact hit counting + report tail shared by both contamination
+    * formulations: the train side handed in may be pre-filtered, as long
+    * as it still contains every gram that CAN match an eval gram. */
+  private def contamReport(grams: DataFrame, trainGrams: DataFrame): DataFrame = {
     val evalGrams = grams.filter(col("is_eval"))
       .select(col("doc_id"), explode(col("gs")).as("g"))
-    val trainGrams = grams.filter(!col("is_eval"))
-      .select(explode(col("gs")).as("g")).distinct()
     val hits = evalGrams.join(trainGrams, Seq("g"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
     grams.filter(col("is_eval"))
@@ -423,6 +434,36 @@ object TextOps {
         coalesce(col("n_contam"), lit(0L)).as("n_contam"),
         trunc4(coalesce(col("n_contam"), lit(0L)) / col("n_ngrams")).as("contam_rate"))
       .orderBy("doc_id")
+  }
+
+  /** [[contamination]] with a broadcast-Bloom pre-filter on the train side
+    * — the hand-staged runtime filter, same exact answer (hash-identical
+    * oracle row). The eval split is the small side by construction
+    * (~12.5%), so its distinct gram hashes fit a fixed-size Bloom filter
+    * (8M bits = 1 MB at any corpus size; fpp ~1% at 10⁶ eval grams).
+    * Probing that filter BEFORE the train-side `distinct` discards the
+    * ~99% of a 100 TB train corpus's grams that cannot match while they
+    * are still map-local — the big shuffle (train distinct) then carries
+    * only probable hits, and the exact semi join downstream absorbs the
+    * Bloom's false positives, so the report is bit-identical to the
+    * unfiltered formulation (TextOpsSpec pins equality; the oracle is the
+    * same SQL). Catalyst's own `InjectRuntimeFilter` would not stage this
+    * (it guards shuffle JOINS, not an aggregate feeding a semi join);
+    * [[graft.functions.BloomProbe]] exposes the probe expression it uses.
+    * The 1-row Bloom build is collected driver-side (bounded: one binary),
+    * exactly as Spark's injected filters execute their bloom subquery.
+    */
+  def contaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    val grams = splitGrams(Tables.fanout(Tables.documents(spark, dir)))
+    val bloomBytes = grams.filter(col("is_eval"))
+      .select(explode(col("gs")).as("g"))
+      .agg(graft.functions.BloomProbe.bloomAgg(col("g"), 1048576L, 8388608L))
+      .head.getAs[Array[Byte]](0)
+    val trainGrams = grams.filter(!col("is_eval"))
+      .select(explode(col("gs")).as("g"))
+      .filter(graft.functions.BloomProbe.mightContain(lit(bloomBytes), col("g")))
+      .distinct()
+    contamReport(grams, trainGrams)
   }
 
   val contaminationOracle: String =

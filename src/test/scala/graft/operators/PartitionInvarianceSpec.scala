@@ -49,7 +49,12 @@ class PartitionInvarianceSpec extends SparkSpec {
       "keywords" -> (() => TextOps.keywords(spark, sfDir)),
       // round-5 continuation: per-doc interval-union fold over a
       // collect_list whose input order varies with partitioning
-      "dup_spans" -> (() => Dedup.dupSpans(spark, sfDir)))
+      "dup_spans" -> (() => Dedup.dupSpans(spark, sfDir)),
+      // sketch states must be commutative: HLL register-max, CMS cell
+      // sums, Bloom bit-OR — estimates may not depend on merge order
+      "hll_rollup" -> (() => Sketches.hllRollup(spark, sfDir)),
+      "cms_user_counts" -> (() => Sketches.cmsUserCounts(spark, sfDir)),
+      "contamination_bloom" -> (() => TextOps.contaminationBloom(spark, sfDir)))
     ops.foreach { case (name, op) =>
       val results = Seq(3, 8, 32).map(n => withPartitions(n) {
         // drop cached ANN quantizers so index TRAINING re-runs under each

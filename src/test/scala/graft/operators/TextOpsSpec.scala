@@ -158,6 +158,13 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("contaminationBloom is bit-identical to the unfiltered contamination") {
+    val exact = TextOps.contamination(spark, sfDir).collect().map(_.toSeq)
+    val bloom = TextOps.contaminationBloom(spark, sfDir).collect().map(_.toSeq)
+    assert(bloom.toSeq === exact.toSeq,
+      "the Bloom pre-filter may only discard rows the exact join would drop")
+  }
+
   test("zipf head: dense ranks, nonincreasing counts, bounded shares") {
     val rows = TextOps.zipf(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
