@@ -287,7 +287,10 @@ object Similarity {
     * generation (the [[graft.operators.Dedup.embeddingCosBlocked]] shape);
     * the top-k and mutual join stages are unchanged.
     */
-  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+  /** Directed k=5 nearest-neighbor edge list (src, rank, dst, cosine) —
+    * shared by [[knnGraph]] (mutuality report) and [[pagerank]]
+    * (iteration input). */
+  private def knnEdges(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.embeddings(spark, dir).filter(col("vec_id") < 500)
     val left = s.select(col("vec_id").as("src"), col("embedding").as("se"))
     val right = Tables.fanout(s)
@@ -295,10 +298,14 @@ object Similarity {
     val scored = broadcast(left).join(right, col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         CosineSimilarity(col("se"), col("de")).as("cos"))
-    val edges = TopKPerKey.perKey(
+    TopKPerKey.perKey(
         scored, Seq(col("src")), Seq(col("cos").desc, col("dst")), 5)
       .select(col("src"), col("rank").cast("long").as("rank"), col("dst"),
         trunc4(col("cos")).as("cosine"))
+  }
+
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnEdges(spark, dir)
       .barrier() // both the output and its reverse image read this frame
     val rev = edges.select(col("src").as("r_dst"), col("dst").as("r_src"))
     edges.join(broadcast(rev),
@@ -327,6 +334,92 @@ object Similarity {
          (m.src IS NOT NULL) AS mutual
        FROM e LEFT JOIN e m ON e.src = m.dst AND e.dst = m.src
        ORDER BY e.src, e.rank"""
+
+  /** PageRank over the kNN graph — the iterative fixed-point family
+    * (label propagation's weighted cousin; [[Dedup.components]] is the
+    * min-label member) expressed as a bounded chain of join + partial
+    * aggregate rounds. Finds the corpus's "semantic hubs": vectors that
+    * many other vectors count among their nearest neighbors, weighted
+    * recursively — in_deg counts popularity, PageRank weights WHO finds
+    * you popular.
+    *
+    * All arithmetic is exact integer mass (total 10¹² units; contribution
+    * `(r·17) div 100` is damping 0.85 over the constant out-degree 5), so
+    * every iteration is commutative long sums — partition-order invariant
+    * and engine-portable, which is what lets an ITERATIVE float algorithm
+    * be hash-verified against DuckDB (the oracle unrolls the same 10
+    * rounds as chained CTEs; double PageRank would drift by fold order).
+    *
+    * Scale shape: one round = hash join of ranks (|V| rows) with the
+    * persisted edge list on src, then a sum keyed by dst with map-side
+    * combine absorbing hot hubs' in-edges before the exchange. Edges are
+    * barriered once and reused by all 10 rounds; iteration count is fixed
+    * (power iteration converges geometrically at rate 0.85ⁿ — 10 rounds ≈
+    * 20% residual, a ranking-stable truncation, and exactness of the
+    * STOPPED fixed point is what the oracle checks). At corpus scale the
+    * all-pairs kNN edge build swaps for IVF candidate generation exactly
+    * as [[knnGraph]] documents; the iteration machinery is unchanged.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = knnEdges(spark, dir).select(col("src"), col("dst"))
+      .barrier() // read by nodes, in-degree, and all 10 rounds
+    val nodes = e.select(col("src").as("node")).distinct()
+    val basis = nodes.agg(count(lit(1)).as("n"))
+      .select(expr("1000000000000 div n").as("r0"),
+        expr("150000000000 div n").as("base"))
+    var ranks = nodes.crossJoin(broadcast(basis))
+      .select(col("node"), col("r0").as("r"))
+    for (_ <- 1 to 10) {
+      val contribs = ranks.join(e, col("node") === col("src"))
+        .select(col("dst"), expr("(r * 17) div 100").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("c"))
+        .withColumnRenamed("dst", "node")
+      ranks = nodes.crossJoin(broadcast(basis))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"), (col("base") + coalesce(col("c"), lit(0L))).as("r"))
+    }
+    val indeg = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    ranks.join(indeg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        col("r").as("pr_mass"))
+      .orderBy("node")
+  }
+
+  val pagerankOracle: String = {
+    val iters = (1 to 10).map { i =>
+      s"""p$i AS (SELECT n.node, b.base + coalesce(s.c, 0) AS r
+         FROM nodes n CROSS JOIN b
+         LEFT JOIN (SELECT e.dst AS node,
+                      CAST(sum((p.r * 17) // 100) AS BIGINT) AS c
+                    FROM e JOIN p${i - 1} p ON p.node = e.src GROUP BY 1) s
+           USING (node))"""
+    }.mkString(",\n       ")
+    s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+       c AS (
+         SELECT a.vec_id AS src, b.vec_id AS dst,
+           list_sum([(a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)
+                     FOR i IN generate_series(1, len(a.embedding))])
+           / (sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN a.embedding]))
+              * sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN b.embedding]))) AS cos
+         FROM s a JOIN s b ON a.vec_id <> b.vec_id),
+       r AS (
+         SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+         FROM c),
+       e AS (SELECT src, dst FROM r WHERE rank <= 5),
+       nodes AS (SELECT DISTINCT src AS node FROM e),
+       b AS (SELECT count(*) AS n, 1000000000000 // count(*) AS r0,
+                    150000000000 // count(*) AS base FROM nodes),
+       p0 AS (SELECT n.node, b.r0 AS r FROM nodes n CROSS JOIN b),
+       $iters
+       SELECT p.node, CAST(coalesce(d.in_deg, 0) AS BIGINT) AS in_deg,
+         p.r AS pr_mass
+       FROM p10 p
+       LEFT JOIN (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY 1) d
+         USING (node)
+       ORDER BY p.node"""
+  }
 
   /** Cross-modal join: documents ↔ embeddings on id, per-language norm
     * stats — the text-plus-vector join a multimodal pipeline runs

@@ -54,7 +54,10 @@ class PartitionInvarianceSpec extends SparkSpec {
       // sums, Bloom bit-OR — estimates may not depend on merge order
       "hll_rollup" -> (() => Sketches.hllRollup(spark, sfDir)),
       "cms_user_counts" -> (() => Sketches.cmsUserCounts(spark, sfDir)),
-      "contamination_bloom" -> (() => TextOps.contaminationBloom(spark, sfDir)))
+      "contamination_bloom" -> (() => TextOps.contaminationBloom(spark, sfDir)),
+      // 10 chained join+sum rounds: integer mass must make every round's
+      // fold order irrelevant
+      "pagerank" -> (() => Similarity.pagerank(spark, sfDir)))
     ops.foreach { case (name, op) =>
       val results = Seq(3, 8, 32).map(n => withPartitions(n) {
         // drop cached ANN quantizers so index TRAINING re-runs under each

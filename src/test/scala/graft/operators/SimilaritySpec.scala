@@ -322,4 +322,27 @@ class SimilaritySpec extends SparkSpec {
     assert(g.exists(_.getAs[Boolean]("mutual")))
     assert(g.exists(!_.getAs[Boolean]("mutual")))
   }
+
+  test("pagerank: mass conservation, floors, and sink/hub structure") {
+    val rows = Similarity.pagerank(spark, sfDir).collect()
+    val n = rows.length.toLong
+    assert(n > 0)
+    val S = 1000000000000L
+    val base = 150000000000L / n
+    // every node keeps at least the teleport mass; zero-in-degree nodes
+    // keep EXACTLY it (nothing flows in, floors lose nothing)
+    rows.foreach { r =>
+      val mass = r.getAs[Long]("pr_mass")
+      assert(mass >= base, s"node ${r.get(0)} below teleport floor")
+      if (r.getAs[Long]("in_deg") == 0L)
+        assert(mass === base, s"sink node ${r.get(0)} gained mass")
+    }
+    // total mass: S minus only integer-floor leakage (≤ |E|+|V| per round)
+    val total = rows.map(_.getAs[Long]("pr_mass")).sum
+    assert(total <= S, "mass created from nothing")
+    assert(total >= S - 11 * (5 * n + n) - n, s"mass leak beyond floor loss: $total")
+    // the heaviest node must be drawing real in-flow
+    val top = rows.maxBy(_.getAs[Long]("pr_mass"))
+    assert(top.getAs[Long]("in_deg") > 0L)
+  }
 }
