@@ -454,7 +454,16 @@ object TextOps {
     * exactly as Spark's injected filters execute their bloom subquery.
     */
   def contaminationBloom(spark: SparkSession, dir: String): DataFrame = {
-    val grams = splitGrams(Tables.fanout(Tables.documents(spark, dir)))
+    // Barrier, for two reasons. (1) Reuse: the grams frame feeds three
+    // branches (bloom build, train probe, report) — tokenize once, not 3×.
+    // (2) A Catalyst trap: `InferFiltersFromGenerate` guards each
+    // `explode(gs)` with `size(gs) > 0 AND isnotnull(gs)`, and predicate
+    // pushdown substitutes the alias — so WITHOUT the barrier the whole
+    // 5-gram hash array (a non-codegen higher-order-function chain) is
+    // re-evaluated twice more per doc inside a Filter in the low-
+    // parallelism scan stage (measured 38×: 12.5 s → 0.33 s at sf0.1).
+    // Post-barrier the inferred guard probes the materialized column.
+    val grams = Tables.barrier(splitGrams(Tables.fanout(Tables.documents(spark, dir))))
     val bloomBytes = grams.filter(col("is_eval"))
       .select(explode(col("gs")).as("g"))
       .agg(graft.functions.BloomProbe.bloomAgg(col("g"), 1048576L, 8388608L))
