@@ -102,6 +102,160 @@ object TableMaintenance {
     df.withColumn(zcol, z)
   }
 
+  /** Inclusive key range for [[readSkipping]]. Bounds are doubles for a
+    * one-type API; integral key stats compare exactly up to 2⁵³ (every
+    * practical id space). Use `Double.NegativeInfinity`/`PositiveInfinity`
+    * for a half-open range.
+    */
+  case class KeyRange(key: String, lo: Double, hi: Double)
+
+  private def statsDir(path: String): String =
+    new Path(path, "_stats").toString
+
+  /** Build the file-level zone map: one `_stats/` manifest row per data
+    * file carrying its row count and per-key footer min/max.
+    *
+    * Spark already prunes row groups from footer stats — but only after
+    * the scan has LISTED and OPENED every file's footer, which at 10⁶
+    * files is millions of driver-coordinated object-store reads per
+    * query. Delta and Iceberg solve this by keeping per-file stats in the
+    * commit log so planning touches one small manifest; this is that
+    * design for the plain-directory tables [[writeSorted]] /
+    * [[writeZOrdered]] lay out. The footer pass runs ONCE here,
+    * distributed (files fan out over executors — the driver never opens a
+    * footer), and every later [[readSkipping]] plans from the manifest
+    * alone. `_`-prefixed, so data scans never pick the manifest up.
+    *
+    * Stats columns are typed from the parquet schema: integral keys stay
+    * LONG (exact), floating keys DOUBLE. Rebuild after any rewrite —
+    * [[readSkipping]] refuses a stale manifest (file-set mismatch) rather
+    * than silently returning partial data.
+    */
+  def writeStatsIndex(spark: SparkSession, path: String,
+      keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.types._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf.value)
+    val files = fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).sorted.toSeq
+    require(files.nonEmpty, s"no parquet files under $path")
+    // Key types from one footer; integral → LongType, floating → DoubleType.
+    val keyTypes: Map[String, DataType] = {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(root, files.head), conf.value))
+      try {
+        val schema = rd.getFooter.getFileMetaData.getSchema
+        keys.map { k =>
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+          val t = schema.getType(Array(k): _*).asPrimitiveType().getPrimitiveTypeName match {
+            case INT32 | INT64 => LongType
+            case FLOAT | DOUBLE => DoubleType
+            case other => throw new IllegalArgumentException(
+              s"zone-map key $k has unsupported parquet type $other")
+          }
+          k -> t
+        }.toMap
+      } finally rd.close()
+    }
+    val schema = StructType(
+      StructField("file", StringType, nullable = false) +:
+      StructField("rows", LongType, nullable = false) +:
+      keys.flatMap(k => Seq(
+        StructField(s"min_$k", keyTypes(k), nullable = true),
+        StructField(s"max_$k", keyTypes(k), nullable = true))))
+    val dirStr = root.toString
+    val keysB = keys
+    val rows = spark.sparkContext.parallelize(files, math.max(1, files.size / 64))
+      .map { name =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(new Path(dirStr), name), conf.value))
+        try {
+          val blocks = rd.getFooter.getBlocks
+          var nRows = 0L
+          val mins = collection.mutable.Map[String, Any]()
+          val maxs = collection.mutable.Map[String, Any]()
+          blocks.forEach { b =>
+            nRows += b.getRowCount
+            b.getColumns.forEach { c =>
+              val k = c.getPath.toDotString
+              if (keysB.contains(k) && c.getStatistics != null &&
+                  !c.getStatistics.isEmpty) {
+                def num(v: Any): Any = v match {
+                  case i: java.lang.Integer => i.longValue()
+                  case l: java.lang.Long => l
+                  case f: java.lang.Float => f.doubleValue()
+                  case d: java.lang.Double => d
+                  case other => throw new IllegalStateException(
+                    s"unsupported stat type ${other.getClass} for $k")
+                }
+                val mn = num(c.getStatistics.genericGetMin)
+                val mx = num(c.getStatistics.genericGetMax)
+                def lt(a: Any, b: Any): Boolean = (a, b) match {
+                  case (x: Long, y: Long) => x < y
+                  case (x: Double, y: Double) => x < y
+                  case _ => false
+                }
+                if (!mins.contains(k) || lt(mn, mins(k))) mins(k) = mn
+                if (!maxs.contains(k) || lt(maxs(k), mx)) maxs(k) = mx
+              }
+            }
+          }
+          org.apache.spark.sql.Row.fromSeq(
+            name +: nRows +: keysB.flatMap(k =>
+              Seq(mins.get(k).orNull, maxs.get(k).orNull)))
+        } finally rd.close()
+      }
+    spark.createDataFrame(rows, schema)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(statsDir(path))
+  }
+
+  /** Range read planned from the `_stats` zone map: the file list is
+    * pruned driver-side from the one-small-file manifest (a file survives
+    * only if its [min,max] overlaps EVERY requested range), and the exact
+    * predicate is then applied to the surviving rows — the zone map
+    * decides what to OPEN, the filter decides what to RETURN, so results
+    * are identical to a full scan with the same predicate. Refuses a
+    * stale manifest: if the manifest's file set differs from the
+    * directory listing, the layout changed after [[writeStatsIndex]] and
+    * pruning from it could drop live data.
+    */
+  def readSkipping(spark: SparkSession, path: String,
+      ranges: Seq[KeyRange]): DataFrame = {
+    require(ranges.nonEmpty, "readSkipping needs at least one KeyRange")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(statsDir(path))),
+      s"no zone map under $path — run writeStatsIndex after the layout write")
+    val stats = spark.read.parquet(statsDir(path))
+    val listed = fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    val indexed = stats.select("file").collect().map(_.getString(0)).toSet
+    require(indexed == listed,
+      s"stale zone map under $path: ${(indexed diff listed).size} indexed-" +
+        s"but-missing, ${(listed diff indexed).size} unindexed files — " +
+        "rerun writeStatsIndex after rewrites")
+    // A null stat (all-null chunk, or a writer that skipped statistics)
+    // means "unknown" — the file must be OPENED, never pruned.
+    val keep = ranges.map(r =>
+        col(s"max_${r.key}").isNull ||
+          (col(s"max_${r.key}") >= r.lo && col(s"min_${r.key}") <= r.hi))
+      .reduce(_ && _)
+    val survivors = stats.filter(keep).select("file").collect()
+      .map(r => new Path(root, r.getString(0)).toString)
+    val pred = ranges.map(r => col(r.key) >= r.lo && col(r.key) <= r.hi)
+      .reduce(_ && _)
+    if (survivors.isEmpty)
+      spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(survivors: _*).filter(pred)
+  }
+
   /** Hive-style directory-partitioned layout (`path/day=2024-05-01/…`) —
     * the canonical shape for date-keyed facts. A scan whose filter hits
     * the partition columns prunes whole directories from the file

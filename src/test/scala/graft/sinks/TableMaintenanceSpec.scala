@@ -99,6 +99,74 @@ class TableMaintenanceSpec extends SparkSpec {
       li.agg(sum("l_orderkey")).head.getLong(0))
   }
 
+  test("zone-map manifest: readSkipping prunes the file LIST and returns the exact slice") {
+    val out = tmpDir("zmap")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val files = 16
+    TableMaintenance.writeZOrdered(li, out, files, Seq("l_orderkey", "l_partkey"))
+    TableMaintenance.writeStatsIndex(spark, out, Seq("l_orderkey", "l_partkey"))
+
+    // one manifest row per data file, rows accounted exactly
+    val stats = spark.read.parquet(out + "/_stats")
+    assert(stats.count() === files.toLong)
+    assert(stats.agg(sum("rows")).head.getLong(0) === li.count())
+
+    // a ~5% slice on EACH key
+    def slice(k: String): (Double, Double) = {
+      val Array(lo, hi) = li.stat.approxQuantile(k, Array(0.50, 0.55), 0.0)
+      (lo, hi)
+    }
+    val (plo, phi) = slice("l_partkey")
+    val (olo, ohi) = slice("l_orderkey")
+    val ranges = Seq(
+      TableMaintenance.KeyRange("l_orderkey", olo, ohi),
+      TableMaintenance.KeyRange("l_partkey", plo, phi))
+    val skipped = TableMaintenance.readSkipping(spark, out, ranges)
+    // the 2-D predicate over the z-layout must prune MOST files — count
+    // the files the skipping plan actually reads
+    val readFiles = skipped.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.get
+    assert(readFiles <= files / 2,
+      s"zone map pruned nothing: $readFiles of $files files read")
+    // and the result is EXACTLY the full-scan slice
+    val full = li.filter(
+      col("l_orderkey") >= olo && col("l_orderkey") <= ohi &&
+        col("l_partkey") >= plo && col("l_partkey") <= phi)
+    assert(skipped.count() === full.count())
+    assert(math.abs(skipped.agg(sum("l_quantity")).head.getDouble(0) -
+      full.agg(sum("l_quantity")).head.getDouble(0)) < 1e-6)
+
+    // an out-of-domain range prunes everything and returns zero rows
+    val none = TableMaintenance.readSkipping(spark, out,
+      Seq(TableMaintenance.KeyRange("l_orderkey", -100, -1)))
+    assert(none.count() === 0L)
+
+    // an appended (unindexed) file invalidates the manifest loudly
+    // instead of being silently excluded from pruned reads
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aFile = fs.listStatus(new Path(out))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, aFile, fs,
+      new Path(out, "part-appended.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    val e = intercept[IllegalArgumentException] {
+      TableMaintenance.readSkipping(spark, out, ranges)
+    }
+    assert(e.getMessage.contains("stale zone map"))
+
+    // a full rewrite wipes the manifest with the data — the reader
+    // demands a fresh writeStatsIndex rather than planning blind
+    TableMaintenance.writeZOrdered(li, out, files / 2, Seq("l_orderkey", "l_partkey"))
+    val e2 = intercept[IllegalArgumentException] {
+      TableMaintenance.readSkipping(spark, out, ranges)
+    }
+    assert(e2.getMessage.contains("no zone map"))
+  }
+
   test("writePartitioned prunes directories on a partition-key predicate") {
     val out = tmpDir("part")
     val ev = Tables.events(spark, sfDir)
