@@ -99,6 +99,8 @@ object SparkEntry {
     "text_pii_scrub" -> (TextOps.piiScrub _),
     "text_boilerplate" -> (TextOps.boilerplate _),
     "text_keywords" -> (TextOps.keywords _),
+    // BM25 ranked retrieval over the inverted-postings shape
+    "text_bm25" -> (TextOps.bm25 _),
     // Dedup suite
     "dd_exact" -> (Dedup.exact _),
     "dd_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -118,8 +120,12 @@ object SparkEntry {
     "sim_pq_topk" -> (Similarity.pqTopk _),
     "sim_ivfpq_topk" -> (Similarity.ivfPqTopk _),
     "sim_knn_graph" -> (Similarity.knnGraph _),
+    // metadata-filtered vector search (pre-filter semi-join + exact top-k)
+    "sim_filtered_topk" -> (Similarity.filteredTopk _),
     // iterative fixed point in exact integer mass — hash-verifiable
     "sim_pagerank" -> (Similarity.pagerank _),
+    // distributed Lloyd's k-means in exact integer arithmetic
+    "emb_kmeans" -> (Similarity.kmeans _),
     "emb_norms" -> (Similarity.embNorms _),
     "emb_centroids" -> (Similarity.embCentroids _),
     "emb_quantize" -> (Similarity.embQuantize _),
@@ -249,7 +255,9 @@ object SparkEntry {
     "dd_dup_spans" -> Dedup.dupSpansOracle,
     "sim_topk_bruteforce" -> Similarity.topkBruteforceOracle,
     "sim_knn_graph" -> Similarity.knnGraphOracle,
+    "sim_filtered_topk" -> Similarity.filteredTopkOracle,
     "sim_pagerank" -> Similarity.pagerankOracle,
+    "emb_kmeans" -> Similarity.kmeansOracle,
     "emb_norms" -> Similarity.embNormsOracle,
     "emb_centroids" -> Similarity.embCentroidsOracle,
     "emb_quantize" -> Similarity.embQuantizeOracle,
@@ -275,6 +283,7 @@ object SparkEntry {
     "text_pii_scrub" -> TextOps.piiScrubOracle,
     "text_boilerplate" -> TextOps.boilerplateOracle,
     "text_keywords" -> TextOps.keywordsOracle,
+    "text_bm25" -> TextOps.bm25Oracle,
     "stream_daily_stats" -> graft.streaming.EventStream.dailyStatsStreamedOracle,
     "stream_purchase_context" -> Events.purchaseContextOracle,
     "stream_session_stats" -> Events.sessionizeOracle,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.Tables.BarrierOps
-import graft.functions.{CosineSimilarity, HyperplaneBuckets, IvfIndex, IvfPqIndex, NearestCells, PqAdcScore, PqEncode, PqIndex, Vec}
+import graft.functions.{CosineSimilarity, HyperplaneBuckets, IvfIndex, IvfPqIndex, NearestCells, PqAdcScore, PqEncode, PqIndex, Vec, VecSumDoubles}
 import graft.plans.TopKPerKey
 
 /** Similarity search over the `embeddings` table.
@@ -420,6 +420,147 @@ object Similarity {
          USING (node)
        ORDER BY p.node"""
   }
+
+  /** Distributed k-means (Lloyd's algorithm): 8 clusters, 4 update
+    * rounds, exact integer arithmetic — the clustering primitive behind
+    * IVF cell training, corpus topic bucketing, and diversity sampling,
+    * here hash-verified end-to-end against an engine-independent oracle
+    * (like [[pagerank]], the other iterative fixed point).
+    *
+    * Determinism: embeddings quantize to integer grid points
+    * floor((x+1)·1000) (the +1 shift keeps every coordinate positive, so
+    * truncating division IS floor division on both engines — distances
+    * are shift-invariant). From there every quantity is exact: squared-L2
+    * distances are integer-valued doubles (≤ 2.6e8 ≪ 2^53), centroid
+    * updates are floor(Σq / n) on exact integer sums, and ties break on
+    * the smaller cluster id — so an ITERATIVE clustering is bit-identical
+    * across engines, partition layouts, and retries, which float k-means
+    * (fold-order-dependent means) can never be.
+    *
+    * Scale shape per round: the k×64 centroid table broadcasts to a
+    * single scan of the corpus (assignment = one codegen'd zip_with fold,
+    * no shuffle), then ONE hash aggregate keyed by cluster id whose
+    * [[VecSumDoubles]] buffer is a 64-double vector — map-side combine
+    * reduces each partition to ≤ k vectors before the exchange, the same
+    * two-phase shape Spark MLlib's KMeans uses per iteration. Seeding is
+    * the k smallest vec_ids (deterministic; k-means|| would replace it at
+    * scale without touching the iteration machinery).
+    */
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val iters = 4
+    val q = Tables.fanout(Tables.embeddings(spark, dir))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor((x.cast("double") + lit(1.0)) * lit(1000.0)).cast("double"))
+          .as("q"))
+      .barrier() // the seed, all 4 rounds, and the final assignment read this
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    var cents = q.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("q").as("c"))
+    for (_ <- 1 to iters) {
+      val assigned = q.join(broadcast(cents))
+        .select(col("vec_id"), col("q"), col("cid"),
+          sqDist(col("q"), col("c")).as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cid"), col("q")),
+          struct(col("dist"), col("cid"))).as("w"))
+      cents = assigned
+        .groupBy(col("w.cid").as("cid"))
+        .agg(VecSumDoubles(col("w.q")).as("s"), count(lit(1)).as("cnt"))
+        .select(col("cid"),
+          transform(col("s"), s => floor(s / col("cnt")).cast("double")).as("c"))
+    }
+    q.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"), sqDist(col("q"), col("c")).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cid"), col("dist")),
+        struct(col("dist"), col("cid"))).as("w"))
+      .select(col("vec_id"), col("w.cid").as("cluster"),
+        col("w.dist").cast("long").as("dist"))
+      .orderBy("vec_id")
+  }
+
+  val kmeansOracle: String = {
+    val dist = (qa: String, ca: String) =>
+      s"""list_sum([($qa[i] - $ca[i]) * ($qa[i] - $ca[i])
+          FOR i IN generate_series(1, len($qa))])"""
+    val rounds = (1 to 4).map { i =>
+      s"""a$i AS (SELECT vec_id, q, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         FROM (SELECT q.vec_id, q.q, c.cid, ${dist("q.q", "c.c")} AS dist
+               FROM q CROSS JOIN c${i - 1} c)),
+       c$i AS (SELECT cid, list(cj ORDER BY j) AS c FROM (
+           SELECT cid, j,
+             CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cj
+           FROM (SELECT cid, unnest(q) AS v,
+                   unnest([i FOR i IN generate_series(1, len(q))]) AS j
+                 FROM a$i WHERE rn = 1)
+           GROUP BY 1, 2) GROUP BY 1)"""
+    }.mkString(",\n       ")
+    s"""WITH q AS (SELECT vec_id,
+           [CAST(floor((x::DOUBLE + 1.0) * 1000.0) AS BIGINT) FOR x IN embedding] AS q
+         FROM embeddings),
+       c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, q AS c
+              FROM q WHERE vec_id < 8),
+       $rounds,
+       fin AS (SELECT q.vec_id, c.cid, ${dist("q.q", "c.c")} AS dist
+               FROM q CROSS JOIN c4 c),
+       r AS (SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM fin)
+       SELECT vec_id, CAST(cid AS INTEGER) AS cluster, CAST(dist AS BIGINT) AS dist
+       FROM r WHERE rn = 1 ORDER BY vec_id"""
+  }
+
+  /** Metadata-filtered vector search ("hybrid filter + ANN" serving
+    * shape): exact cosine top-5 per query, restricted to candidates whose
+    * joined document row passes a metadata predicate (lang = 'en'). The
+    * filter applies BEFORE any scoring — a semi-join reduces the corpus,
+    * then the broadcast query set scores only survivors (pre-filtering;
+    * at high selectivity a post-filter over an ANN shortlist wins
+    * instead, and the IVF path composes the same way: filter the cell
+    * lists, then probe).
+    */
+  def filteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val en = Tables.documents(spark, dir)
+      .filter(col("lang") === "en").select(col("doc_id"))
+    val c = Tables.fanout(e.filter(col("vec_id") >= 10))
+      .join(en, col("vec_id") === col("doc_id"), "left_semi")
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val scored = broadcast(q).join(c)
+      .select(col("query_id"), col("cand_id"),
+        CosineSimilarity(col("qe"), col("ce")).as("cos"))
+    TopKPerKey.perKey(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("cand_id")), 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), trunc4(col("cos")).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val filteredTopkOracle: String =
+    """WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+       scored AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+           list_sum([(a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)
+                     FOR i IN generate_series(1, len(a.embedding))])
+           / (sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN a.embedding]))
+              * sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN b.embedding]))) AS cos
+         FROM embeddings a
+         JOIN embeddings b ON b.vec_id >= 10
+         JOIN en ON b.vec_id = en.doc_id
+         WHERE a.vec_id < 10),
+       ranked AS (
+         SELECT query_id, cand_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+         FROM scored)
+       SELECT query_id, rank, cand_id, floor(cos * 1e4) / 1e4 AS cosine
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
   /** Cross-modal join: documents ↔ embeddings on id, per-language norm
     * stats — the text-plus-vector join a multimodal pipeline runs

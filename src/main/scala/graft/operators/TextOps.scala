@@ -941,4 +941,95 @@ object TextOps {
        SELECT doc_id, term, floor(score * 1e4) / 1e4 AS score,
               CAST(rank AS BIGINT) AS rank
        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""
+
+  /** BM25 ranked retrieval: the full-text search primitive over an
+    * inverted-index shape — scores each document containing a query term
+    * by the Robertson/Spärck-Jones BM25 formula (k1 = 1.2, b = 0.75) and
+    * returns the global top 15. Corpus curation runs this constantly
+    * (find documents about X, rank near-matches for contamination
+    * review); it is also the lexical half of hybrid (BM25 + vector)
+    * retrieval next to [[Similarity.topkBruteforce]].
+    *
+    * Index/serve split: (doc, term, tf) postings plus per-term df and the
+    * (N, total-token) pair are the OFFLINE index — postings partition by
+    * term, exactly an inverted file. The query then touches only the
+    * postings of its own terms: a pushed `term IN (...)` filter, the
+    * 3-row df side broadcast, per-doc partial sums, and a bounded global
+    * top-k (TakeOrdered — no full sort). At 100 TB the postings frame
+    * persists bucketed by term and the query is a bucket-pruned lookup.
+    *
+    * Determinism: BM25's tf-saturation term with k1 = 6/5, b = 3/4 clears
+    * to the exact integer rational 44·tf·T / (20·tf·T + 6·T + 18·dl·N)
+    * (T = corpus tokens, dl = doc length, N = docs), so each per-term
+    * score is one double product idf·sat floored to integer micro-units
+    * ([[lmScore]]'s trick) and per-doc totals are exact long sums —
+    * partition-order invariant and engine-portable.
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("hash", "join", "dup")
+    val d = Tables.fanout(Tables.documents(spark, dir))
+    val base = d.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"), col("ws"))
+    val perDoc = base
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .barrier() // the df stats and the postings probe both read this
+    val dfreq = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val totals = base.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+    val probe = perDoc.filter(col("term").isin(qTerms: _*))
+      .join(broadcast(dfreq.filter(col("term").isin(qTerms: _*))), "term")
+      .crossJoin(broadcast(totals))
+    val idf = log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val sat = (lit(44.0) * col("tf") * col("t_tokens")) /
+      (lit(20L) * col("tf") * col("t_tokens") + lit(6L) * col("t_tokens") +
+        lit(18L) * col("dl") * col("n_docs"))
+    val perDocScore = probe
+      .select(col("doc_id"),
+        floor(idf * sat * lit(1e6)).as("mscore"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("mscore")).as("bm25_micro"), count(lit(1)).as("n_terms"))
+    // bounded global top-k: TakeOrderedAndProject, never a full sort
+    val top = perDocScore.orderBy(col("bm25_micro").desc, col("doc_id")).limit(15)
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25_micro").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("n_terms"), col("bm25_micro"), col("rank"))
+      .orderBy("rank")
+  }
+
+  val bm25Oracle: String =
+    """WITH base AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+         FROM documents),
+       b2 AS (SELECT doc_id, len(ws) AS dl, ws FROM base),
+       toks AS (SELECT doc_id, dl, unnest(ws) AS term FROM b2),
+       per_doc AS (SELECT doc_id, dl, term, count(*) AS tf
+                   FROM toks GROUP BY 1, 2, 3),
+       dfreq AS (SELECT term, count(*) AS df FROM per_doc GROUP BY 1),
+       tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS t
+               FROM b2),
+       probe AS (
+         SELECT p.doc_id, p.dl, p.tf, f.df, tot.n_docs, tot.t
+         FROM per_doc p JOIN dfreq f USING (term) CROSS JOIN tot
+         WHERE p.term IN ('hash', 'join', 'dup')),
+       scored AS (
+         SELECT doc_id,
+           CAST(floor(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * (44.0 * tf * t /
+                (20 * tf * t + 6 * t + 18 * dl * n_docs))
+             * 1e6) AS BIGINT) AS mscore
+         FROM probe),
+       agg AS (SELECT doc_id, CAST(sum(mscore) AS BIGINT) AS bm25_micro,
+                 count(*) AS n_terms
+               FROM scored GROUP BY 1),
+       ranked AS (
+         SELECT doc_id, n_terms, bm25_micro,
+           row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rank
+         FROM agg)
+       SELECT doc_id, n_terms, bm25_micro, CAST(rank AS BIGINT) AS rank
+       FROM ranked WHERE rank <= 15 ORDER BY rank"""
 }

@@ -57,7 +57,13 @@ class PartitionInvarianceSpec extends SparkSpec {
       "contamination_bloom" -> (() => TextOps.contaminationBloom(spark, sfDir)),
       // 10 chained join+sum rounds: integer mass must make every round's
       // fold order irrelevant
-      "pagerank" -> (() => Similarity.pagerank(spark, sfDir)))
+      "pagerank" -> (() => Similarity.pagerank(spark, sfDir)),
+      // iterative Lloyd rounds: integer-grid distances and floor'd
+      // centroid means must survive any assignment fold order
+      "kmeans" -> (() => Similarity.kmeans(spark, sfDir)),
+      // per-doc sums of floor'd micro-unit scores: exact under any
+      // postings partitioning
+      "bm25" -> (() => TextOps.bm25(spark, sfDir)))
     ops.foreach { case (name, op) =>
       val results = Seq(3, 8, 32).map(n => withPartitions(n) {
         // drop cached ANN quantizers so index TRAINING re-runs under each
