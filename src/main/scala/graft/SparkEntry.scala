@@ -122,6 +122,10 @@ object SparkEntry {
     "sim_knn_graph" -> (Similarity.knnGraph _),
     // metadata-filtered vector search (pre-filter semi-join + exact top-k)
     "sim_filtered_topk" -> (Similarity.filteredTopk _),
+    // hard-negative mining (contrastive-training data prep)
+    "sim_hard_negatives" -> (Similarity.hardNegatives _),
+    // triangle counting / clustering coefficient on the mutual-kNN graph
+    "sim_triangles" -> (Similarity.triangles _),
     // iterative fixed point in exact integer mass — hash-verifiable
     "sim_pagerank" -> (Similarity.pagerank _),
     // distributed Lloyd's k-means in exact integer arithmetic
@@ -256,6 +260,8 @@ object SparkEntry {
     "sim_topk_bruteforce" -> Similarity.topkBruteforceOracle,
     "sim_knn_graph" -> Similarity.knnGraphOracle,
     "sim_filtered_topk" -> Similarity.filteredTopkOracle,
+    "sim_hard_negatives" -> Similarity.hardNegativesOracle,
+    "sim_triangles" -> Similarity.trianglesOracle,
     "sim_pagerank" -> Similarity.pagerankOracle,
     "emb_kmeans" -> Similarity.kmeansOracle,
     "emb_norms" -> Similarity.embNormsOracle,

@@ -421,6 +421,129 @@ object Similarity {
        ORDER BY p.node"""
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * top-5 most-similar candidates with a DIFFERENT label — the
+    * highest-value negatives for a contrastive or triplet loss (easy
+    * negatives are uninformative; these sit right at the decision
+    * boundary). Same broadcast-query scan shape as [[topkBruteforce]]
+    * with the label inequation folded into the join condition, so the
+    * filter runs before any scoring; at corpus scale the candidate pool
+    * comes from IVF cells exactly as [[knnGraph]] documents.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("q_label"))
+    val c = Tables.fanout(e.filter(col("vec_id") >= 10))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("label").as("neg_label"))
+    val scored = broadcast(q).join(c, col("neg_label") =!= col("q_label"))
+      .select(col("query_id"), col("cand_id"), col("neg_label"),
+        CosineSimilarity(col("qe"), col("ce")).as("cos"))
+    TopKPerKey.perKey(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("cand_id")), 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("neg_label"), trunc4(col("cos")).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val hardNegativesOracle: String =
+    """WITH scored AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+           b.label AS neg_label,
+           list_sum([(a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)
+                     FOR i IN generate_series(1, len(a.embedding))])
+           / (sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN a.embedding]))
+              * sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN b.embedding]))) AS cos
+         FROM embeddings a JOIN embeddings b
+           ON b.vec_id >= 10 AND b.label <> a.label
+         WHERE a.vec_id < 10),
+       ranked AS (
+         SELECT query_id, cand_id, neg_label, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+         FROM scored)
+       SELECT query_id, rank, cand_id, neg_label,
+         floor(cos * 1e4) / 1e4 AS cosine
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Triangle counting + local clustering coefficient over the mutual-kNN
+    * graph — the graph-motif family (community density, spam/hub
+    * detection) expressed as joins: triangles are exactly the rows of a
+    * three-way self-join of the canonical (a < b) undirected edge list
+    * with a < b < c, so each triangle is generated ONCE, no dedup pass.
+    * The edge list is bounded (≤ k·|nodes|), so the two join legs
+    * broadcast; per-node counts and degrees are two-phase hash
+    * aggregates. Clustering coefficient = 2·T / (deg·(deg−1)) from exact
+    * integers, floor-truncated at the output edge. Nodes with no mutual
+    * edge don't appear (they have no defined coefficient).
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnEdges(spark, dir).select(col("src"), col("dst"))
+      .barrier() // read twice to build the mutual set
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    val und = edges.intersect(rev).filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .barrier() // three join legs + the degree count read this
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val e2 = und.select(col("a").as("b2"), col("b").as("c"))
+    val e3 = und.select(col("a").as("a3"), col("b").as("c3"))
+    val tri = und.join(broadcast(e2), col("b") === col("b2"))
+      .join(broadcast(e3), col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          trunc4(coalesce(col("triangles"), lit(0L)) * lit(2.0) /
+            (col("deg") * (col("deg") - 1))))
+          .otherwise(lit(0.0)).as("clustering"))
+      .orderBy("node")
+  }
+
+  val trianglesOracle: String =
+    """WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+       c AS (
+         SELECT a.vec_id AS src, b.vec_id AS dst,
+           list_sum([(a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)
+                     FOR i IN generate_series(1, len(a.embedding))])
+           / (sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN a.embedding]))
+              * sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN b.embedding]))) AS cos
+         FROM s a JOIN s b ON a.vec_id <> b.vec_id),
+       r AS (
+         SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+         FROM c),
+       e AS (SELECT src, dst FROM r WHERE rank <= 5),
+       und AS (
+         SELECT e1.src AS a, e1.dst AS b
+         FROM e e1 JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src
+         WHERE e1.src < e1.dst),
+       tri AS (
+         SELECT u1.a, u1.b, u2.b AS c
+         FROM und u1
+         JOIN und u2 ON u1.b = u2.a
+         JOIN und u3 ON u3.a = u1.a AND u3.b = u2.b),
+       per_node AS (
+         SELECT node, count(*) AS triangles
+         FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1),
+       deg AS (
+         SELECT node, count(*) AS deg FROM (
+           SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1)
+       SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+         CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+         CASE WHEN d.deg >= 2
+           THEN floor(coalesce(p.triangles, 0) * 2.0
+                      / (d.deg * (d.deg - 1)) * 1e4) / 1e4
+           ELSE 0.0 END AS clustering
+       FROM deg d LEFT JOIN per_node p USING (node)
+       ORDER BY d.node"""
+
   /** Distributed k-means (Lloyd's algorithm): 8 clusters, 4 update
     * rounds, exact integer arithmetic — the clustering primitive behind
     * IVF cell training, corpus topic bucketing, and diversity sampling,

@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Table-maintenance operations a 100 TB parquet lake runs on a schedule:
@@ -306,10 +306,81 @@ object TableMaintenance {
   /** Read a maintained table: manifest-resolved when compaction has run,
     * plain directory read before that. Safe on a half-migrated table:
     * generation dirs are `_`-prefixed, which Spark's listing skips, so
-    * the plain fallback never mixes layouts.
+    * the plain fallback never mixes layouts. If the manifest carries a
+    * deletion vector ([[deleteWhere]]), the deleted keys are anti-joined
+    * out here — every manifest-resolved reader sees deletes applied.
     */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(resolveDataDir(spark, path))
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val data = spark.read.parquet(resolveDataDir(spark, path))
+    (for {
+      m <- ManifestCommit.latest(fs, root)
+      rel <- m.dirs.get("deletes")
+      key <- m.entries.get("delete.key")
+    } yield {
+      val dels = spark.read.parquet(new Path(root, rel).toString)
+      // delete lists are usually tiny next to the table — the file-size
+      // stats Spark reads at planning let the anti-join broadcast itself
+      data.join(dels, data(key) === dels(key), "left_anti")
+    }).getOrElse(data)
+  }
+
+  /** Row-level delete WITHOUT rewriting data files: a deletion vector.
+    *
+    * The right-to-be-forgotten shape for a 100 TB corpus table (delete
+    * this user's documents / this contaminated source): rewriting every
+    * data file that holds a matching row would cost a full-table write
+    * per request, so instead the matching KEYS are written as a small
+    * parquet list in a new generation dir and the manifest flips to
+    * reference it — one small-file commit, data files untouched.
+    * [[read]] anti-joins the vector out, so the delete is immediately
+    * visible to every manifest-resolved reader; [[compact]] materializes
+    * it physically on its next scheduled run and drops the vector.
+    * Repeated deletes union cumulatively. This is the Delta/Iceberg
+    * deletion-vector architecture on the same [[ManifestCommit]]
+    * protocol the rest of the lake uses.
+    *
+    * TRUE erasure semantics: the delete is logical until compaction.
+    * Old manifest versions still reference the pre-delete generation —
+    * [[ManifestCommit.rollback]] resurrects it (history is preserved,
+    * deliberately). Hard GDPR erasure = [[deleteWhere]] +
+    * [[compact]] (physical rewrite) + [[ManifestCommit.vacuum]] down to
+    * the post-compaction version, after which no retained manifest can
+    * reach the deleted rows.
+    *
+    * `predicate` is evaluated against the CURRENT table state (existing
+    * deletes applied), and the keys it matches are stored — so the
+    * vector stays valid even as later appends reuse nothing of it.
+    * Returns the committed manifest version.
+    */
+  def deleteWhere(spark: SparkSession, path: String, keyCol: String,
+      predicate: Column): Long = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = ManifestCommit.latest(fs, root)
+    m.foreach { mm =>
+      mm.entries.get("delete.key").foreach(k => require(k == keyCol,
+        s"deleteWhere: $path already carries a deletion vector keyed by " +
+          s"'$k'; got '$keyCol' — one key column per table"))
+      require(!mm.dirs.exists { case (k, _) => k != "table" && k != "deletes" },
+        s"deleteWhere: $path is partition-managed — deletion vectors " +
+          "cover single-table layouts")
+    }
+    val newKeys = read(spark, path).filter(predicate)
+      .select(col(keyCol)).distinct()
+    val prevKeys = m.flatMap(_.dirs.get("deletes")).map(rel =>
+      spark.read.parquet(new Path(root, rel).toString))
+    val allKeys = prevKeys.fold(newKeys)(_.union(newKeys).distinct())
+    val gen = ManifestCommit.newGeneration(m.map(_.version).getOrElse(0L) + 1L)
+    allKeys.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new Path(root, gen).toString)
+    val carried = m.map(_.entries).getOrElse(Map.empty) - "dir.deletes"
+    val v = ManifestCommit.commit(fs, root,
+      carried ++ Map("dir.deletes" -> gen, "delete.key" -> keyCol))
+    ManifestCommit.vacuum(fs, root, keep = 2)
+    v
+  }
 
   private def encPart(name: String): String =
     java.net.URLEncoder.encode(name, "UTF-8")
@@ -503,10 +574,12 @@ object TableMaintenance {
     // rows live in the committed generation, and they have now had a
     // full compaction interval of grace for readers that were mid-scan
     // when the migration committed — reclaim them too.
-    // A manifest whose dir entries are NOT the single-table pointer is a
-    // partition-managed table: its generations are live data this method
-    // must never touch (and resolveDataDir would misread it as plain).
-    if (manifest.exists(m => m.dirs.nonEmpty && !m.dirs.contains("table")))
+    // A manifest whose dir entries are NOT the single-table pointer (or
+    // its deletion vector) is a partition-managed table: its generations
+    // are live data this method must never touch (and resolveDataDir
+    // would misread it as plain).
+    if (manifest.exists(_.dirs.exists {
+        case (k, _) => k != "table" && k != "deletes" }))
       throw new IllegalArgumentException(
         s"compact: $path is partition-managed — use compactPartitioned")
     if (manifest.exists(_.dirs.contains("table"))) {
@@ -535,7 +608,10 @@ object TableMaintenance {
           "which rewrites strewn partitions and commits them atomically")
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(dataDir.toString)
+    // [[read]] applies any committed deletion vector, so compaction
+    // MATERIALIZES pending deletes: the new generation holds surviving
+    // rows only and the fresh manifest drops the vector entries.
+    val df = read(spark, path)
     val shaped =
       if (sortKeys.nonEmpty)
         df.repartitionByRange(nOut, sortKeys.map(col): _*)

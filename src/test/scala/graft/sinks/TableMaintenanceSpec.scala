@@ -422,6 +422,60 @@ class TableMaintenanceSpec extends SparkSpec {
     assert(!fs.exists(new Path(first)), "vacuum must reclaim fully superseded generations")
   }
 
+  test("deletion vectors: logical delete, cumulative union, rollback " +
+      "resurrection, compaction materialization") {
+    val out = tmpDir("delete")
+    val root = new Path(out)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    TableMaintenance.writeSorted(ev, out, numFiles = 2, keys = Seq("event_id"))
+    val total = ev.count()
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles() = fs.listStatus(root).filter(_.isFile)
+      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSet
+    val filesBefore = dataFiles()
+
+    val nU3 = ev.filter(col("user_id") === 3).count()
+    assert(nU3 > 0, "test premise: user 3 exists")
+    val v1 = TableMaintenance.deleteWhere(spark, out, "event_id",
+      col("user_id") === 3)
+    val afterDel = TableMaintenance.read(spark, out)
+    assert(afterDel.count() === total - nU3)
+    assert(afterDel.filter(col("user_id") === 3).count() === 0)
+    assert(dataFiles() === filesBefore,
+      "a logical delete must not touch data files")
+
+    // second delete unions cumulatively
+    TableMaintenance.deleteWhere(spark, out, "event_id", col("user_id") === 5)
+    assert(TableMaintenance.read(spark, out)
+      .filter(col("user_id").isin(3, 5)).count() === 0)
+
+    // history-preserving rollback resurrects the later delete's rows —
+    // the documented GDPR tension: erasure is only final after
+    // compact + vacuum
+    ManifestCommit.rollback(fs, root, v1)
+    val rolledBack = TableMaintenance.read(spark, out)
+    assert(rolledBack.filter(col("user_id") === 5).count() > 0)
+    assert(rolledBack.filter(col("user_id") === 3).count() === 0)
+    TableMaintenance.deleteWhere(spark, out, "event_id", col("user_id") === 5)
+    val visible = TableMaintenance.read(spark, out).count()
+
+    // one vector key column per table, enforced loudly
+    intercept[IllegalArgumentException] {
+      TableMaintenance.deleteWhere(spark, out, "user_id", col("value") < 0)
+    }
+
+    // compact materializes: same visible rows, vector entries dropped,
+    // deleted rows physically absent from the new generation
+    TableMaintenance.compact(spark, out, targetBytes = 1L << 30)
+    val m = ManifestCommit.latest(fs, root).get
+    assert(!m.dirs.contains("deletes") && !m.entries.contains("delete.key"))
+    assert(TableMaintenance.read(spark, out).count() === visible)
+    val raw = spark.read.parquet(TableMaintenance.resolveDataDir(spark, out))
+    assert(raw.filter(col("user_id").isin(3, 5)).count() === 0,
+      "compaction must materialize the deletion vector physically")
+  }
+
   test("repeated compaction retains a bounded set of generations") {
     val out = tmpDir("regen")
     val ev = Tables.events(spark, sfDir).select(col("event_id"), col("user_id"))
