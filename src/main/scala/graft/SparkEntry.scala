@@ -101,6 +101,7 @@ object SparkEntry {
     "text_keywords" -> (TextOps.keywords _),
     // BM25 ranked retrieval over the inverted-postings shape
     "text_bm25" -> (TextOps.bm25 _),
+    "text_hybrid_rrf" -> (TextOps.hybridRrf _),
     // Dedup suite
     "dd_exact" -> (Dedup.exact _),
     "dd_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -290,6 +291,7 @@ object SparkEntry {
     "text_boilerplate" -> TextOps.boilerplateOracle,
     "text_keywords" -> TextOps.keywordsOracle,
     "text_bm25" -> TextOps.bm25Oracle,
+    "text_hybrid_rrf" -> TextOps.hybridRrfOracle,
     "stream_daily_stats" -> graft.streaming.EventStream.dailyStatsStreamedOracle,
     "stream_purchase_context" -> Events.purchaseContextOracle,
     "stream_session_stats" -> Events.sessionizeOracle,

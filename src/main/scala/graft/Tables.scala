@@ -19,14 +19,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) in the driver-generated
-    * testdata, which Spark 4 refuses to read as a timestamp. Read nanos as
-    * long (legacy conf) and rebuild a microsecond TimestampType column —
-    * the truncation is harmless (all downstream logic compares at second
-    * granularity or uses `event_id`, which is assigned in timestamp
-    * order). A re-written events table (e.g. a ScaleUp copy, which Spark
-    * can only write as micros) already reads as TimestampType and passes
-    * through unchanged.
+  /** `events.ts` normalization — the one place engine-version parquet
+    * timestamp drift is absorbed, so every operator downstream sees a
+    * plain session-TZ `TimestampType` column.
+    *
+    * Driver testdata history: earlier rounds shipped parquet
+    * TIMESTAMP(NANOS), which Spark 4 only reads via the
+    * `nanosAsLong` legacy conf (LongType branch below). The current
+    * testdata is TIMESTAMP(MICROS) with `isAdjustedToUTC=false`, which
+    * Spark 4.1's default `parquet.inferTimestampNTZ` reads as
+    * **TIMESTAMP_NTZ** — a type that rejects `CAST(ts AS BIGINT)` and
+    * surfaces as `LocalDateTime`, silently breaking epoch-seconds math
+    * and `getAs[java.sql.Timestamp]`. All three shapes funnel to the
+    * same column here: sessions pin `spark.sql.session.timeZone=UTC`,
+    * so `NTZ → TimestampType` is a pure re-tag of the same wall-clock
+    * instant (no shift), and nano→micro truncation is harmless (all
+    * downstream logic compares at second granularity or orders by
+    * `event_id`, which is assigned in timestamp order).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -34,6 +43,8 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

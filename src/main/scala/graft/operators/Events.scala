@@ -156,7 +156,7 @@ object Events {
     */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("sec"))
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     val gap = col("sec") - lag(col("sec"), 1).over(byUser)
     val sessions = e

@@ -1032,4 +1032,111 @@ object TextOps {
          FROM agg)
        SELECT doc_id, n_terms, bm25_micro, CAST(rank AS BIGINT) AS rank
        FROM ranked WHERE rank <= 15 ORDER BY rank"""
+
+  /** Hybrid retrieval fusion: reciprocal-rank fusion (RRF, k = 60) of the
+    * lexical [[bm25]] ranking and the vector
+    * [[Similarity.filteredTopk]] ranking — the step every production
+    * retrieval stack runs after its two retrievers, and the operator that
+    * completes the lexical + vector story those two halves set up.
+    *
+    * Per query: candidates = (that query's vector top-5) ∪ (the lexical
+    * top-15), fused score = Σ_lists 1e6 DIV (60 + rank) — integer
+    * division in micro-units, so the score is exact long arithmetic on
+    * both engines (1/(60+r) itself is not representable; the floor of its
+    * micro-scaling is, and is the standard integer-RRF trick). Top-10
+    * fused per query by (score desc, doc_id).
+    *
+    * Scale shape: RRF only ever touches the bounded top-k lists its
+    * retrievers emit — the fusion input is |queries| × (k_lex + k_vec)
+    * rows REGARDLESS of corpus size, so the full-outer join here is a
+    * broadcast no-op at 100 TB; all heavy lifting stays inside the two
+    * retrievers, which keep their own bucketed/pruned plans.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val lex = bm25(spark, dir)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val vec = Similarity.filteredTopk(spark, dir)
+      .select(col("query_id"), col("cand_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    val qs = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10).select(col("vec_id").as("query_id"))
+    // every query sees the same lexical list (the fixed-term BM25 probe);
+    // both sides are bounded top-k outputs → broadcast-size by design
+    val lexPerQ = qs.crossJoin(broadcast(lex))
+    val fused = lexPerQ.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr("1000000 DIV (60 + lex_rank)"), lit(0L)) +
+         coalesce(expr("1000000 DIV (60 + vec_rank)"), lit(0L))).as("rrf_micro"))
+    graft.plans.TopKPerKey.perKey(fused, Seq(col("query_id")),
+        Seq(col("rrf_micro").desc, col("doc_id")), 10)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("rrf_micro"))
+      .orderBy("query_id", "rank")
+  }
+
+  val hybridRrfOracle: String =
+    """WITH base AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+         FROM documents),
+       b2 AS (SELECT doc_id, len(ws) AS dl, ws FROM base),
+       toks AS (SELECT doc_id, dl, unnest(ws) AS term FROM b2),
+       per_doc AS (SELECT doc_id, dl, term, count(*) AS tf
+                   FROM toks GROUP BY 1, 2, 3),
+       dfreq AS (SELECT term, count(*) AS df FROM per_doc GROUP BY 1),
+       tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS t
+               FROM b2),
+       probe AS (
+         SELECT p.doc_id, p.dl, p.tf, f.df, tot.n_docs, tot.t
+         FROM per_doc p JOIN dfreq f USING (term) CROSS JOIN tot
+         WHERE p.term IN ('hash', 'join', 'dup')),
+       scored AS (
+         SELECT doc_id,
+           CAST(floor(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * (44.0 * tf * t /
+                (20 * tf * t + 6 * t + 18 * dl * n_docs))
+             * 1e6) AS BIGINT) AS mscore
+         FROM probe),
+       agg AS (SELECT doc_id, CAST(sum(mscore) AS BIGINT) AS bm25_micro
+               FROM scored GROUP BY 1),
+       lex AS (
+         SELECT doc_id, lex_rank FROM (
+           SELECT doc_id,
+             row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS lex_rank
+           FROM agg) WHERE lex_rank <= 15),
+       en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+       vscored AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+           list_sum([(a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)
+                     FOR i IN generate_series(1, len(a.embedding))])
+           / (sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN a.embedding]))
+              * sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN b.embedding]))) AS cos
+         FROM embeddings a
+         JOIN embeddings b ON b.vec_id >= 10
+         JOIN en ON b.vec_id = en.doc_id
+         WHERE a.vec_id < 10),
+       vec AS (
+         SELECT query_id, cand_id AS doc_id, vec_rank FROM (
+           SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS vec_rank
+           FROM vscored) WHERE vec_rank <= 5),
+       qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10),
+       lexq AS (SELECT q.query_id, l.doc_id, l.lex_rank
+                FROM qs q CROSS JOIN lex l),
+       fused AS (
+         SELECT coalesce(a.query_id, b.query_id) AS query_id,
+                coalesce(a.doc_id, b.doc_id) AS doc_id,
+                coalesce(1000000 // (60 + a.lex_rank), 0)
+                + coalesce(1000000 // (60 + b.vec_rank), 0) AS rrf_micro
+         FROM lexq a FULL OUTER JOIN vec b
+           ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+       franked AS (
+         SELECT query_id, doc_id, rrf_micro,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf_micro DESC, doc_id) AS rank
+         FROM fused)
+       SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+              CAST(rrf_micro AS BIGINT) AS rrf_micro
+       FROM franked WHERE rank <= 10 ORDER BY query_id, rank"""
 }

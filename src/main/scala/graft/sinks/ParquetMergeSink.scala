@@ -2,7 +2,7 @@ package graft.sinks
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.BarrierOps
@@ -136,28 +136,51 @@ object ParquetMergeSink {
     spark.read.parquet(dirs: _*)
   }
 
-  def merge(batch: DataFrame, path: String, keys: Seq[String], version: String,
-      nBuckets: Int = 16): Unit = {
-    val spark = batch.sparkSession
-    val table = new Path(path)
-    val fs = fsFor(spark, table)
-    guardReadable(fs, table)
-
-    // Table creation commits the bucket count FIRST, before any data
-    // generation exists: a crash mid-first-merge leaves a committed count,
-    // so a later merge (even with a different requested nBuckets) reads
-    // the committed layout instead of silently re-bucketing keys. A
-    // pre-protocol table migrates here: its marker count and existing
-    // bucket dirs become manifest v1, so the first post-upgrade merge
-    // reads the legacy rows instead of silently starting an empty table
-    // beside them.
-    val manifest = ManifestCommit.latest(fs, table).getOrElse {
+  /** Table creation commits the bucket count FIRST, before any data
+    * generation exists: a crash mid-first-merge leaves a committed count,
+    * so a later merge (even with a different requested nBuckets) reads
+    * the committed layout instead of silently re-bucketing keys. A
+    * pre-protocol table migrates here: its marker count and existing
+    * bucket dirs become manifest v1, so the first post-upgrade merge
+    * reads the legacy rows instead of silently starting an empty table
+    * beside them.
+    */
+  private def ensureManifest(fs: FileSystem, table: Path,
+      nBuckets: Int): ManifestCommit.Manifest =
+    ManifestCommit.latest(fs, table).getOrElse {
       fs.mkdirs(table)
       val entries = legacyLayout(fs, table)
         .getOrElse(Map("buckets" -> nBuckets.toString))
       val v = ManifestCommit.commit(fs, table, entries)
       ManifestCommit.Manifest(v, entries)
     }
+
+  /** The shared commit tail: flip the manifest to `entries`, then reclaim
+    * generations (and migrated legacy bucket dirs) no retained manifest
+    * references. keep=2: the previous manifest's generations survive one
+    * more commit for in-flight readers.
+    */
+  private def finishCommit(fs: FileSystem, table: Path,
+      entries: Map[String, String]): Unit = {
+    ManifestCommit.commit(fs, table, entries)
+    ManifestCommit.vacuum(fs, table, keep = 2)
+    val stillReferenced = ManifestCommit.committed(fs, table).takeRight(2)
+      .flatMap(_.dirs.values).filter(!_.contains("/")).toSet
+    fs.listStatus(table).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith(s"$BucketCol=") &&
+          !stillReferenced.contains(name))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  def merge(batch: DataFrame, path: String, keys: Seq[String], version: String,
+      nBuckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    val table = new Path(path)
+    val fs = fsFor(spark, table)
+    guardReadable(fs, table)
+    val manifest = ensureManifest(fs, table, nBuckets)
     val buckets = manifest.entries("buckets").toInt
 
     val batchB = batch.withColumn(BucketCol, bucketExpr(keys, buckets))
@@ -206,20 +229,108 @@ object ParquetMergeSink {
     val carried = manifest.entries.filter { case (k, _) =>
       !k.startsWith("dir.") || !touched.contains(k.stripPrefix("dir.").toInt)
     }
-    ManifestCommit.commit(fs, table, carried ++ updated)
-    // keep=2: the previous manifest's generations survive one more commit
-    // for in-flight readers; fully superseded generations are reclaimed.
-    ManifestCommit.vacuum(fs, table, keep = 2)
-    // Legacy `__bucket=N` dirs (pre-protocol layout, referenced by the
-    // migration manifest until superseded) get the same keep=2 grace:
-    // reclaim only the dirs no retained manifest references.
-    val stillReferenced = ManifestCommit.committed(fs, table).takeRight(2)
-      .flatMap(_.dirs.values).filter(!_.contains("/")).toSet
-    fs.listStatus(table).foreach { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith(s"$BucketCol=") &&
-          !stillReferenced.contains(name))
-        fs.delete(st.getPath, true)
+    finishCommit(fs, table, carried ++ updated)
+  }
+
+  private val DelCol = "__del"
+
+  /** MERGE INTO-shaped multi-action merge — ONE commit that applies all
+    * three classic actions against the managed table:
+    *
+    *   - WHEN MATCHED AND deleteWhen   THEN DELETE
+    *   - WHEN MATCHED                  THEN UPDATE (source row wins)
+    *   - WHEN NOT MATCHED AND ¬deleteWhen THEN INSERT
+    *
+    * (a delete-marked row whose key is absent is a no-op, per SQL MERGE).
+    * `deleteWhen` is evaluated over SOURCE columns — the source carries
+    * the verdict, e.g. a CDC stream's op column or a GDPR erasure list
+    * joined in upstream. Duplicate source keys resolve latest-wins on
+    * `version` BEFORE actions apply, so the winning row's action decides.
+    *
+    * Schema: inserted/updated rows are PROJECTED onto the table's
+    * columns (Delta's `UPDATE SET * / INSERT *` with target columns) —
+    * source-only columns such as a CDC op flag feed the predicate and
+    * are never stored. The source must carry every table column; only a
+    * brand-new table adopts the source schema as its own.
+    *
+    * Semantics vs [[merge]]: MERGE gives the source precedence on match
+    * (`UPDATE SET` overwrites unconditionally); `version` only orders
+    * rows WITHIN the batch. Replay is idempotent: re-running the same
+    * batch re-updates to identical rows and re-deletes absent keys
+    * (no-ops), converging to the same table.
+    *
+    * Crash atomicity: delete + update + insert land as ONE new immutable
+    * generation for the touched buckets and ONE manifest flip — there is
+    * no window where a reader can observe the deletes without the
+    * inserts (the failure mode of running deleteWhere + merge as two
+    * commits). A crash before the flip leaves readers on the previous
+    * manifest; the orphan generation is vacuumed by the next commit.
+    * A bucket whose rows are ALL deleted drops out of the manifest
+    * entirely (its entry is removed, not carried).
+    *
+    * Scale shape is [[merge]]'s: cost O(batch + touched buckets), never
+    * O(table); untouched bucket entries carry forward byte-identical.
+    */
+  def mergeActions(source: DataFrame, path: String, keys: Seq[String],
+      version: String, deleteWhen: Column, nBuckets: Int = 16): Unit = {
+    val spark = source.sparkSession
+    val table = new Path(path)
+    val fs = fsFor(spark, table)
+    guardReadable(fs, table)
+    // table columns BEFORE this commit: align the stored projection
+    val tableCols: Seq[String] = readIfExists(spark, path)
+      .map(_.columns.toSeq)
+      .getOrElse(source.columns.toSeq)
+    val manifest = ensureManifest(fs, table, nBuckets)
+    val buckets = manifest.entries("buckets").toInt
+
+    val batchB = source
+      .withColumn(DelCol, coalesce(deleteWhen.cast("boolean"), lit(false)))
+      .withColumn(BucketCol, bucketExpr(keys, buckets))
+      .barrier() // bucket list + action split: compute the batch once
+    val touched = batchB.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+
+    // intra-batch resolution first: one surviving row per source key, so
+    // the WINNING row's delete/update verdict is what applies
+    val resolved = Upsert.latestWins(batchB, keys, col(version)).barrier()
+
+    val dirMap = manifest.dirs
+    val currentDirs = touched.toSeq.flatMap(b => dirMap.get(b.toString))
+      .map(rel => new Path(table, rel).toString)
+    val current = currentDirs match {
+      case Seq() => None
+      case dirs => Some(spark.read.parquet(dirs: _*)
+        .withColumn(BucketCol, bucketExpr(keys, buckets)))
     }
+
+    // survivors = current rows whose key the source does not touch
+    //           ∪ source rows not marked for delete
+    // matched+delete: current dropped by the anti join, source filtered out;
+    // matched+update: current dropped, source row inserted;
+    // unmatched+insert: source row inserted; unmatched+delete: no-op.
+    val sourceKeys = resolved.select(keys.map(col): _*)
+    val applied = resolved.filter(!col(DelCol))
+      .select((tableCols :+ BucketCol).map(col): _*)
+    val merged = current
+      .map(_.join(sourceKeys, keys, "left_anti").unionByName(applied))
+      .getOrElse(applied)
+
+    val gen = ManifestCommit.newGeneration(manifest.version + 1)
+    merged.write.mode(SaveMode.Overwrite)
+      .partitionBy(BucketCol).parquet(new Path(table, gen).toString)
+
+    val updated = touched.toSeq.flatMap { b =>
+      val part = s"$BucketCol=$b"
+      // no output for a touched bucket = every row deleted → entry REMOVED
+      if (fs.exists(new Path(new Path(table, gen), part)))
+        Some(s"dir.$b" -> s"$gen/$part")
+      else None
+    }
+    val carried = manifest.entries.filter { case (k, _) =>
+      !k.startsWith("dir.") || !touched.contains(k.stripPrefix("dir.").toInt)
+    }
+    finishCommit(fs, table, carried ++ updated)
   }
 }

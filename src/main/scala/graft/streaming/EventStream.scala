@@ -448,7 +448,7 @@ object EventStream {
   def sessionWindows(events: DataFrame, gapSeconds: Int,
       watermark: Option[String] = None): DataFrame = {
     val secs = events
-      .select(col("user_id"), col("ts").cast("long").as("secl"))
+      .select(col("user_id"), unix_timestamp(col("ts")).as("secl"))
       .withColumn("sec_ts", timestamp_seconds(col("secl")))
     watermark.fold(secs)(secs.withWatermark("sec_ts", _))
       .groupBy(col("user_id"),

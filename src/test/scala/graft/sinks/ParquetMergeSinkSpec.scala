@@ -255,4 +255,85 @@ class ParquetMergeSinkSpec extends SparkSpec {
     val v = ParquetMergeSink.read(spark, dir).collect().map(_.getAs[String]("v"))
     assert(v.toSeq === Seq("new"))
   }
+
+  test("mergeActions applies delete+update+insert in one commit, idempotently") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-act").toString + "/t"
+    val base = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L), (4L, "d", 10L))
+      .toDF("k", "v", "ver")
+    ParquetMergeSink.merge(base, dir, Seq("k"), "ver", nBuckets = 4)
+    val vBefore = ManifestCommit.latest(
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(dir)).get.version
+
+    // one source batch carrying all three actions:
+    //   k=1 matched+delete, k=2 matched+update, k=5 unmatched+insert,
+    //   k=6 unmatched+delete (must be a no-op),
+    //   k=7 duplicated in-batch — the winning (ver=30) row says update
+    val src = Seq(
+      (1L, "DEAD", 20L, true),
+      (2L, "b2", 20L, false),
+      (5L, "e", 20L, false),
+      (6L, "GHOST", 20L, true),
+      (7L, "late", 30L, false),
+      (7L, "early-delete", 20L, true)
+    ).toDF("k", "v", "ver", "del")
+    ParquetMergeSink.mergeActions(src, dir, Seq("k"), "ver", col("del"))
+
+    def state(): Map[Long, String] = ParquetMergeSink.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    val expected = Map(2L -> "b2", 3L -> "c", 4L -> "d", 5L -> "e", 7L -> "late")
+    assert(state() === expected)
+    // the delete-marked column never leaks into the table
+    assert(!ParquetMergeSink.read(spark, dir).columns.contains("del"))
+
+    // ONE commit: exactly one manifest version past the base table
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val vAfter = ManifestCommit.latest(fs, new org.apache.hadoop.fs.Path(dir)).get.version
+    assert(vAfter === vBefore + 1,
+      "delete+update+insert must land as a single manifest flip")
+
+    // replay idempotence: same batch again converges to the same table
+    ParquetMergeSink.mergeActions(src, dir, Seq("k"), "ver", col("del"))
+    assert(state() === expected)
+  }
+
+  test("mergeActions: a fully-deleted bucket drops out of the manifest; crash window is invisible") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-del").toString + "/t"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val table = new org.apache.hadoop.fs.Path(dir)
+    // 2 buckets; find keys landing in each
+    val byBucket = (1L to 20L).groupBy { k =>
+      Seq(k).toDF("k").select(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64($"k"),
+          org.apache.spark.sql.functions.lit(2)).cast("int")).head.getInt(0)
+    }
+    val (b0Keys, b1Keys) = (byBucket(0).take(2), byBucket(1).take(2))
+    val base = (b0Keys ++ b1Keys).map(k => (k, s"v$k", 10L)).toDF("k", "v", "ver")
+    ParquetMergeSink.merge(base, dir, Seq("k"), "ver", nBuckets = 2)
+
+    // delete EVERY key of bucket 0 → its manifest entry must disappear
+    val wipe = b0Keys.map(k => (k, "x", 20L, true)).toDF("k", "v", "ver", "del")
+    ParquetMergeSink.mergeActions(wipe, dir, Seq("k"), "ver", col("del"))
+    val m = ManifestCommit.latest(fs, table).get
+    assert(!m.entries.contains("dir.0"), s"emptied bucket still in manifest: ${m.entries}")
+    assert(ParquetMergeSink.read(spark, dir).collect().map(_.getAs[Long]("k")).toSet
+      === b1Keys.toSet)
+
+    // crash window: an orphan generation written WITHOUT a manifest flip
+    // (the state a crash mid-mergeActions leaves) is invisible to readers
+    val before = ParquetMergeSink.read(spark, dir).collect().map(_.toSeq).toSet
+    val orphan = new org.apache.hadoop.fs.Path(table, "gen-99999-orphan")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(orphan, "__bucket=1"))
+    assert(ParquetMergeSink.read(spark, dir).collect().map(_.toSeq).toSet === before,
+      "an uncommitted generation must never be observed")
+    // and the next committed action still works over it
+    val more = b1Keys.take(1).map(k => (k, "upd", 30L, false)).toDF("k", "v", "ver", "del")
+    ParquetMergeSink.mergeActions(more, dir, Seq("k"), "ver", col("del"))
+    assert(ParquetMergeSink.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+      .get(b1Keys.head).contains("upd"))
+  }
 }
