@@ -129,6 +129,7 @@ object SparkEntry {
     "sim_triangles" -> (Similarity.triangles _),
     // iterative fixed point in exact integer mass — hash-verifiable
     "sim_pagerank" -> (Similarity.pagerank _),
+    "sim_centroid_classify" -> (Similarity.centroidClassify _),
     // distributed Lloyd's k-means in exact integer arithmetic
     "emb_kmeans" -> (Similarity.kmeans _),
     "emb_norms" -> (Similarity.embNorms _),
@@ -264,6 +265,7 @@ object SparkEntry {
     "sim_hard_negatives" -> Similarity.hardNegativesOracle,
     "sim_triangles" -> Similarity.trianglesOracle,
     "sim_pagerank" -> Similarity.pagerankOracle,
+    "sim_centroid_classify" -> Similarity.centroidClassifyOracle,
     "emb_kmeans" -> Similarity.kmeansOracle,
     "emb_norms" -> Similarity.embNormsOracle,
     "emb_centroids" -> Similarity.embCentroidsOracle,

@@ -860,6 +860,76 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Nearest-centroid classification + confusion matrix — the cheapest
+    * supervised probe of an embedding space's quality ("do the labels
+    * separate?"), run before committing a corpus to a labeling or
+    * clustering pipeline. Even `vec_id`s train, odd ones test; each test
+    * vector is assigned the label of its nearest per-label centroid and
+    * the output is the exact (label, pred, n) confusion matrix.
+    *
+    * Exactness ([[kmeans]]'s trick): embeddings quantize to the positive
+    * integer grid floor((x+1)·1000), centroids are floor(Σq/n) on exact
+    * integer sums, distances are integer-valued doubles ≪ 2^53, ties
+    * break on the smaller label — so the matrix is bit-identical across
+    * engines and partition layouts.
+    *
+    * Scale shape: ONE hash aggregate builds the centroid table (the
+    * [[VecSumDoubles]] d-vector buffer with map-side combine — no
+    * exploded (dim, x) rows), the |labels|×64 table broadcasts to a
+    * single scan of the test corpus (assignment = codegen'd zip_with
+    * fold, no shuffle), and the confusion matrix is one tiny hash agg.
+    * Exactly two shuffles total, both on bounded keys.
+    */
+  def centroidClassify(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.fanout(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor((x.cast("double") + lit(1.0)) * lit(1000.0)).cast("double"))
+          .as("q"))
+      .barrier() // centroid build + test scoring read this
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val cents = q.filter(col("vec_id") % 2 === 0)
+      .groupBy(col("label").as("c_label"))
+      .agg(graft.functions.VecSumDoubles(col("q")).as("s"), count(lit(1)).as("n"))
+      .select(col("c_label"), transform(col("s"), x => floor(x / col("n"))).as("c"))
+    val pred = q.filter(col("vec_id") % 2 =!= 0)
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        sqDist(col("q"), col("c")).as("dist"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min_by(col("c_label"), struct(col("dist"), col("c_label"))).as("pred"))
+    pred.groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred")
+  }
+
+  val centroidClassifyOracle: String =
+    """WITH q AS (
+         SELECT vec_id, label,
+           [CAST(floor((x::DOUBLE + 1.0) * 1000.0) AS BIGINT) FOR x IN embedding] AS q
+         FROM embeddings),
+       c AS (
+         SELECT label AS c_label, list(cx ORDER BY i) AS c FROM (
+           SELECT label, i,
+             CAST(floor(CAST(sum(q[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+           FROM q, generate_series(1, 64) AS t(i)
+           WHERE vec_id % 2 = 0
+           GROUP BY 1, 2) GROUP BY 1),
+       scored AS (
+         SELECT t.vec_id, t.label, c.c_label,
+           list_sum([(t.q[i] - c.c[i]) * (t.q[i] - c.c[i])
+                     FOR i IN generate_series(1, 64)]) AS dist
+         FROM q t CROSS JOIN c WHERE t.vec_id % 2 <> 0),
+       p AS (
+         SELECT vec_id, label, c_label AS pred,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+         FROM scored)
+       SELECT label, pred, count(*) AS n
+       FROM p WHERE rn = 1
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val embDispersionOracle: String =
     """WITH nv AS (
          SELECT label, embedding,

@@ -63,7 +63,11 @@ class PartitionInvarianceSpec extends SparkSpec {
       "kmeans" -> (() => Similarity.kmeans(spark, sfDir)),
       // per-doc sums of floor'd micro-unit scores: exact under any
       // postings partitioning
-      "bm25" -> (() => TextOps.bm25(spark, sfDir)))
+      "bm25" -> (() => TextOps.bm25(spark, sfDir)),
+      // round-6: integer RRF of two bounded rankings, and a confusion
+      // matrix whose centroid means are floor'd integer sums
+      "hybrid_rrf" -> (() => TextOps.hybridRrf(spark, sfDir)),
+      "centroid_classify" -> (() => Similarity.centroidClassify(spark, sfDir)))
     ops.foreach { case (name, op) =>
       val results = Seq(3, 8, 32).map(n => withPartitions(n) {
         // drop cached ANN quantizers so index TRAINING re-runs under each

@@ -355,6 +355,22 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.graft.graphJoin")
   }
 
+  test("centroid classify: matrix covers every test vector, preds are trained labels") {
+    import org.apache.spark.sql.functions.col
+    val m = Similarity.centroidClassify(spark, sfDir).collect()
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val nTest = e.filter(col("vec_id") % 2 =!= 0).count()
+    assert(m.map(_.getAs[Long]("n")).sum === nTest,
+      "every odd-vec_id vector must appear exactly once in the matrix")
+    val trainLabels = e.filter(col("vec_id") % 2 === 0)
+      .select("label").distinct().collect().map(_.get(0)).toSet
+    m.foreach { r =>
+      assert(trainLabels.contains(r.get(1)),
+        s"pred ${r.get(1)} is not a trained label")
+    }
+    assert(m.map(_.getAs[Long]("n")).forall(_ > 0))
+  }
+
   test("pagerank: mass conservation, floors, and sink/hub structure") {
     val rows = Similarity.pagerank(spark, sfDir).collect()
     val n = rows.length.toLong
