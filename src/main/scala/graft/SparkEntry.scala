@@ -87,6 +87,7 @@ object SparkEntry {
     // Text analysis
     "text_tokens" -> (TextOps.tokens _),
     "text_quality" -> (TextOps.quality _),
+    "text_gopher_rules" -> (TextOps.gopherRules _),
     "text_langid" -> (TextOps.langid _),
     "text_fingerprint" -> (TextOps.fingerprint _),
     "doc_stats" -> (TextOps.docStats _),
@@ -156,6 +157,7 @@ object SparkEntry {
     "samp_weighted" -> (Sampling.weighted _),
     "samp_topp_sources" -> (Sampling.topPSources _),
     "samp_temperature" -> (Sampling.temperature _),
+    "samp_dedup_penalized" -> (Sampling.dedupPenalized _),
     "pack_token_budget" -> (Sampling.packTokenBudget _),
     "text_contamination" -> (TextOps.contamination _),
     // broadcast-Bloom pre-filtered variant, bit-identical result
@@ -242,6 +244,7 @@ object SparkEntry {
     "samp_target_mix" -> Sampling.targetMixOracle,
     "text_tokens" -> TextOps.tokensOracle,
     "text_quality" -> TextOps.qualityOracle,
+    "text_gopher_rules" -> TextOps.gopherRulesOracle,
     "text_langid" -> TextOps.langidOracle,
     "text_fingerprint" -> TextOps.fingerprintOracle,
     "doc_stats" -> TextOps.docStatsOracle,
@@ -281,6 +284,7 @@ object SparkEntry {
     "samp_weighted" -> Sampling.weightedOracle,
     "samp_topp_sources" -> Sampling.topPSourcesOracle,
     "samp_temperature" -> Sampling.temperatureOracle,
+    "samp_dedup_penalized" -> Sampling.dedupPenalizedOracle,
     "pack_token_budget" -> Sampling.packTokenBudgetOracle,
     "text_contamination" -> TextOps.contaminationOracle,
     // the Bloom pre-filter never changes the exact answer — same oracle

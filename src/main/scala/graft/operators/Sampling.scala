@@ -334,6 +334,54 @@ object Sampling {
               floor(rate * 1e4) / 1e4 AS rate
        FROM r LEFT JOIN k ON r.source = k.source ORDER BY 1"""
 
+  /** Duplicate-penalized sampling (the D4/"dedup via downweighting"
+    * shape): each document survives with probability 1/m where m is its
+    * exact-duplicate cluster size, so every duplicate cluster contributes
+    * ONE expected document to the training mix without a hard dedup pass
+    * — repeated boilerplate is thinned in proportion to its redundancy
+    * while unique text is untouched (m = 1 → always kept).
+    *
+    * Determinism: the keep decision is the [[draw]] 32-bit hash compared
+    * against the exact integer threshold 2³² div m — integer division,
+    * no float rate — so replays, retries, and both engines draw the
+    * identical sample.
+    *
+    * Scale shape: digest the text once (rows shuffle as 16-byte md5 +
+    * id, never text — the [[graft.operators.Dedup.exact]] discipline),
+    * one hash agg for cluster sizes, one join back on the digest, then
+    * the per-row draw. Cluster sizes are a skew-safe aggregate
+    * (map-side combine absorbs a 10⁹-copy boilerplate key).
+    */
+  def dedupPenalized(spark: SparkSession, dir: String): DataFrame =
+    dedupPenalizedOn(Tables.fanout(Tables.documents(spark, dir)))
+
+  /** The penalized-draw core over any (doc_id, text) frame — split out so
+    * specs can drive it with synthetic duplicate clusters (the driver
+    * corpus has none below sf0.1, which would leave the m > 1 threshold
+    * path untested at the gate's own scale).
+    */
+  private[operators] def dedupPenalizedOn(docs: DataFrame): DataFrame = {
+    import graft.Tables.BarrierOps
+    val d = docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("dig"))
+      .barrier() // cluster sizes + the kept set read this
+    val sizes = d.groupBy(col("dig")).agg(count(lit(1)).as("n_copies"))
+    d.join(sizes, "dig")
+      .filter(conv(draw("pen"), 16, 10).cast("long") <
+        expr("CAST(4294967296 AS BIGINT) div n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy("doc_id")
+  }
+
+  val dedupPenalizedOracle: String =
+    """WITH d AS (SELECT doc_id, md5(text) AS dig FROM documents),
+       s AS (SELECT dig, count(*) AS n_copies FROM d GROUP BY 1)
+       SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies
+       FROM d JOIN s USING (dig)
+       WHERE ('0x' || substring(md5('pen:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             < 4294967296 // n_copies
+       ORDER BY doc_id"""
+
   val packTokenBudgetOracle: String =
     """WITH t AS (SELECT doc_id, lang,
                     len(string_split_regex(trim(text), '\s+')) AS n_tokens

@@ -1033,6 +1033,83 @@ object TextOps {
        SELECT doc_id, n_terms, bm25_micro, CAST(rank AS BIGINT) AS rank
        FROM ranked WHERE rank <= 15 ORDER BY rank"""
 
+  /** Rule-based quality gate in the Gopher/MassiveText style: each
+    * document gets a per-rule boolean verdict and an overall pass —
+    * word-count window, mean-word-length window, alphabetic-word ratio,
+    * stopword presence, symbol ratio. This is the FILTER side of corpus
+    * curation (where [[quality]] is the continuous SCORE side): the
+    * rules are the published MassiveText heuristics re-expressed over
+    * the testdata corpus.
+    *
+    * Exactness: every rule is an integer cross-multiplication
+    * (3·W ≤ C ≤ 10·W instead of 3 ≤ C/W ≤ 10), so there is not one
+    * float in the operator and verdicts are engine-exact — ratio
+    * thresholds as rational comparisons, the same trick as
+    * [[bm25]]'s saturation term.
+    *
+    * Scale shape: a pure per-row projection over one pruned scan — no
+    * shuffle, no state, embarrassingly parallel; the codegen'd
+    * `filter`/`size` higher-order functions do the word-class counts
+    * without a UDF.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanout(Tables.documents(spark, dir))
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val base = d.select(
+      col("doc_id"),
+      words(col("text")).as("ws"),
+      length(regexp_replace(col("text"), "\\s", "")).cast("long").as("chars"),
+      (length(col("text")) - length(replace(col("text"), lit("#"), lit(""))))
+        .cast("long").as("n_hash"),
+      ((length(col("text")) - length(replace(col("text"), lit("..."), lit(""))))
+        / 3).cast("long").as("n_ell"))
+    val counted = base.select(
+      col("doc_id"),
+      size(col("ws")).cast("long").as("w"),
+      col("chars"),
+      size(filter(col("ws"), x => x.rlike("[A-Za-z]"))).cast("long").as("alpha"),
+      size(filter(typedLit(stop), s => array_contains(col("ws"), s)))
+        .cast("long").as("n_stop"),
+      (col("n_hash") + col("n_ell")).as("sym"))
+    counted.select(
+        col("doc_id"), col("w"),
+        (col("w") >= 50 && col("w") <= 100000).as("r_words"),
+        (lit(3L) * col("w") <= col("chars") &&
+          col("chars") <= lit(10L) * col("w")).as("r_mean_len"),
+        (lit(5L) * col("alpha") >= lit(4L) * col("w")).as("r_alpha"),
+        (col("n_stop") >= 2).as("r_stop"),
+        (lit(10L) * col("sym") <= col("w")).as("r_symbol"))
+      .withColumn("pass",
+        col("r_words") && col("r_mean_len") && col("r_alpha") &&
+          col("r_stop") && col("r_symbol"))
+      .orderBy("doc_id")
+  }
+
+  val gopherRulesOracle: String =
+    """WITH b AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+           CAST(len(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS chars,
+           CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+           CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell
+         FROM documents),
+       c AS (
+         SELECT doc_id, CAST(len(ws) AS BIGINT) AS w, chars,
+           CAST(len([x FOR x IN ws IF regexp_matches(x, '[A-Za-z]')]) AS BIGINT) AS alpha,
+           CAST(len([s FOR s IN ['the','be','to','of','and','that','have','with']
+                     IF list_contains(ws, s)]) AS BIGINT) AS n_stop,
+           n_hash + n_ell AS sym
+         FROM b)
+       SELECT doc_id, w,
+         (w >= 50 AND w <= 100000) AS r_words,
+         (3 * w <= chars AND chars <= 10 * w) AS r_mean_len,
+         (5 * alpha >= 4 * w) AS r_alpha,
+         (n_stop >= 2) AS r_stop,
+         (10 * sym <= w) AS r_symbol,
+         ((w >= 50 AND w <= 100000) AND (3 * w <= chars AND chars <= 10 * w)
+          AND (5 * alpha >= 4 * w) AND (n_stop >= 2)
+          AND (10 * sym <= w)) AS pass
+       FROM c ORDER BY doc_id"""
+
   /** Hybrid retrieval fusion: reciprocal-rank fusion (RRF, k = 60) of the
     * lexical [[bm25]] ranking and the vector
     * [[Similarity.filteredTopk]] ranking — the step every production

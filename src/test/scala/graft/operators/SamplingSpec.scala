@@ -89,4 +89,31 @@ class SamplingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_contam")).sum > 0,
       "a corpus with near-duplicate docs must show train/eval overlap")
   }
+
+  test("dedup-penalized sampling thins clusters toward one survivor, keeps uniques whole") {
+    import spark.implicits._
+    // synthetic corpus: 200 unique docs + one 50-copy cluster + one
+    // 10-copy cluster (the driver corpus has no exact dups below sf0.1,
+    // so the m > 1 threshold path needs its own fixture)
+    val uniq = (1L to 200L).map(i => (i, s"unique document body $i"))
+    val big = (1000L to 1049L).map(i => (i, "the big duplicated boilerplate"))
+    val small = (2000L to 2009L).map(i => (i, "the small duplicated footer"))
+    val docs = (uniq ++ big ++ small).toDF("doc_id", "text")
+    val kept = Sampling.dedupPenalizedOn(docs).collect()
+    val byId = kept.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    // every unique doc survives (threshold 2^32 div 1 beats any draw)
+    assert((1L to 200L).forall(byId.get(_).contains(1L)),
+      "unique documents must never be thinned")
+    // clusters are penalized: a 50-copy cluster keeps ~1 expected doc;
+    // the draw is deterministic, so just assert strict thinning and that
+    // survivors carry the cluster size
+    val bigKept = kept.filter(_.getAs[Long]("n_copies") == 50L)
+    val smallKept = kept.filter(_.getAs[Long]("n_copies") == 10L)
+    assert(bigKept.length < 10, s"50-copy cluster kept ${bigKept.length}")
+    assert(smallKept.length < 5, s"10-copy cluster kept ${smallKept.length}")
+    // deterministic replay
+    val again = Sampling.dedupPenalizedOn(docs).collect()
+      .map(_.getAs[Long]("doc_id")).sorted
+    assert(again.toSeq === kept.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
 }
