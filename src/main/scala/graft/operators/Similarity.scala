@@ -860,6 +860,77 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Top principal direction of the embedding second-moment matrix via
+    * exact-integer power iteration — the spectral member of the
+    * iterative-fixed-point family ([[pagerank]] = Markov, [[kmeans]] =
+    * Lloyd's, this = von Mises). The dominant direction of an embedding
+    * corpus is its strongest systematic component (often an encoder
+    * artifact); serving stacks compute it to whiten or to monitor drift.
+    *
+    * Exactness: vectors quantize to the positive integer grid
+    * ([[kmeans]]'s floor((x+1)·1000)), the uncentered Gram matrix
+    * G = Σ qqᵀ has exact integer entries (deliberately uncentered —
+    * centering would introduce negative values, where truncating and
+    * flooring division disagree between engines), and each von Mises
+    * round is v' = floor(1000·(G·v) / max(G·v)) in arbitrary-precision
+    * integers on BOTH engines (BigInt here, HUGEINT in DuckDB) — a
+    * positive matrix times a positive vector stays positive, so the
+    * floor-division parity holds and 4 unrolled rounds hash-verify.
+    *
+    * Scale shape: ONE corpus scan computes the d²-flattened outer
+    * product per row into a [[VecSumDoubles]] hash aggregate (map-side
+    * combine reduces each partition to a single 4096-double buffer — no
+    * (i, j, x·y) explosion ever exists); the d×d result is a SCALAR for
+    * any corpus size, so the driver-side 4-round iteration on it is
+    * O(d²) math, not a distributed antipattern. Entries stay exact in
+    * doubles while n·(2·10³·2.6)² < 2⁵³ (n ≲ 10⁹ rows; beyond that the
+    * buffer widens to decimal — same note as [[Dedup]] digests).
+    */
+  def powerComponent(spark: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    val q = Tables.fanout(Tables.embeddings(spark, dir))
+      .select(transform(col("embedding"),
+        x => floor((x.cast("double") + lit(1.0)) * lit(1000.0)).cast("double"))
+        .as("q"))
+    // flattened outer product per row: entry (i, j) at index i*d + j
+    val outer = q.select(flatten(transform(col("q"),
+      x => transform(col("q"), y => x * y))).as("o"))
+    val gRow = outer.agg(graft.functions.VecSumDoubles(col("o")).as("g"))
+      .head.getSeq[Double](0)
+    val g = Array.tabulate(d, d)((i, j) => BigInt(gRow(i * d + j).toLong))
+    var v = Array.fill(d)(BigInt(1000))
+    for (_ <- 1 to 4) {
+      val s = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * v(j)).sum)
+      val mx = s.max
+      v = s.map(x => x * 1000 / mx)
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, i) => (i.toLong, x.toLong) }.toSeq
+      .toDF("dim", "component")
+      .orderBy("dim")
+  }
+
+  val powerComponentOracle: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""s$i AS (SELECT g.i,
+             list_sum([g.gv[j] * vv.v[j] FOR j IN generate_series(1, 64)]) AS s
+           FROM gm g CROSS JOIN (SELECT list(s ORDER BY i) AS v FROM v${i - 1}) vv),
+       v$i AS (SELECT i, s * 1000 // (SELECT max(s) FROM s$i) AS s FROM s$i)"""
+    }.mkString(",\n       ")
+    s"""WITH q AS (SELECT
+           [CAST(floor((x::DOUBLE + 1.0) * 1000.0) AS BIGINT) FOR x IN embedding] AS q
+         FROM embeddings),
+       gr AS (SELECT i, j, CAST(sum(q[i] * q[j]) AS HUGEINT) AS gv
+              FROM q, generate_series(1, 64) AS a(i), generate_series(1, 64) AS b(j)
+              GROUP BY 1, 2),
+       gm AS (SELECT i, list(gv ORDER BY j) AS gv FROM gr GROUP BY 1),
+       v0 AS (SELECT i, CAST(1000 AS HUGEINT) AS s
+              FROM generate_series(1, 64) AS t(i)),
+       $rounds
+       SELECT CAST(i - 1 AS BIGINT) AS dim, CAST(s AS BIGINT) AS component
+       FROM v4 ORDER BY 1"""
+  }
+
   /** Nearest-centroid classification + confusion matrix — the cheapest
     * supervised probe of an embedding space's quality ("do the labels
     * separate?"), run before committing a corpus to a labeling or

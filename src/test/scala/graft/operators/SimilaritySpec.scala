@@ -355,6 +355,19 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.graft.graphJoin")
   }
 
+  test("power component: positive unit-scaled direction, deterministic") {
+    val v = Similarity.powerComponent(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Long]("component")).toMap
+    assert(v.size === 64)
+    // a positive matrix's dominant eigenvector is strictly positive
+    // (Perron-Frobenius), and the scaling pins the max coordinate at 1000
+    assert(v.values.forall(x => x > 0 && x <= 1000))
+    assert(v.values.max === 1000L)
+    val again = Similarity.powerComponent(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Long]("component")).toMap
+    assert(again === v, "integer power iteration must be bit-deterministic")
+  }
+
   test("centroid classify: matrix covers every test vector, preds are trained labels") {
     import org.apache.spark.sql.functions.col
     val m = Similarity.centroidClassify(spark, sfDir).collect()
