@@ -33,12 +33,33 @@ class VerifyGateSpec extends SparkSpec {
     assert(rows.count() === 1)
   }
 
+  /** The queries that INTENTIONALLY have no portable SQL oracle (approx
+    * sketches, ANN recall paths, multimodal stubs, streaming state ops
+    * pinned by spec instead). Adding a query without an oracle entry
+    * silently downgrades it to a rows-only check — this pin makes that
+    * an explicit decision: either add the oracle or add the name here.
+    */
+  private val rowsOnlyByDesign = Set(
+    "dd_embedding_blocked", "dd_minhash_lsh", "dd_simhash",
+    "ev_cms_user_counts", "ev_hll_rollup", "ev_hll_users",
+    "ev_quantiles_approx",
+    "mm_audio_energy", "mm_frame_sample", "mm_media_stats", "mm_resize",
+    "pipe_clean_corpus", "pipe_training_set",
+    "sim_ivf_topk", "sim_ivfpq_topk", "sim_lsh_topk", "sim_pq_topk",
+    "stream_ema_scores")
+
   test("every oracle has a registered query, and every query constructs") {
     val queries = SparkEntry.queries
     val oracles = SparkEntry.oracleSql
     val orphanOracles = oracles.keySet -- queries.keySet
     assert(orphanOracles.isEmpty,
       s"oracleSql entries without a queries entry: $orphanOracles")
+    val rowsOnly = queries.keySet -- oracles.keySet
+    assert(rowsOnly === rowsOnlyByDesign,
+      "rows-only set drifted — unexpectedly oracle-less: " +
+        (rowsOnly -- rowsOnlyByDesign).mkString(", ") +
+        "; no longer oracle-less: " +
+        (rowsOnlyByDesign -- rowsOnly).mkString(", "))
     // Construction (plan build) must not throw for ANY registered query —
     // this is the cheap session-local version of the full verify sweep and
     // catches engine-version AnalysisExceptions before the driver does.
