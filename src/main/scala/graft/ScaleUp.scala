@@ -53,6 +53,12 @@ object ScaleUp {
     require(args.length == 3, "usage: ScaleUp <srcDir> <destDir> <copies>")
     val Array(src, dest, copiesStr) = args
     val copies = copiesStr.toInt
+    // The embedding disambiguation below supports two wrap levels of the
+    // 64-dim rotation (plain + reversed); past 128 copies a third level
+    // would silently repeat directions, so fail loudly instead.
+    require(copies <= 128, s"copies=$copies > 128 would repeat embedding " +
+      "directions (rotation wraps at dim=64, reversal doubles that); add " +
+      "another orthogonal transform level before scaling further")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -109,36 +115,65 @@ object ScaleUp {
       "events" -> shift(Tables.events(spark, src), Nil,
         "event_id" -> EventStride, "user_id" -> CustStride),
       "documents" -> {
+        // Word rotation can mint at most n distinct copies of an n-word
+        // document, and the driver corpus has a 10-word floor (median 54)
+        // — so rotation alone caps at 10 clean copies. Copies factor into
+        // c = a·inner + b: the INNER level rotates words (offsets
+        // floor(b·n/inner), injective in b for n ≥ inner = 10), and the
+        // OUTER level a > 0 cyclically rotates the CHARACTERS of every
+        // word by a mod len(w) — same length, same character multiset,
+        // but a disjoint surface vocabulary, so outer copies share almost
+        // no shingles with each other or the original (exactly like the
+        // embedding rotation: same distribution, unrelated content).
+        // Residual collisions need every word char-rotation-invariant
+        // under Δa (single-char or repeated-char words throughout) —
+        // degenerate docs the warning below would catch as < inner words.
+        // (A fixed-stride `7c mod n` inner offset silently collided
+        // whenever n | 7Δc — e.g. every 14-word doc collapsed its even
+        // copies into verbatim duplicates; the even spread fixed that.)
+        val inner = math.min(copies, 10)
         val d = rep(Tables.documents(spark, src))
           .withColumn("__ws", split(trim(col("text")), "\\s+"))
           .withColumn("__n", size(col("__ws")))
-          // Rotation offsets spread evenly over [0, n): floor(c·n/copies)
-          // is injective in c whenever n ≥ copies, so every copy gets a
-          // DISTINCT rotation. (A fixed-stride `7c mod n` silently
-          // collided whenever n | 7Δc — e.g. every 14-word doc collapsed
-          // its even copies into verbatim duplicates, re-creating exactly
-          // the exact-dup inflation this rotation exists to avoid.) For
-          // n < copies, collisions are pigeonhole-unavoidable; they are
-          // counted and reported below so a dataset with shorter docs
-          // announces the distortion instead of hiding it.
+          .withColumn("__b", pmod(col("__c"), lit(inner.toLong)))
+          .withColumn("__a", floor(col("__c") / lit(inner.toLong)).cast("int"))
           .withColumn("__k",
-            floor(col("__c") * col("__n") / lit(copies))
+            floor(col("__b") * col("__n") / lit(inner))
               .cast("int"))
+          .withColumn("__rw", rotated(col("__ws"), col("__n"), col("__k")))
+          .withColumn("__cw", when(col("__a") === 0, col("__rw")).otherwise(
+            transform(col("__rw"), w => {
+              val kw = pmod(col("__a"), length(w))
+              when(kw === 0, w).otherwise(concat(
+                w.substr(kw + lit(1), length(w) - kw),
+                w.substr(lit(1), kw)))
+            })))
           .withColumn("text", when(col("__c") === 0, col("text")).otherwise(
-            concat_ws(" ", rotated(col("__ws"), col("__n"), col("__k")))))
+            concat_ws(" ", col("__cw"))))
           .withColumn("doc_id", col("doc_id") + col("__c") * DocStride)
           .withColumn("n_chars", length(col("text")).cast("long"))
-        d.drop("__c", "__ws", "__n", "__k")
+        d.drop("__c", "__ws", "__n", "__b", "__a", "__k", "__rw", "__cw")
       },
       "embeddings" -> {
         val e = rep(Tables.embeddings(spark, src))
           .withColumn("__n", size(col("embedding")))
           .withColumn("__k",
             pmod(col("__c"), greatest(col("__n"), lit(1))).cast("int"))
-          .withColumn("embedding",
+          .withColumn("__r",
             rotated(col("embedding"), col("__n"), col("__k")))
+          // Rotation wraps at n (= 64): copy 64 would repeat copy 0's
+          // direction verbatim under a new vec_id, collapsing ANN
+          // structure into cos = 1 pairs. The wrap level REVERSES the
+          // rotated vector — same norm, same coordinate multiset,
+          // distinct direction (reverse∘rotate = rotate∘reverse only for
+          // palindromic vectors, which real embeddings are not).
+          .withColumn("__a",
+            floor(col("__c") / greatest(col("__n"), lit(1))).cast("int"))
+          .withColumn("embedding",
+            when(pmod(col("__a"), lit(2)) === 0, col("__r"))
+              .otherwise(reverse(col("__r"))))
           .withColumn("vec_id", col("vec_id") + col("__c") * DocStride)
-        e.drop("__c", "__n", "__k")
+        e.drop("__c", "__n", "__k", "__r", "__a")
       })
 
     val destPath = new Path(dest)
@@ -160,12 +195,14 @@ object ScaleUp {
       fs.delete(tmp, true)
       println(s"scaled $name -> $target")
     }
+    val innerCopies = math.min(copies, 10)
     val shortDocs = Tables.documents(spark, src)
-      .filter(size(split(trim(col("text")), "\\s+")) < copies).count()
+      .filter(size(split(trim(col("text")), "\\s+")) < innerCopies).count()
     if (shortDocs > 0)
-      println(s"WARNING: $shortDocs source docs have fewer words than " +
-        s"$copies copies — their rotations collide (verbatim duplicate " +
-        "copies); exact-dup counts at the scaled SF are inflated for them")
+      println(s"WARNING: $shortDocs source docs have fewer words than the " +
+        s"$innerCopies inner rotation copies — their word rotations " +
+        "collide (verbatim duplicate copies within an outer level); " +
+        "exact-dup counts at the scaled SF are inflated for them")
     spark.stop()
   }
 }

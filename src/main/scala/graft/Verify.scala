@@ -26,10 +26,20 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
-      import spark.implicits._
-      Seq(("construction_or_execution_failed", msg))
-        .toDF("__graft_error", "detail")
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      // The marker write itself must never abort the sweep: if outDir is
+      // unwritable or the session is wedged, a second throw here would
+      // lose every LATER query's output — the exact silent-loss mode
+      // this marker exists to prevent. Log and keep going; the query
+      // still lands in verify_errors.json via the returned message.
+      try {
+        import spark.implicits._
+        Seq(("construction_or_execution_failed", msg))
+          .toDF("__graft_error", "detail")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e2: Throwable =>
+        System.err.println(
+          s"[verify] $name error-marker write ALSO failed: ${e2.getMessage}")
+      }
       Some(msg)
     }
   }

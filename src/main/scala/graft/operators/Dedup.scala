@@ -558,6 +558,75 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup as
+    * real curation stacks run it at corpus scale: k-means clusters the
+    * embedding space, and near-duplicate pruning happens only WITHIN each
+    * cluster (the clusters are the blocking structure; cross-cluster
+    * pairs are never generated). The keep rule is the paper's greedy one:
+    * a vector is dropped iff some LOWER-id vector in its cluster is
+    * within the cosine threshold — deterministic, single-pass, and each
+    * duplicate chain keeps exactly its lowest id.
+    *
+    * Composition, not new machinery: the cluster assignment IS
+    * [[Similarity.kmeans]] (exact-integer Lloyd's, oracle-unrollable),
+    * and the within-cluster verification is [[embeddingCosBlocked]]'s
+    * exact-cosine shape — which makes this ITERATIVE + QUADRATIC-local
+    * pipeline hash-verifiable end-to-end against DuckDB.
+    *
+    * Scale shape: the only corpus-wide operations are kmeans' rounds
+    * (broadcast centroids + one hash agg each) and the cluster
+    * equi-self-join, whose candidate count is Σ_c n_c² — bounded by
+    * cluster OCCUPANCY, not corpus size. The verified k here stays at
+    * kmeans' fixed 8 so the oracle composes; a production run scales k
+    * with the corpus (SemDeDup uses ~11k clusters at 100M docs) via the
+    * [[graft.functions.IvfIndex]] sampled trainer, which is exactly
+    * [[embeddingCosBlocked]]'s quantizer — same pipeline, swap the
+    * clustering, occupancy stays constant and the join stays linear.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val assign = Similarity.kmeans(spark, dir)
+      .select(col("vec_id"), col("cluster"))
+    val e = Tables.fanout(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"))
+    val v = e.join(assign, "vec_id")
+      .barrier() // both sides of the within-cluster self-join read this
+    val dups = v.as("a")
+      .join(v.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"),
+        CosineSimilarity(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dups_lower"), max(col("cos")).as("mc"))
+    v.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("n_dups_lower"), lit(0L)).as("n_dups_lower"),
+        trunc4(col("mc")).as("max_cos"),
+        col("mc").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val semDedupOracle: String =
+    """WITH km AS (%s),
+       v AS (SELECT e.vec_id, e.embedding, k.cluster
+             FROM embeddings e JOIN km k USING (vec_id)),
+       p AS (SELECT b.vec_id AS vec_id,
+               list_sum([(a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)
+                         FOR i IN generate_series(1, len(a.embedding))])
+               / (sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN a.embedding]))
+                  * sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN b.embedding])))
+               AS cos
+             FROM v a JOIN v b
+               ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+       agg AS (SELECT vec_id, count(*) AS n_dups_lower, max(cos) AS mc
+               FROM p WHERE cos >= 0.3 GROUP BY 1)
+       SELECT v.vec_id, v.cluster,
+         CAST(coalesce(a.n_dups_lower, 0) AS BIGINT) AS n_dups_lower,
+         floor(a.mc * 1e4) / 1e4 AS max_cos,
+         (a.vec_id IS NULL) AS keep
+       FROM v LEFT JOIN agg a USING (vec_id) ORDER BY v.vec_id"""
+      .format(Similarity.kmeansOracle)
+
   /** Embedding-cosine near-dup: a probe batch (vec_id < 100) checked
     * against the whole corpus — the incremental-ingest dedup shape. The
     * probe side is broadcast; the corpus is scanned once.

@@ -883,8 +883,10 @@ object Similarity {
     * (i, j, x·y) explosion ever exists); the d×d result is a SCALAR for
     * any corpus size, so the driver-side 4-round iteration on it is
     * O(d²) math, not a distributed antipattern. Entries stay exact in
-    * doubles while n·(2·10³·2.6)² < 2⁵³ (n ≲ 10⁹ rows; beyond that the
-    * buffer widens to decimal — same note as [[Dedup]] digests).
+    * doubles while n·(2·10³·2.6)² < 2⁵³ (n ≲ 10⁹ rows at this grid);
+    * the bound is ENFORCED below — past it the operator fails loudly
+    * instead of drifting silently (the decimal-buffer widening is the
+    * upgrade path when a corpus actually hits it).
     */
   def powerComponent(spark: SparkSession, dir: String): DataFrame = {
     val d = 64
@@ -895,8 +897,24 @@ object Similarity {
     // flattened outer product per row: entry (i, j) at index i*d + j
     val outer = q.select(flatten(transform(col("q"),
       x => transform(col("q"), y => x * y))).as("o"))
-    val gRow = outer.agg(graft.functions.VecSumDoubles(col("o")).as("g"))
-      .head.getSeq[Double](0)
+    val gAgg = outer.agg(graft.functions.VecSumDoubles(col("o")).as("g"),
+      count(lit(1)).as("n")).head
+    val gRow = gAgg.getSeq[Double](0)
+    // Exactness guard, checked on the result of the SAME scan: every
+    // outer-product term is ≥ 0 on the positive grid, so partial sums
+    // grow monotonically toward the final entry — if every final entry
+    // is < 2^52 (a 2× margin under the 2^53 integer-exact ceiling of
+    // doubles), every intermediate sum and per-row product was exactly
+    // representable, hence the whole Gram is exact. Negative entries
+    // mean embedding values < −1 leaked past the grid's assumption and
+    // the Perron positivity argument is void.
+    require(gRow.nonEmpty && gRow.min >= 0.0,
+      "powerComponent: negative/empty Gram — embedding values below -1 " +
+        "break the positive-grid floor-division parity; re-scale the grid")
+    require(gRow.max < (1L << 52).toDouble,
+      s"powerComponent: max Gram entry ${gRow.max} over ${gAgg.getLong(1)} " +
+        "rows exceeds the double-exact integer bound 2^52 — results would " +
+        "drift silently; widen the accumulator to decimal for this corpus")
     val g = Array.tabulate(d, d)((i, j) => BigInt(gRow(i * d + j).toLong))
     var v = Array.fill(d)(BigInt(1000))
     for (_ <- 1 to 4) {

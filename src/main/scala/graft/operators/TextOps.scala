@@ -1045,13 +1045,18 @@ object TextOps {
     * would diverge between engines, which is why the score is −ln p,
     * not ln p), ranks tie-break on doc_id, bucket = (3·(rank−1)) div n.
     *
-    * Scale shape — two-phase rank, NOT a corpus-wide row_number window:
-    * phase 1 counts docs per distinct score value (hash agg); phase 2
-    * runs the ordered cumulative over the DISTINCT-SCORE domain (the
-    * only global window, bounded by the score range, not the corpus);
-    * phase 3 ranks within each score value (window partitions capped at
-    * one score's collision set). Same trick as
-    * [[Sampling.packTokenBudget]]'s segmented prefix sum.
+    * Scale shape — segmented rank, NOT a corpus-wide row_number window:
+    * phase 1 counts docs per distinct score value (hash agg). Distinct
+    * perplexity scores rarely collide, so that domain is ~O(n_docs) —
+    * a plain ordered cumulative over it would still be a corpus-sized
+    * single-partition sort. Phase 2 therefore segments scores into
+    * fixed-width value blocks ([[Sampling.packTokenBudget]]'s prefix
+    * sum): per-block doc totals (hash agg), one ordered pass over the
+    * BLOCK domain (bounded by score-range / block-width — a property of
+    * the value space, a few hundred rows, never the corpus), then an
+    * in-block cumulative whose window partitions are capped at one
+    * block's distinct values (≤ the block width). Phase 3 ranks within
+    * each score value (partitions capped at one score's collision set).
     */
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.fanout(Tables.documents(spark, dir))
@@ -1068,12 +1073,29 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_tokens"), sum(col("mnats")).as("mn"))
       .select(col("doc_id"), expr("mn div n_tokens").as("score_micro"))
+    // blocks of 100k micro-nats: every in-block window partition holds at
+    // most 100k distinct scores no matter the corpus; the block domain
+    // itself spans score-range / width ≈ a few hundred rows (scores are
+    // per-token averages, range-bounded by the vocabulary's -ln p).
+    val blockW = 100000L
+    val W = org.apache.spark.sql.expressions.Window
     val perScore = perDoc.groupBy(col("score_micro")).agg(count(lit(1)).as("cnt"))
-    val byScore = org.apache.spark.sql.expressions.Window.orderBy(col("score_micro"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val cum = perScore
-      .withColumn("cum_before", sum(col("cnt")).over(byScore) - col("cnt"))
+      .withColumn("blk", floor(col("score_micro") / blockW))
+      .barrier() // block totals + in-block cumulative both read this
+    val blkTotals = perScore.groupBy(col("blk")).agg(sum(col("cnt")).as("bt"))
+    // partitionBy(lit(0)): ONE partition by construction — but over the
+    // bounded block domain, not the corpus (and an explicit constant
+    // spec, not an accidental empty one).
+    val byBlk = W.partitionBy(lit(0)).orderBy(col("blk"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val blkOff = blkTotals
+      .withColumn("blk_start", sum(col("bt")).over(byBlk) - col("bt"))
+      .select(col("blk"), col("blk_start"))
+    val inBlk = W.partitionBy(col("blk")).orderBy(col("score_micro"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val cum = perScore.join(blkOff, "blk")
+      .withColumn("cum_before",
+        col("blk_start") + sum(col("cnt")).over(inBlk) - col("cnt"))
       .select(col("score_micro"), col("cum_before"))
     val intra = org.apache.spark.sql.expressions.Window
       .partitionBy(col("score_micro")).orderBy(col("doc_id"))
@@ -1105,6 +1127,103 @@ object TextOps {
              FROM s)
        SELECT doc_id, score_micro, CAST((3 * (rn - 1)) // n AS BIGINT) AS bucket
        FROM r ORDER BY doc_id"""
+
+  /** Model-based quality classifier — the CCNet/fastText step that sits
+    * NEXT to the heuristic gates ([[gopherRules]]) and the perplexity
+    * tiering ([[ccnetBuckets]]): a multinomial Naive-Bayes scorer over
+    * hashed unigram features, TRAINED ON THE CORPUS'S OWN perplexity
+    * tertiles (head = positive, tail = negative — CCNet's "train a
+    * classifier on the LM's verdicts" bootstrap) and then applied to
+    * every document, middle tertile included. The output is the exact
+    * integer micro-logit score and the binary verdict, with the
+    * training label alongside for the train-accuracy audit.
+    *
+    * Exactness ([[lmScore]]'s trick end-to-end): features are
+    * `md5(term)` mod 4096 (engine-portable feature hashing), per-feature
+    * log-likelihood-ratio weights are floor(1e6 · ln(smoothed ratio)) on
+    * exact integer counts, a doc's score is an exact long sum of its
+    * tokens' weights plus the integer prior — partition-order invariant
+    * and hash-verified against DuckDB.
+    *
+    * Scale shape: label assignment is [[ccnetBuckets]] (its segmented
+    * rank); training counts are ONE hash aggregate over (feature,
+    * bucket) — 4096 keys, map-side combine absorbs everything; the
+    * weight table is 4096 rows and BROADCASTS to the scoring scan, so
+    * classification is a per-token broadcast-hash lookup + one per-doc
+    * sum — no shuffle grows with the vocabulary, and the model is a
+    * bounded artifact exactly like a fastText .bin.
+    */
+  def nbQuality(spark: SparkSession, dir: String): DataFrame = {
+    val B = 4096
+    val cb = ccnetBuckets(spark, dir).select(col("doc_id"), col("bucket"))
+      .barrier() // labels, prior, and the output join all read this
+    val d = Tables.fanout(Tables.documents(spark, dir))
+    val toks = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("term").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % B).as("f"))
+      .barrier() // training counts + the scoring join both read this
+    val cnt = toks.join(cb, "doc_id").filter(col("bucket") =!= 1)
+      .groupBy(col("f")).agg(
+        sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("bucket") === 2, 1L).otherwise(0L)).as("c_neg"))
+    val tot = cnt.agg(sum(col("c_pos")).as("t_pos"), sum(col("c_neg")).as("t_neg"))
+    val w = cnt.crossJoin(broadcast(tot)).select(col("f"),
+      floor(log(
+        ((col("c_pos") + 1).cast("double") * (col("t_neg") + B).cast("double")) /
+        ((col("c_neg") + 1).cast("double") * (col("t_pos") + B).cast("double")))
+        * 1e6).cast("long").as("w"))
+    // unseen-feature weight: both counts 0 under the same smoothing
+    val wd = tot.select(
+      floor(log((col("t_neg") + B).cast("double") / (col("t_pos") + B).cast("double"))
+        * 1e6).cast("long").as("w0"))
+    val prior = cb.agg(
+        sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("bucket") === 2, 1L).otherwise(0L)).as("n_neg"))
+      .select(floor(log(col("n_pos").cast("double") / col("n_neg").cast("double"))
+        * 1e6).cast("long").as("prior"))
+    val sc = toks.join(broadcast(w), Seq("f"), "left").crossJoin(broadcast(wd))
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("w"), col("w0"))).as("like_micro"))
+    cb.join(sc, "doc_id").crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("bucket"),
+        (col("like_micro") + col("prior")).as("score_micro"),
+        ((col("like_micro") + col("prior")) > 0).as("pred"))
+      .orderBy("doc_id")
+  }
+
+  val nbQualityOracle: String =
+    """WITH cb AS (%s),
+       toks AS (SELECT doc_id,
+                  (('0x' || substring(md5(term), 1, 8))::BIGINT %% 4096) AS f
+                FROM (SELECT doc_id,
+                        unnest(string_split_regex(trim(text), '\s+')) AS term
+                      FROM documents)),
+       cnt AS (SELECT t.f,
+                 CAST(sum(CASE WHEN cb.bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                 CAST(sum(CASE WHEN cb.bucket = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+               FROM toks t JOIN cb USING (doc_id)
+               WHERE cb.bucket <> 1 GROUP BY 1),
+       tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS t_pos,
+                      CAST(sum(c_neg) AS BIGINT) AS t_neg FROM cnt),
+       w AS (SELECT f,
+               CAST(floor(ln(((c_pos + 1)::DOUBLE * (t_neg + 4096)::DOUBLE) /
+                             ((c_neg + 1)::DOUBLE * (t_pos + 4096)::DOUBLE))
+                          * 1e6) AS BIGINT) AS w
+             FROM cnt CROSS JOIN tot),
+       wd AS (SELECT CAST(floor(ln((t_neg + 4096)::DOUBLE / (t_pos + 4096)::DOUBLE)
+                          * 1e6) AS BIGINT) AS w0 FROM tot),
+       pr AS (SELECT CAST(floor(ln(
+                 (sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END))::DOUBLE /
+                 (sum(CASE WHEN bucket = 2 THEN 1 ELSE 0 END))::DOUBLE) * 1e6)
+               AS BIGINT) AS prior FROM cb),
+       sc AS (SELECT t.doc_id,
+                CAST(sum(coalesce(w.w, wd.w0)) AS BIGINT) AS like_micro
+              FROM toks t LEFT JOIN w USING (f) CROSS JOIN wd GROUP BY 1)
+       SELECT cb.doc_id, cb.bucket, sc.like_micro + pr.prior AS score_micro,
+              (sc.like_micro + pr.prior) > 0 AS pred
+       FROM cb JOIN sc USING (doc_id) CROSS JOIN pr ORDER BY cb.doc_id"""
+      .format(ccnetBucketsOracle)
 
   /** Rule-based quality gate in the Gopher/MassiveText style: each
     * document gets a per-rule boolean verdict and an overall pass —

@@ -180,6 +180,10 @@ object ParquetMergeSink {
     val table = new Path(path)
     val fs = fsFor(spark, table)
     guardReadable(fs, table)
+    // Emptiness is checked BEFORE ensureManifest: a no-op batch against a
+    // nonexistent path must leave the filesystem untouched, not mint an
+    // empty v1 table as a side effect.
+    if (batch.isEmpty) return
     val manifest = ensureManifest(fs, table, nBuckets)
     val buckets = manifest.entries("buckets").toInt
 
@@ -250,8 +254,12 @@ object ParquetMergeSink {
     * Schema: inserted/updated rows are PROJECTED onto the table's
     * columns (Delta's `UPDATE SET * / INSERT *` with target columns) —
     * source-only columns such as a CDC op flag feed the predicate and
-    * are never stored. The source must carry every table column; only a
-    * brand-new table adopts the source schema as its own.
+    * are never stored. The source must carry every table column. A
+    * brand-new table derives its schema from the source MINUS the
+    * delete predicate's referenced columns (keys/version always kept),
+    * so create-via-mergeActions and merge-into-existing store the same
+    * columns; pass `targetCols` to declare the schema explicitly when
+    * the predicate reads genuine data columns.
     *
     * Semantics vs [[merge]]: MERGE gives the source precedence on match
     * (`UPDATE SET` overwrites unconditionally); `version` only orders
@@ -272,15 +280,46 @@ object ParquetMergeSink {
     * O(table); untouched bucket entries carry forward byte-identical.
     */
   def mergeActions(source: DataFrame, path: String, keys: Seq[String],
-      version: String, deleteWhen: Column, nBuckets: Int = 16): Unit = {
+      version: String, deleteWhen: Column, nBuckets: Int = 16,
+      targetCols: Seq[String] = Nil): Unit = {
     val spark = source.sparkSession
     val table = new Path(path)
     val fs = fsFor(spark, table)
     guardReadable(fs, table)
-    // table columns BEFORE this commit: align the stored projection
+    // Emptiness is checked BEFORE ensureManifest: a no-op batch against a
+    // nonexistent path must leave the filesystem untouched, not mint an
+    // empty v1 table as a side effect.
+    if (source.isEmpty) return
+    // table columns BEFORE this commit: align the stored projection.
+    // On the CREATE path there is no existing schema to project onto, so
+    // columns referenced only by the delete predicate (a CDC op flag)
+    // would otherwise be adopted INTO the new table's schema — drifting
+    // it from what merge-into-existing would store. Default: drop
+    // deleteWhen's referenced columns unless they are keys/version; a
+    // caller whose predicate reads genuine data columns passes
+    // `targetCols` explicitly (Delta's target-schema declaration).
     val tableCols: Seq[String] = readIfExists(spark, path)
       .map(_.columns.toSeq)
-      .getOrElse(source.columns.toSeq)
+      .orElse(Some(targetCols).filter(_.nonEmpty).map { tc =>
+        val missing = (keys :+ version).filterNot(tc.contains) ++
+          tc.filterNot(source.columns.contains)
+        require(missing.isEmpty,
+          s"targetCols must cover keys+version and be drawn from the " +
+            s"source columns; offending: ${missing.mkString(", ")}")
+        tc
+      })
+      .getOrElse {
+        // collect column names from the (typically unresolved) predicate
+        // tree — UnresolvedAttribute leaves have an empty `references`
+        val delRefs = org.apache.spark.sql.GraftBridge
+          .catalystExpression(deleteWhen).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.name
+            case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+          }.toSet
+        source.columns.toSeq.filterNot(c =>
+          delRefs.contains(c) && !keys.contains(c) && c != version)
+      }
     val manifest = ensureManifest(fs, table, nBuckets)
     val buckets = manifest.entries("buckets").toInt
 

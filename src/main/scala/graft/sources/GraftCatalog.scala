@@ -1,0 +1,275 @@
+package graft.sources
+
+import java.util.{Map => JMap, Set => JSet}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sinks.ManifestCommit
+
+/** SQL face for the graft-managed lake tables — a DataSource V2
+  * `TableCatalog` that resolves `SELECT * FROM graft.t` (and
+  * `VERSION AS OF n` time travel) through the same [[ManifestCommit]]
+  * protocol the API readers use ([[graft.sinks.ParquetMergeSink.read]] /
+  * `readVersion`, [[graft.sinks.TableMaintenance.read]]).
+  *
+  * The reference gets its SQL face for free from PostgreSQL (db.go's
+  * tables are queryable the moment they exist); a lake engine has to
+  * EARN it — this catalog is that step: register once
+  * (`spark.sql.catalog.graft = graft.sources.GraftCatalog`,
+  * `spark.sql.catalog.graft.root = <warehouse dir>`) and every managed
+  * table under the root becomes a first-class SQL relation with full
+  * parquet pushdown.
+  *
+  * Resolution semantics — identical to the API readers by construction:
+  *
+  *  - the CURRENT table is the highest committed manifest's generation
+  *    dirs (merge-sink bucket entries `dir.N` or a maintained table's
+  *    `dir.table`); uncommitted/orphan generations are invisible.
+  *  - `VERSION AS OF n` loads manifest n if vacuum still retains it —
+  *    the exact `readVersion` contract, including the loud listing of
+  *    retained versions on a miss.
+  *  - a committed DELETION VECTOR (`dir.deletes` + `delete.key`,
+  *    [[graft.sinks.TableMaintenance.deleteWhere]]) is applied INSIDE
+  *    the scan: the key column is force-included in the parquet read,
+  *    each reader drops deleted keys, and the declared output schema
+  *    stays exactly what the query asked for. Time travel to a
+  *    pre-delete version resurrects the rows, as the manifest protocol
+  *    specifies.
+  *
+  * Scan planning delegates to Spark's own parquet DSv2 ([[ParquetTable]])
+  * — column pruning, predicate pushdown, and (for vector-free tables)
+  * vectorized reads and aggregate pushdown all come from the engine, not
+  * from re-implemented machinery. A table carrying a deletion vector
+  * reads row-wise through the filtering wrapper and deliberately does
+  * NOT advertise aggregate pushdown (a pushed `count(*)` would count
+  * deleted rows); [[graft.sinks.TableMaintenance.compact]] materializes
+  * the vector and restores the fast path — the same trade Delta makes.
+  *
+  * Read-only by design: writes go through the idempotent merge/compact
+  * sinks (the indexer's ON CONFLICT discipline), not SQL INSERT — DDL
+  * methods throw.
+  */
+class GraftCatalog extends TableCatalog {
+
+  /** Deletion vectors ride the driver (and every task) as a key set —
+    * the Delta in-memory-bitmap trade. Bounded loudly: past this, run
+    * compact to materialize deletes physically.
+    */
+  private val MaxDvKeys = 10000000L
+
+  private var catName: String = _
+  private var root: Path = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    val r = options.get("root")
+    require(r != null,
+      s"spark.sql.catalog.$name.root must name the warehouse directory")
+    root = new Path(r)
+  }
+
+  override def name(): String = catName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!fs.exists(root)) return Array.empty
+    fs.listStatus(root).filter(_.isDirectory)
+      .filter(s => fs.exists(new Path(s.getPath, ManifestCommit.CommitDir)))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+  }
+
+  private def tablePath(ident: Identifier) = new Path(root, ident.name)
+
+  override def tableExists(ident: Identifier): Boolean =
+    fs.exists(new Path(tablePath(ident), ManifestCommit.CommitDir))
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF n` — the SQL route into `readVersion`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toLong))
+
+  private def load(ident: Identifier, version: Option[Long]): Table = {
+    val p = tablePath(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val m = version match {
+      case None => ManifestCommit.latest(fs, p)
+        .getOrElse(throw new NoSuchTableException(ident))
+      case Some(v) => ManifestCommit.at(fs, p, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $v of $p is not retained — retained: " +
+            ManifestCommit.committed(fs, p).map(_.version).mkString(", ")))
+    }
+    val dataEntries = m.dirs.filter { case (k, _) => k != "deletes" }
+    val unsupported = dataEntries.keys.filterNot(k =>
+      k == "table" || k.forall(_.isDigit))
+    require(unsupported.isEmpty,
+      s"$p is partition-managed (${unsupported.take(3).mkString(", ")}…): " +
+        "read it via TableMaintenance.readPartitioned — the catalog serves " +
+        "merge-sink and maintained single-table layouts")
+    val dataDirs = dataEntries.values.toSeq.sorted
+      .map(rel => new Path(p, rel).toString)
+    require(dataDirs.nonEmpty,
+      s"version ${m.version} of $p references no data dirs")
+    val dv = for {
+      rel <- m.dirs.get("deletes")
+      key <- m.entries.get("delete.key")
+    } yield {
+      val keys = spark.read.parquet(new Path(p, rel).toString)
+      val n = keys.count()
+      require(n <= MaxDvKeys,
+        s"$p carries a $n-key deletion vector (> $MaxDvKeys): compact the " +
+          "table to materialize the deletes before serving it via SQL")
+      (key, keys.collect().map(_.get(0)).toSet[Any])
+    }
+    new GraftTable(s"$catName.${ident.name}", spark, dataDirs, dv)
+  }
+
+  private def readOnly: Nothing = throw new UnsupportedOperationException(
+    s"catalog $catName is read-only: write through the merge/compact sinks " +
+      "(ParquetMergeSink, TableMaintenance), whose idempotent commits are " +
+      "the lake's write protocol")
+
+  override def createTable(ident: Identifier, info: TableInfo): Table = readOnly
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = readOnly
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly
+  override def dropTable(ident: Identifier): Boolean = readOnly
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly
+}
+
+/** A manifest-resolved managed table: schema and scans delegate to
+  * Spark's parquet DSv2 over exactly the committed generation dirs; an
+  * optional deletion vector wraps the scan (see [[GraftCatalog]]).
+  */
+private[sources] class GraftTable(tableName: String, spark: SparkSession,
+    dataDirs: Seq[String], dv: Option[(String, Set[Any])])
+  extends Table with SupportsRead {
+
+  private lazy val delegate = ParquetTable(tableName, spark,
+    CaseInsensitiveStringMap.empty(), dataDirs, None, classOf[ParquetFileFormat])
+
+  override def name(): String = tableName
+  override def schema(): StructType = delegate.schema
+  override def capabilities(): JSet[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val inner = delegate.newScanBuilder(options)
+    dv match {
+      case None => inner
+      case Some((keyCol, keys)) =>
+        new DvScanBuilder(inner, schema(), keyCol, keys)
+    }
+  }
+}
+
+/** Column-pruning/filter-pushdown passthrough that force-includes the
+  * deletion-vector key column in the delegate parquet read while
+  * declaring the caller's requested schema as output. Data filters still
+  * push to the parquet scan (rows a filter drops are a subset of rows
+  * the vector would keep or drop — the conjunction is order-free).
+  */
+private[sources] class DvScanBuilder(delegate: FileScanBuilder,
+    fullSchema: StructType, keyCol: String, keys: Set[Any])
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownCatalystFilters {
+
+  private var output: Option[StructType] = None
+
+  override def pruneColumns(required: StructType): Unit = {
+    output = Some(required)
+    val withKey =
+      if (required.fieldNames.contains(keyCol)) required
+      else StructType(required.fields :+ fullSchema(keyCol))
+    delegate.pruneColumns(withKey)
+  }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    delegate.pushFilters(filters)
+  override def pushedFilters(): Array[V2Predicate] = delegate.pushedFilters
+
+  override def build(): Scan = {
+    val inner = delegate.build()
+    new DvScan(inner, output.getOrElse(inner.readSchema()), keyCol, keys)
+  }
+}
+
+private[sources] class DvScan(delegate: Scan, output: StructType,
+    keyCol: String, keys: Set[Any]) extends Scan {
+
+  override def readSchema(): StructType = output
+  override def description(): String =
+    s"GraftDvScan(key=$keyCol, deleted=${keys.size}) " + delegate.description()
+
+  override def toBatch: Batch = new Batch {
+    private val inner = delegate.toBatch
+    override def planInputPartitions(): Array[InputPartition] =
+      inner.planInputPartitions()
+    override def createReaderFactory(): PartitionReaderFactory =
+      new DvReaderFactory(inner.createReaderFactory(), delegate.readSchema(),
+        output.fieldNames, keyCol, keys)
+  }
+}
+
+/** Row-wise reader wrapper: drops deleted keys, then projects away the
+  * force-included key column when the query did not ask for it.
+  * Columnar reads are declined — the filter runs per row (the deletion
+  * vector cost; compact restores the vectorized path).
+  */
+private[sources] class DvReaderFactory(delegate: PartitionReaderFactory,
+    readSchema: StructType, outputNames: Array[String], keyCol: String,
+    keys: Set[Any]) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val inner = delegate.createReader(partition)
+    val keyOrd = readSchema.fieldIndex(keyCol)
+    val keyGet: InternalRow => Any = readSchema(keyOrd).dataType match {
+      case LongType => r => if (r.isNullAt(keyOrd)) null else r.getLong(keyOrd)
+      case IntegerType => r => if (r.isNullAt(keyOrd)) null else r.getInt(keyOrd)
+      case StringType =>
+        r => if (r.isNullAt(keyOrd)) null else r.getUTF8String(keyOrd).toString
+      case t => throw new IllegalStateException(
+        s"deletion-vector key type $t unsupported (long/int/string)")
+    }
+    val identity = outputNames.sameElements(readSchema.fieldNames)
+    lazy val proj = UnsafeProjection.create(outputNames.toIndexedSeq.map { n =>
+      val i = readSchema.fieldIndex(n)
+      BoundReference(i, readSchema(i).dataType, readSchema(i).nullable)
+    })
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val row = inner.get()
+          val k = keyGet(row)
+          if (k == null || !keys.contains(k)) {
+            current = if (identity) row else proj(row)
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = inner.close()
+    }
+  }
+}

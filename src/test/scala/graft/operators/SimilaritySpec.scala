@@ -368,6 +368,37 @@ class SimilaritySpec extends SparkSpec {
     assert(again === v, "integer power iteration must be bit-deterministic")
   }
 
+  test("power component fails loudly past the double-exact Gram bound") {
+    import org.apache.spark.sql.functions.{array, lit}
+    // one vector with coordinates ~1e8: q ≈ 1e11, so a single diagonal
+    // Gram entry ≈ 1e22 ≫ 2^52 — the silent-drift regime the guard exists
+    // to reject loudly
+    val dir = java.nio.file.Files.createTempDirectory("graft-power-guard").toString
+    val big = spark.range(1).select(
+      org.apache.spark.sql.functions.col("id").as("vec_id"),
+      array(Seq.fill(64)(lit(1e8f)): _*).as("embedding"),
+      lit("x").as("label"))
+    big.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.powerComponent(spark, dir)
+    }
+    assert(e.getMessage.contains("2^52"), e.getMessage)
+
+    // mixed-sign coordinates below the grid's -1 floor produce negative
+    // off-diagonal Gram entries → the Perron-positivity guard trips
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-power-neg").toString
+    spark.range(1).select(
+      org.apache.spark.sql.functions.col("id").as("vec_id"),
+      array((Seq.fill(32)(lit(-5.0f)) ++ Seq.fill(32)(lit(0.5f))): _*)
+        .as("embedding"),
+      lit("x").as("label"))
+      .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.powerComponent(spark, dir2)
+    }
+    assert(e2.getMessage.contains("positive-grid"), e2.getMessage)
+  }
+
   test("centroid classify: matrix covers every test vector, preds are trained labels") {
     import org.apache.spark.sql.functions.col
     val m = Similarity.centroidClassify(spark, sfDir).collect()

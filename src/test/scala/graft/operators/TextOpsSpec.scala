@@ -206,4 +206,39 @@ class TextOpsSpec extends SparkSpec {
     assert(nPass > 0, "no document passes — a rule is miscalibrated")
     assert(nPass < rows.length, "every document passes — the gate is vacuous")
   }
+
+  test("nb classifier separates a synthetic separable corpus and is deterministic") {
+    import spark.implicits._
+    // three cleanly-separated strata: common vocabulary (head — the LM
+    // loves it), mixed, and per-doc rare vocabulary (tail). ccnetBuckets
+    // labels them 0/1/2 by construction; a working NB must then score
+    // every head doc positive and every tail doc negative.
+    val dir = java.nio.file.Files.createTempDirectory("graft-nbq").toString
+    val docs = (0 until 30).map { i =>
+      val text =
+        if (i < 10) Seq.fill(5)("alpha beta gamma delta").mkString(" ")
+        else if (i < 20) Seq.fill(5)(s"alpha beta m${i / 2}a m${i / 2}b").mkString(" ")
+        else Seq.fill(5)(s"r${i}a r${i}b r${i}c r${i}d").mkString(" ")
+      (i.toLong, text, "en", "src0", text.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.nbQuality(spark, dir).collect()
+    assert(out.length === 30)
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    (0L until 10L).foreach { i =>
+      assert(byDoc(i).getAs[Long]("bucket") === 0L, s"doc $i must label head")
+      assert(byDoc(i).getAs[Boolean]("pred"), s"head doc $i must score positive")
+    }
+    (20L until 30L).foreach { i =>
+      assert(byDoc(i).getAs[Long]("bucket") === 2L, s"doc $i must label tail")
+      assert(!byDoc(i).getAs[Boolean]("pred"), s"tail doc $i must score negative")
+    }
+    val again = TextOps.nbQuality(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_micro")).toMap
+    out.foreach { r =>
+      assert(again(r.getAs[Long]("doc_id")) === r.getAs[Long]("score_micro"),
+        "integer micro-logit scores must be bit-deterministic")
+    }
+  }
 }

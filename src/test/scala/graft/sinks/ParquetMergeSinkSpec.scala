@@ -336,4 +336,45 @@ class ParquetMergeSinkSpec extends SparkSpec {
       .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
       .get(b1Keys.head).contains("upd"))
   }
+
+  test("mergeActions create path stores the same columns as merge-into-existing") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-create").toString + "/t"
+    // brand-new table, source carries the CDC verdict column: the stored
+    // schema must NOT include it (same columns a later merge would store)
+    val src = Seq((1L, "a", 10L, false), (2L, "DEAD", 10L, true))
+      .toDF("k", "v", "ver", "del")
+    ParquetMergeSink.mergeActions(src, dir, Seq("k"), "ver", col("del"))
+    val t = ParquetMergeSink.read(spark, dir)
+    assert(t.columns.toSet === Set("k", "v", "ver"),
+      s"create-via-mergeActions leaked the predicate column: ${t.columns.toSeq}")
+    assert(t.collect().map(_.getAs[Long]("k")).toSeq === Seq(1L))
+
+    // explicit targetCols declares the schema when the predicate reads a
+    // genuine data column (here: delete on v's content)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-merge-create2").toString + "/t"
+    val src2 = Seq((1L, "keep", 10L), (2L, "DEAD", 10L)).toDF("k", "v", "ver")
+    ParquetMergeSink.mergeActions(src2, dir2, Seq("k"), "ver",
+      col("v") === "DEAD", targetCols = Seq("k", "v", "ver"))
+    val t2 = ParquetMergeSink.read(spark, dir2)
+    assert(t2.columns.toSet === Set("k", "v", "ver"))
+    assert(t2.collect().map(_.getAs[Long]("k")).toSeq === Seq(1L))
+    // targetCols must cover keys+version and come from the source
+    intercept[IllegalArgumentException] {
+      ParquetMergeSink.mergeActions(src2, dir2 + "x", Seq("k"), "ver",
+        col("v") === "DEAD", targetCols = Seq("k", "v"))
+    }
+  }
+
+  test("empty batches against a nonexistent path leave the filesystem untouched") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-merge-noop").toString
+    val dir = root + "/t"
+    val empty = Seq.empty[(Long, String, Long, Boolean)].toDF("k", "v", "ver", "del")
+    ParquetMergeSink.mergeActions(empty, dir, Seq("k"), "ver", col("del"))
+    ParquetMergeSink.merge(empty.drop("del"), dir, Seq("k"), "ver")
+    assert(!new java.io.File(dir).exists(),
+      "a no-op batch must not mint an empty table as a side effect")
+    assert(ParquetMergeSink.readIfExists(spark, dir).isEmpty)
+  }
 }

@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.sinks.{ParquetMergeSink, TableMaintenance}
+
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graft-catalog").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", r)
+    r
+  }
+
+  test("SQL reads a merge-sink table identically to the API, incl. time travel") {
+    val dir = s"$root/t"
+    ParquetMergeSink.merge(
+      Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "v", "ver"),
+      dir, Seq("k"), "ver", nBuckets = 4)
+    ParquetMergeSink.merge(
+      Seq((2L, "b2", 20L), (3L, "c", 20L)).toDF("k", "v", "ver"),
+      dir, Seq("k"), "ver", nBuckets = 4)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "ver").collect().map(_.toSeq).toSet
+
+    assert(rows(spark.sql("SELECT * FROM graft.t"))
+      === rows(ParquetMergeSink.read(spark, dir)),
+      "SQL current read must equal the API read")
+
+    // time travel: every retained version must match readVersion
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val versions = graft.sinks.ManifestCommit
+      .committed(fs, new org.apache.hadoop.fs.Path(dir)).map(_.version)
+    assert(versions.size >= 2)
+    versions.foreach { v =>
+      assert(rows(spark.sql(s"SELECT * FROM graft.t VERSION AS OF $v"))
+        === rows(ParquetMergeSink.readVersion(spark, dir, v)),
+        s"VERSION AS OF $v must route through readVersion")
+    }
+    // versions differ (the time travel is real)
+    assert(rows(spark.sql(s"SELECT * FROM graft.t VERSION AS OF ${versions.head}"))
+      !== rows(spark.sql("SELECT * FROM graft.t")))
+    // a vacuumed version fails loudly, like the API
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.t VERSION AS OF 999").collect()
+    }
+    // pushdown sanity: a filtered projection agrees with the API path
+    assert(spark.sql("SELECT v FROM graft.t WHERE k = 2").collect()
+      .map(_.getString(0)).toSeq === Seq("b2"))
+  }
+
+  test("deletion vectors are honored through the catalog path") {
+    val dir = s"$root/dv"
+    // a maintained single table with a deletion vector
+    (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v")
+      .write.parquet(dir)
+    TableMaintenance.compact(spark, dir, targetBytes = 1 << 20)
+    TableMaintenance.deleteWhere(spark, dir, "k", col("k") % 2 === 0)
+
+    val api = TableMaintenance.read(spark, dir).collect()
+      .map(_.getAs[Long]("k")).toSet
+    val viaSql = spark.sql("SELECT k FROM graft.dv").collect()
+      .map(_.getLong(0)).toSet
+    assert(viaSql === api, "SQL read must apply the deletion vector")
+    assert(viaSql === (1L to 19L by 2).toSet)
+
+    // the key column pruned OUT of the projection still drives the filter
+    val vs = spark.sql("SELECT v FROM graft.dv").collect()
+      .map(_.getString(0)).toSet
+    assert(vs === (1L to 19L by 2).map(k => s"v$k").toSet,
+      "a projection without the key column must still drop deleted rows")
+
+    // and an aggregate cannot sneak past the vector
+    assert(spark.sql("SELECT count(*) FROM graft.dv").head.getLong(0) === 10L)
+
+    // time travel BEFORE the delete resurrects the rows (manifest contract)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val versions = graft.sinks.ManifestCommit
+      .committed(fs, new org.apache.hadoop.fs.Path(dir)).map(_.version)
+    val preDelete = versions.init.last
+    assert(spark.sql(s"SELECT count(*) FROM graft.dv VERSION AS OF $preDelete")
+      .head.getLong(0) === 20L,
+      "pre-delete version must still see all rows")
+  }
+
+  test("catalog surface: listing, existence, read-only DDL, unmanaged refusal") {
+    val _ = root // force catalog registration
+    ParquetMergeSink.merge(Seq((1L, "x", 1L)).toDF("k", "v", "ver"),
+      s"$root/lst", Seq("k"), "ver", nBuckets = 2)
+    val names = spark.sql("SHOW TABLES IN graft").collect()
+      .map(_.getAs[String]("tableName")).toSet
+    assert(names.contains("lst"))
+    intercept[Exception] {
+      spark.sql("DROP TABLE graft.lst")
+    }
+    // a plain directory without a manifest is not a catalog table
+    (1L to 3L).toDF("x").write.parquet(s"$root/plain")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.plain").collect()
+    }
+  }
+}
