@@ -534,12 +534,24 @@ object Dedup {
     * recall (pairs whose two cells are all disjoint), spec-floored
     * against the exact all-pairs baseline in DedupSpec.
     *
+    * The cell count SCALES with the corpus (max(16, n/256)) so occupancy
+    * — and with it candidates-per-vector and the pair join's output —
+    * stays CONSTANT as data grows: a fixed cell count would make the
+    * within-cell join quadratic again one decade up. The residual
+    * super-constant term is the assignment itself (n × cells distance
+    * evals ⇒ n²/256 mults), which the native codegen'd [[NearestCells]]
+    * keeps sub-dominant well past 10⁷ vectors; the next decade's step is
+    * a two-level (IMI-style) quantizer with constant per-vector
+    * assignment cost, a drop-in swap at this same seam.
+    *
     * No SQL oracle: the k-means quantizer is not SQL-portable.
     */
   def embeddingCosBlocked(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.fanout(Tables.embeddings(spark, dir))
+    val nCells = math.max(16, (e.count() / 256).toInt)
     val cents = graft.functions.IvfIndex.centroids(
-      e, "embedding", 16, cacheKey = s"$dir#cosdedup")
+      e, "embedding", nCells, cacheKey = s"$dir#cosdedup",
+      sampleCap = math.max(4096, 8 * nCells))
     val assigned = e.select(col("vec_id"), col("embedding"),
         explode(graft.functions.NearestCells(col("embedding"), cents, 2)).as("cell"))
       // both self-join sides read the assignment — materialize once
@@ -573,32 +585,84 @@ object Dedup {
     * exact-cosine shape — which makes this ITERATIVE + QUADRATIC-local
     * pipeline hash-verifiable end-to-end against DuckDB.
     *
-    * Scale shape: the only corpus-wide operations are kmeans' rounds
-    * (broadcast centroids + one hash agg each) and the cluster
-    * equi-self-join, whose candidate count is Σ_c n_c² — bounded by
-    * cluster OCCUPANCY, not corpus size. The verified k here stays at
-    * kmeans' fixed 8 so the oracle composes; a production run scales k
-    * with the corpus (SemDeDup uses ~11k clusters at 100M docs) via the
-    * [[graft.functions.IvfIndex]] sampled trainer, which is exactly
-    * [[embeddingCosBlocked]]'s quantizer — same pipeline, swap the
-    * clustering, occupancy stays constant and the join stays linear.
+    * Scale shape: the only corpus-wide operations are the clustering and
+    * the cluster equi-self-join, whose candidate count is Σ_c n_c² —
+    * bounded by cluster OCCUPANCY, not corpus size. Occupancy only stays
+    * bounded if the cluster count grows with the corpus (SemDeDup uses
+    * ~11k clusters at 100M docs), so the operator is ADAPTIVE like
+    * [[components]]: up to [[SemDedupKmeansMax]] vectors it runs the
+    * exact k = 8 Lloyd's whose 4 rounds DuckDB can unroll (the
+    * hash-verified configuration — every gate SF lands here); past the
+    * cutoff the same keep rule runs on [[embeddingCosBlocked]]'s
+    * 2-probe IVF blocking with cell count max(16, n/256), keeping the
+    * pair join linear at any scale (the drop rule is SOUND on either
+    * side: a dropped vector provably has a lower-id exact-cosine
+    * near-dup; blocking only affects which near-dups are FOUND).
+    * DedupSpec forces and pins both sides via
+    * `spark.sql.graft.semdedupBlocking`.
     */
+  /** Above this corpus size the keep rule runs on IVF-cell blocking
+    * instead of the oracle-composable k = 8 kmeans (see [[semDedup]]).
+    */
+  private[operators] val SemDedupKmeansMax = 2048L
+
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
-    val assign = Similarity.kmeans(spark, dir)
-      .select(col("vec_id"), col("cluster"))
     val e = Tables.fanout(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"))
-    val v = e.join(assign, "vec_id")
-      .barrier() // both sides of the within-cluster self-join read this
-    val dups = v.as("a")
-      .join(v.as("b"),
-        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("b.vec_id").as("vec_id"),
-        CosineSimilarity(col("a.embedding"), col("b.embedding")).as("cos"))
-      .filter(col("cos") >= 0.3)
-      .groupBy(col("vec_id"))
+    // Strategy pick, [[components]]-style: the verified configuration
+    // (fixed k = 8 Lloyd's — the only shape DuckDB can unroll) keeps
+    // per-cluster occupancy bounded only while the corpus is small; past
+    // the cutoff the SAME keep rule runs on [[embeddingCosBlocked]]'s
+    // occupancy-constant IVF blocking (2-probe, adaptive cell count), so
+    // the pair join stays linear at any scale. `spark.sql.graft.
+    // semdedupBlocking` ∈ {kmeans, ivf} forces a side for specs/audits.
+    val useKmeans =
+      spark.conf.getOption("spark.sql.graft.semdedupBlocking") match {
+        case Some("kmeans") => true
+        case Some("ivf") => false
+        case _ => e.count() <= SemDedupKmeansMax
+      }
+    val (assigned, pairs) =
+      if (useKmeans) {
+        val assign = Similarity.kmeans(spark, dir)
+          .select(col("vec_id"), col("cluster"))
+        val v = e.join(assign, "vec_id")
+          .barrier() // both sides of the within-cluster self-join read this
+        val p = v.as("a")
+          .join(v.as("b"),
+            col("a.cluster") === col("b.cluster") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("lo"), col("b.vec_id").as("vec_id"),
+            CosineSimilarity(col("a.embedding"), col("b.embedding")).as("cos"))
+          .filter(col("cos") >= 0.3)
+        (v.select(col("vec_id"), col("cluster")), p)
+      } else {
+        val n = e.count()
+        val nCells = math.max(16, (n / 256).toInt)
+        val cents = graft.functions.IvfIndex.centroids(
+          e, "embedding", nCells, cacheKey = s"$dir#semdedup",
+          sampleCap = math.max(4096, 8 * nCells))
+        val a = e.select(col("vec_id"), col("embedding"),
+            graft.functions.NearestCells(col("embedding"), cents, 2).as("cells"))
+          .select(col("vec_id"), col("embedding"),
+            col("cells").getItem(0).as("cluster"),
+            explode(col("cells")).as("cell"))
+          .barrier() // both self-join sides + the output read this
+        val p = a.as("a")
+          .join(a.as("b"),
+            col("a.cell") === col("b.cell") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("lo"), col("b.vec_id").as("vec_id"),
+            CosineSimilarity(col("a.embedding"), col("b.embedding")).as("cos"))
+          // cos is deterministic per pair: filter first, dedup survivors
+          // (multi-probe can emit a pair in two shared cells)
+          .filter(col("cos") >= 0.3)
+          .dropDuplicates("lo", "vec_id")
+        (a.select(col("vec_id"), col("cluster")).dropDuplicates("vec_id"), p)
+      }
+    val dups = pairs.groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_dups_lower"), max(col("cos")).as("mc"))
-    v.join(dups, Seq("vec_id"), "left")
+    assigned.join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         coalesce(col("n_dups_lower"), lit(0L)).as("n_dups_lower"),
         trunc4(col("mc")).as("max_cos"),

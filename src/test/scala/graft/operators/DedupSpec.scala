@@ -131,6 +131,49 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"blocked recall $recall below floor (exact ${exact.size})")
   }
 
+  test("semDedup ivf branch: sound drops, reported cosines exact, deterministic") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.CosineSimilarity
+    // exact lower-id near-dup ground truth at spec scale
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val exact = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .join(e.select(col("vec_id").as("ib"), col("embedding").as("eb")),
+        col("ia") < col("ib"))
+      .select(col("ib"), col("ia"),
+        (floor(CosineSimilarity(col("ea"), col("eb")) * 1e4) / 1e4).as("c"))
+      .filter(col("c") >= 0.3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (b, rs) => b -> rs.map(_.getAs[Double]("c")).toSet }
+    spark.conf.set("spark.sql.graft.semdedupBlocking", "ivf")
+    try {
+      val out = Dedup.semDedup(spark, sfDir).collect()
+      assert(out.length.toLong === e.count(), "one verdict per vector")
+      out.foreach { r =>
+        val id = r.getAs[Long]("vec_id")
+        val keep = r.getAs[Boolean]("keep")
+        if (!keep) {
+          // soundness: a dropped vector really has a lower-id exact
+          // near-dup, and the reported max_cos is one of its exact
+          // lower-pair cosines (blocking can only affect WHICH are found)
+          assert(exact.contains(id), s"vec $id dropped without an exact near-dup")
+          assert(exact(id).contains(r.getAs[Double]("max_cos")),
+            s"vec $id max_cos is not an exact lower-pair cosine")
+        } else {
+          assert(r.getAs[Long]("n_dups_lower") === 0L)
+        }
+      }
+      val again = Dedup.semDedup(spark, sfDir).collect().map(_.toSeq)
+      assert(again.toSeq === out.map(_.toSeq).toSeq,
+        "ivf-blocked semDedup must be deterministic")
+      // the flag is honored: kmeans mode labels clusters 0..7 only, the
+      // ivf mode over this corpus uses 16 cells — cluster domains differ
+      spark.conf.set("spark.sql.graft.semdedupBlocking", "kmeans")
+      val km = Dedup.semDedup(spark, sfDir).collect()
+      assert(km.map(_.getAs[Int]("cluster")).max <= 7,
+        "kmeans mode must keep the 8-cluster oracle shape")
+    } finally spark.conf.unset("spark.sql.graft.semdedupBlocking")
+  }
+
   test("dupSpans finds planted cross-doc and within-doc repeated runs") {
     import spark.implicits._
     // doc 1 and doc 2 share an exact 20-token run (tokens w5..w24); every

@@ -67,7 +67,14 @@ class PartitionInvarianceSpec extends SparkSpec {
       // round-6: integer RRF of two bounded rankings, and a confusion
       // matrix whose centroid means are floor'd integer sums
       "hybrid_rrf" -> (() => TextOps.hybridRrf(spark, sfDir)),
-      "centroid_classify" -> (() => Similarity.centroidClassify(spark, sfDir)))
+      "centroid_classify" -> (() => Similarity.centroidClassify(spark, sfDir)),
+      // round-7: kmeans composition + within-cluster max-cos pruning
+      // (max over doubles is order-free; the iterative labels must be),
+      // and the NB classifier's per-doc micro-logit long sums
+      "semdedup" -> (() => Dedup.semDedup(spark, sfDir)),
+      "nb_quality" -> (() => TextOps.nbQuality(spark, sfDir)),
+      // per-domain cap: bounded-heap ranking under trunc4 quality ties
+      "domain_cap" -> (() => Curation.domainCap(spark, sfDir)))
     ops.foreach { case (name, op) =>
       val results = Seq(3, 8, 32).map(n => withPartitions(n) {
         // drop cached ANN quantizers so index TRAINING re-runs under each
