@@ -1073,6 +1073,9 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_tokens"), sum(col("mnats")).as("mn"))
       .select(col("doc_id"), expr("mn div n_tokens").as("score_micro"))
+      // the cumulative branch, the final rank join, and the total count
+      // all read the expensive LM-scored frame: compute it once
+      .barrier()
     // blocks of 100k micro-nats: every in-block window partition holds at
     // most 100k distinct scores no matter the corpus; the block domain
     // itself spans score-range / width ≈ a few hundred rows (scores are
@@ -1081,7 +1084,6 @@ object TextOps {
     val W = org.apache.spark.sql.expressions.Window
     val perScore = perDoc.groupBy(col("score_micro")).agg(count(lit(1)).as("cnt"))
       .withColumn("blk", floor(col("score_micro") / blockW))
-      .barrier() // block totals + in-block cumulative both read this
     val blkTotals = perScore.groupBy(col("blk")).agg(sum(col("cnt")).as("bt"))
     // partitionBy(lit(0)): ONE partition by construction — but over the
     // bounded block domain, not the corpus (and an explicit constant
