@@ -191,6 +191,24 @@ object SparkEntry {
     "stream_dedup_daily" -> (graft.streaming.EventStream.streamDedupDaily _)
   )
 
+  /** Session-conf pins Verify applies around a query's oracle dump (and
+    * restores afterwards). Adaptive operators switch strategy on corpus
+    * size; their registered oracle SQL describes ONE strategy — these
+    * pins force that strategy unconditionally, so an oracle sweep at ANY
+    * scale compares like-for-like instead of hash-mismatching the moment
+    * the corpus crosses the operator's adaptive cutoff. Bench never
+    * applies them: the benched path stays adaptive.
+    */
+  def oraclePins: Map[String, Map[String, String]] = Map(
+    // oracle unrolls the fixed k=8 Lloyd's; above SemDedupKmeansMax the
+    // default switches to IVF blocking (spec-pinned, not oracle-shaped)
+    "dd_semdedup" -> Map("spark.sql.graft.semdedupBlocking" -> "kmeans"),
+    // oracle is the naive complete-recall shingle join; above
+    // JaccardExactMax the default switches to LSH-banded candidates
+    "dd_ngram_jaccard" -> Map("spark.sql.graft.jaccardCandidates" -> "exact"),
+    "dd_components" -> Map("spark.sql.graft.jaccardCandidates" -> "exact"),
+    "dd_best_of_cluster" -> Map("spark.sql.graft.jaccardCandidates" -> "exact"))
+
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */

@@ -75,7 +75,18 @@ object Verify {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
     val failures = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val err = dumpOne(spark, name, fn, sfDir, outDir)
+      // Oracle pins (SparkEntry.oraclePins): force the oracle-shaped
+      // strategy of adaptive operators for the dump, restore afterwards —
+      // the oracle contract is unconditional at any sweep SF.
+      val pins = SparkEntry.oraclePins.getOrElse(name, Map.empty)
+      val saved = pins.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      pins.foreach { case (k, v) => spark.conf.set(k, v) }
+      val err =
+        try dumpOne(spark, name, fn, sfDir, outDir)
+        finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
       // drop the query's checkpoint blocks before the next one runs
       Tables.releaseIntermediates(spark)
       err.map(name -> _)

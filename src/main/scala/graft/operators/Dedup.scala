@@ -69,7 +69,68 @@ object Dedup {
                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
          FROM documents) WHERE rn = 1 ORDER BY doc_id"""
 
-  /** Exact pairwise word-3-gram Jaccard ≥ 0.5 with PPJoin-style pruning:
+  /** Jaccard similarity threshold shared by both candidate strategies. */
+  private val JaccT = 0.5
+
+  /** Above this corpus size [[ngramJaccard]] generates candidates from
+    * MinHash-LSH banding instead of the exact PPJoin prefix join (see
+    * [[ngramJaccard]]). 100k documents keeps every generated gate/bench
+    * SF through sf1 on the hash-verified exact side.
+    */
+  private[operators] val JaccardExactMax = 100000L
+
+  /** Pairwise word-3-gram Jaccard ≥ 0.5 — ADAPTIVE, [[components]]-style:
+    * the CANDIDATE strategy switches on corpus size, the verification is
+    * always the exact sorted-merge intersection, so precision is 1.0 on
+    * either side and reported Jaccard values are exact everywhere.
+    *
+    *  - ≤ [[JaccardExactMax]] docs: PPJoin prefix-filter candidates
+    *    ([[ngramJaccardExact]]) — complete (recall 1.0), the
+    *    oracle-verified configuration.
+    *  - above: MinHash-LSH banded candidates ([[ngramJaccardLsh]]) — the
+    *    published 100 TB corpus path. The prefix join's candidate volume
+    *    is Σ_s df_prefix(s)² and its duplicate emission is one row per
+    *    SHARED prefix shingle (~|prefix| rows per true pair), which at
+    *    sf10 shuffled ~25 GB and blew the bench budget; banding caps
+    *    emission at 16 rows per pair and the hot-bucket guard bounds any
+    *    degenerate bucket. Recall is the banding curve
+    *    1−(1−J⁴)¹⁶ (≈ 0.64 at J = 0.5, ≈ 0.99 at J ≥ 0.7),
+    *    spec-floored against the exact path in DedupSpec.
+    *
+    * `spark.sql.graft.jaccardCandidates` ∈ {exact, lsh} forces a side
+    * (Verify pins `exact` during oracle dumps — SparkEntry.oraclePins —
+    * so the oracle contract is unconditional at any sweep SF).
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val useExact =
+      spark.conf.getOption("spark.sql.graft.jaccardCandidates") match {
+        case Some("exact") => true
+        case Some("lsh") => false
+        // parquet row-count metadata — no scan job
+        case _ => Tables.documents(spark, dir).count() <= JaccardExactMax
+      }
+    val sh = shingled(spark, dir)
+    if (useExact) ngramJaccardExact(sh) else ngramJaccardLsh(sh)
+  }
+
+  /** Exact-verification tail shared by both candidate strategies: join the
+    * candidates back to the value-sorted 64-bit shingle-hash sets and
+    * compute true Jaccard in one [[SortedIntersectCount]] merge pass.
+    */
+  private def verifyJaccard(cands: DataFrame, docs: DataFrame): DataFrame =
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("sha")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("shb")), "doc_b")
+      .withColumn("common", SortedIntersectCount(col("sha"), col("shb")).cast("double"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("common") /
+          (size(col("sha")) + size(col("shb")) - col("common"))).as("jacc"))
+      .filter(col("jacc") >= JaccT)
+      .select(col("doc_a"), col("doc_b"), trunc4(col("jacc")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  /** Exact (complete-recall) candidates — PPJoin-style pruning:
     *
     *  1. prefix filter — shingles are globally ordered rarest-first; a pair
     *     with Jaccard ≥ t must share a shingle within both prefixes of
@@ -78,20 +139,20 @@ object Dedup {
     *     high-DF shingles, which sit in the suffixes);
     *  2. length filter — min(|x|,|y|) ≥ t·max(|x|,|y|) inside the join;
     *  3. exact verification — surviving candidates re-join their full
-    *     shingle sets and compute true Jaccard via `array_intersect`.
+    *     shingle sets and compute true Jaccard via [[verifyJaccard]].
     *
     * Semantics are identical to the naive shared-shingle join (the oracle
-    * SQL runs that) but the candidate set stays near-linear at scale.
+    * SQL runs that) but the candidate set stays near-linear while shingle
+    * document frequencies stay bounded.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val t = 0.5
+  private[operators] def ngramJaccardExact(shingles: DataFrame): DataFrame = {
+    val t = JaccT
     // Shingles are 64-bit-hashed up front: every downstream join, sort and
     // intersect runs on longs, not strings. A cross-shingle hash collision
     // (p ~ n²/2^64) could only add a candidate or nudge an intersect count;
     // verification still computes Jaccard over the full per-doc sets.
-    val sh = shingled(spark, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(col("shingles"), s => xxhash64(s)))).as("s"))
+    val sh = shingles.select(col("doc_id"),
+      explode(array_distinct(transform(col("shingles"), s => xxhash64(s)))).as("s"))
     // DF-table join is NOT broadcast-pinned: distinct-shingle cardinality is
     // O(corpus tokens) — billions of rows at 100 TB. Both sides shuffle on
     // the shingle hash; AQE may still broadcast while it genuinely fits.
@@ -132,17 +193,50 @@ object Dedup {
             ceil((col("a.n") + col("b.n")) * lit(t / (1 + t))))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cands
-      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("sha")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("shb")), "doc_b")
-      .withColumn("common", SortedIntersectCount(col("sha"), col("shb")).cast("double"))
-      .select(
-        col("doc_a"), col("doc_b"),
-        (col("common") /
-          (size(col("sha")) + size(col("shb")) - col("common"))).as("jacc"))
-      .filter(col("jacc") >= t)
-      .select(col("doc_a"), col("doc_b"), trunc4(col("jacc")).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    verifyJaccard(cands, docs)
+  }
+
+  /** LSH-banded candidates + exact verification — the corpus-scale side
+    * of [[ngramJaccard]]. Candidates come from the same 16×4 MinHash
+    * banding as [[minhashLsh]] (bucket equi-join, hot-bucket cap), but
+    * every candidate is then verified with the TRUE Jaccard over the full
+    * shingle-hash sets, so output rows are exact — only recall is
+    * probabilistic (the banding curve; see [[ngramJaccard]]).
+    *
+    * Scale shape: the banded frame is slim (doc_id, n, band, bucket) —
+    * arrays never enter the self-join shuffle; duplicate pair emission is
+    * ≤ 16 rows per pair (vs ~|prefix| for the exact path) and is absorbed
+    * by one hash-agg; verification joins carry each doc's hash set once
+    * per surviving pair side.
+    */
+  private[operators] def ngramJaccardLsh(
+      shingles: DataFrame, maxBucket: Int = maxLshBucket): DataFrame = {
+    val t = JaccT
+    val base = shingles.select(
+        col("doc_id"),
+        sort_array(array_distinct(transform(col("shingles"), s => xxhash64(s)))).as("hs"),
+        graft.functions.MinHashSig(
+          transform(col("shingles"), s => pmod(xxhash64(s), lit(MinHashP))),
+          minHashAs, minHashBs).as("sig"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"), col("sig"))
+      // banded candidates + both verification joins read this
+      .barrier()
+    val bandedAll = base.select(
+      col("doc_id"), col("n"),
+      posexplode(bandBuckets(col("sig"))).as(Seq("band", "bucket")))
+    val banded = bandedAll
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) >= greatest(col("a.n"), col("b.n")) * t)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyJaccard(cands, base)
   }
 
   val ngramJaccardOracle: String =
@@ -182,15 +276,28 @@ object Dedup {
     */
   private val maxLshBucket = 256
 
+  /** MinHash family shared by [[minhashLshDocs]] and [[ngramJaccardLsh]]:
+    * 64 permutations mod P = 2³¹−1, banded 16×4. Fixed odd multipliers/
+    * offsets (Knuth multiplicative constants mod P).
+    */
+  private[operators] val MinHashP = 2147483647L // 2^31 - 1
+  private val MinHashPerms = 64
+  private val LshBands = 16
+  private val LshRows = MinHashPerms / LshBands // 4
+  private[operators] val minHashAs =
+    (0 until MinHashPerms).map(i => ((2L * i + 1L) * 2654435761L) % MinHashP)
+  private[operators] val minHashBs =
+    (0 until MinHashPerms).map(i => ((i + 1L) * 40503L * 69069L) % MinHashP)
+
+  /** Per-band bucket ids (length-[[LshBands]] array) from a signature. */
+  private def bandBuckets(sig: Column): Column =
+    array((0 until LshBands).map(b =>
+      xxhash64((b * LshRows until (b + 1) * LshRows)
+        .map(i => element_at(sig, i + 1)): _*)): _*)
+
   private[operators] def minhashLshDocs(
       shingles: DataFrame, maxBucket: Int = maxLshBucket): DataFrame = {
-    val P = 2147483647L // 2^31 - 1
-    val nPerm = 64
-    val bands = 16
-    val rows = nPerm / bands // 4
-    // Fixed odd multipliers/offsets (Knuth multiplicative constants mod P).
-    val as = (0 until nPerm).map(i => ((2L * i + 1L) * 2654435761L) % P)
-    val bs = (0 until nPerm).map(i => ((i + 1L) * 40503L * 69069L) % P)
+    val nPerm = MinHashPerms
 
     // Signature is a pure projection over the per-doc shingle array — no
     // explode, no shuffle — and ONE native codegen'd pass over the array
@@ -200,18 +307,15 @@ object Dedup {
     // dominating the query (same lesson as SimHash64).
     val hashed = shingles.select(
       col("doc_id"),
-      transform(col("shingles"), s => pmod(xxhash64(s), lit(P))).as("xs"))
+      transform(col("shingles"), s => pmod(xxhash64(s), lit(MinHashP))).as("xs"))
     val sigArr = hashed.select(
       col("doc_id"),
-      graft.functions.MinHashSig(col("xs"), as, bs).as("sig"))
+      graft.functions.MinHashSig(col("xs"), minHashAs, minHashBs).as("sig"))
       // both sides of the band self-join read this — materialize once
       .barrier()
     val bandedAll = sigArr.select(
       col("doc_id"), col("sig"),
-      posexplode(
-        array((0 until bands).map(b =>
-          xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)): _*))
-        .as(Seq("band", "bucket")))
+      posexplode(bandBuckets(col("sig"))).as(Seq("band", "bucket")))
     // Cap degenerate buckets before the self-join (one count per (band,
     // bucket) — same shuffle key as the join itself).
     val banded = bandedAll
@@ -616,11 +720,14 @@ object Dedup {
     // occupancy-constant IVF blocking (2-probe, adaptive cell count), so
     // the pair join stays linear at any scale. `spark.sql.graft.
     // semdedupBlocking` ∈ {kmeans, ivf} forces a side for specs/audits.
+    // one count job serves both the strategy pick and the IVF cell count
+    // (a forced-kmeans run never pays it)
+    lazy val nVecs = e.count()
     val useKmeans =
       spark.conf.getOption("spark.sql.graft.semdedupBlocking") match {
         case Some("kmeans") => true
         case Some("ivf") => false
-        case _ => e.count() <= SemDedupKmeansMax
+        case _ => nVecs <= SemDedupKmeansMax
       }
     val (assigned, pairs) =
       if (useKmeans) {
@@ -637,31 +744,40 @@ object Dedup {
           .filter(col("cos") >= 0.3)
         (v.select(col("vec_id"), col("cluster")), p)
       } else {
-        val n = e.count()
-        val nCells = math.max(16, (n / 256).toInt)
+        val nCells = math.max(16, (nVecs / 256).toInt)
         val cents = graft.functions.IvfIndex.centroids(
           e, "embedding", nCells, cacheKey = s"$dir#semdedup",
           sampleCap = math.max(4096, 8 * nCells))
-        val a = e.select(col("vec_id"), col("embedding"),
+        // barrier BEFORE the multi-probe explode: one row per vector, so
+        // the assignment output needs no dropDuplicates, and each
+        // self-join side re-derives the (cheap, shuffle-free) explode
+        // from the materialized frame
+        val withCells = e.select(col("vec_id"), col("embedding"),
             graft.functions.NearestCells(col("embedding"), cents, 2).as("cells"))
-          .select(col("vec_id"), col("embedding"),
-            col("cells").getItem(0).as("cluster"),
-            explode(col("cells")).as("cell"))
-          .barrier() // both self-join sides + the output read this
+          .barrier()
+        val a = withCells.select(col("vec_id"), col("embedding"),
+          explode(col("cells")).as("cell"))
         val p = a.as("a")
           .join(a.as("b"),
             col("a.cell") === col("b.cell") &&
               col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("lo"), col("b.vec_id").as("vec_id"),
             CosineSimilarity(col("a.embedding"), col("b.embedding")).as("cos"))
-          // cos is deterministic per pair: filter first, dedup survivors
-          // (multi-probe can emit a pair in two shared cells)
+          // cos is deterministic per pair, so multi-probe duplicates pass
+          // or fail together: filter, then let the DOWNSTREAM aggregate's
+          // count_distinct absorb them — no pair-level dropDuplicates
+          // shuffle (the 16.9× sf1→sf10 step of round 7 was exactly that
+          // exchange re-shuffling every surviving pair)
           .filter(col("cos") >= 0.3)
-          .dropDuplicates("lo", "vec_id")
-        (a.select(col("vec_id"), col("cluster")).dropDuplicates("vec_id"), p)
+        (withCells.select(col("vec_id"),
+          col("cells").getItem(0).as("cluster")), p)
       }
+    // count_distinct(lo): duplicate (lo, vec_id) emissions from multi-probe
+    // collapse inside this one aggregate (partial distinct map-side); on
+    // the kmeans side pairs are already unique, so it equals count(*) —
+    // the oracle's shape
     val dups = pairs.groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("n_dups_lower"), max(col("cos")).as("mc"))
+      .agg(count_distinct(col("lo")).as("n_dups_lower"), max(col("cos")).as("mc"))
     assigned.join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         coalesce(col("n_dups_lower"), lit(0L)).as("n_dups_lower"),

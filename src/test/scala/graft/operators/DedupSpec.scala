@@ -23,6 +23,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lsh-candidate jaccard: exact values, subset of exact path, recall floor") {
+    // force the corpus-scale candidate strategy on the spec corpus and
+    // pin it against the complete-recall exact path: every returned pair
+    // must carry the IDENTICAL exact Jaccard (verification is shared),
+    // and banding recall over the planted near-dups must clear the floor
+    val exactRows = Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    spark.conf.set("spark.sql.graft.jaccardCandidates", "lsh")
+    try {
+      val lshRows = Dedup.ngramJaccard(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+          r.getAs[Double]("jaccard")).toMap
+      lshRows.foreach { case (p, j) =>
+        assert(exactRows.contains(p), s"lsh pair $p not in exact output")
+        assert(exactRows(p) === j, s"lsh pair $p jaccard $j != exact ${exactRows(p)}")
+      }
+      val recall =
+        if (exactRows.isEmpty) 1.0
+        else lshRows.keySet.count(exactRows.contains).toDouble / exactRows.size
+      // banding curve 1-(1-J^4)^16 ≈ 0.64 at the J=0.5 boundary, ≈ 0.99
+      // at J >= 0.7; the planted corpus dups sit well above the boundary
+      assert(recall >= 0.6, s"lsh recall $recall below floor (${exactRows.size} exact)")
+    } finally spark.conf.unset("spark.sql.graft.jaccardCandidates")
+  }
+
   test("minhashLsh recovers the exact-Jaccard pairs (est >= 0.5)") {
     val lsh = pairs(Dedup.minhashLsh(spark, sfDir))
     val missed = exactJaccardPairs -- lsh
