@@ -125,9 +125,12 @@ object ScaleUp {
         // but a disjoint surface vocabulary, so outer copies share almost
         // no shingles with each other or the original (exactly like the
         // embedding rotation: same distribution, unrelated content).
-        // Residual collisions need every word char-rotation-invariant
-        // under Δa (single-char or repeated-char words throughout) —
-        // degenerate docs the warning below would catch as < inner words.
+        // Residual collisions: char rotation by Δa is the identity on a
+        // word exactly when the word's minimal block period divides Δa
+        // (NOT only for single/repeated-char words — a doc of 2- and
+        // 3-letter words collides between outer levels at Δa = 6), so a
+        // doc repeats across outer levels iff the lcm of its word periods
+        // is ≤ outer−1. The audit after the write counts those docs.
         // (A fixed-stride `7c mod n` inner offset silently collided
         // whenever n | 7Δc — e.g. every 14-word doc collapsed its even
         // copies into verbatim duplicates; the even spread fixed that.)
@@ -203,6 +206,34 @@ object ScaleUp {
         s"$innerCopies inner rotation copies — their word rotations " +
         "collide (verbatim duplicate copies within an outer level); " +
         "exact-dup counts at the scaled SF are inflated for them")
+    // Cross-outer-level collision audit: char rotation by Δa is the
+    // identity on word w iff w's minimal block period divides Δa, so a
+    // doc's copies repeat between outer levels iff lcm(word periods) ≤
+    // outer − 1. Driver-side by design: the SOURCE corpus is the
+    // pre-scale small input (sf0.1 ≈ 5k docs), and minimal-period
+    // extraction is a char scan no SQL builtin expresses.
+    val outerLevels = math.ceil(copies.toDouble / innerCopies).toInt
+    if (outerLevels > 1) {
+      def blockPeriod(w: String): Long =
+        (1 to w.length).find(p => w.length % p == 0 &&
+          (p until w.length).forall(i => w(i) == w(i - p)))
+          .getOrElse(w.length).toLong
+      def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+      val cap = outerLevels.toLong // lcm past outer−1 can never collide
+      val colliders = Tables.documents(spark, src).select("text").collect()
+        .count { r =>
+          val ws = r.getString(0).trim.split("\\s+").filter(_.nonEmpty)
+          ws.nonEmpty && ws.foldLeft(1L) { (acc, w) =>
+            if (acc >= cap) acc
+            else { val p = blockPeriod(w); acc / gcd(acc, p) * p }
+          } <= (outerLevels - 1).toLong
+        }
+      if (colliders > 0)
+        println(s"WARNING: $colliders source docs have lcm(word block " +
+          s"periods) <= ${outerLevels - 1} — their char rotations repeat " +
+          "between outer levels (verbatim cross-level duplicates); " +
+          "exact-dup counts at the scaled SF are inflated for them")
+    }
     spark.stop()
   }
 }

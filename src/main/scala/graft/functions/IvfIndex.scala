@@ -62,6 +62,31 @@ object IvfIndex {
         .minBy(sse(ordered, _))
     }
 
+  /** Two-level (IMI) sub-quantizers: the vector's two halves each train
+    * their own `kPerHalf`-cell quantizer on the SAME deterministic
+    * sample, giving kPerHalf² product cells for 2·kPerHalf training
+    * centroids and kPerHalf + kPerHalf assignment distance evals per
+    * vector ([[graft.functions.ImiCells]]). Returns (halfA, halfB)
+    * centroid sets; halfA's dim is ⌊dim/2⌋ and defines the split point.
+    */
+  def imiCentroids(corpus: DataFrame, embCol: String, kPerHalf: Int,
+      cacheKey: String, sampleCap: Int = 4096, iters: Int = 10,
+      seed: Long = 42L, restarts: Int = 4): (Array[Array[Double]], Array[Array[Double]]) = {
+    def half(tag: String, slice: Array[Double] => Array[Double]) =
+      cached((cacheKey + tag, kPerHalf, sampleCap, iters, seed, restarts)) {
+        val s = deterministicSample(corpus, embCol, sampleCap, seed)
+        require(s.nonEmpty && s(0).length >= 2,
+          "IMI needs at least 2-dimensional vectors to split")
+        val pts = s.map(slice)
+        (0 until restarts)
+          .map(r => lloyd(pts, kPerHalf, iters, seed + r))
+          .minBy(sse(pts, _))
+      }
+    val a = half("#imiA", p => p.take(p.length / 2))
+    val b = half("#imiB", p => p.drop(p.length / 2))
+    (a, b)
+  }
+
   /** Content-deterministic training sample in canonical order: every row
     * draws a hash of its OWN vector (seed folded in) and the `cap`
     * smallest draws win — the min-k pattern. Unlike

@@ -213,3 +213,134 @@ object NearestCells {
     out
   }
 }
+
+/** Two-level inverted multi-index (IMI) probe assignment — the
+  * constant-per-vector successor to [[NearestCells]] (Babenko &
+  * Lempitsky, "The Inverted Multi-Index", CVPR 2012): the vector splits
+  * into two halves, each half has its own sub-quantizer, and the
+  * effective cell is the PRODUCT cell `ca * Kb + cb`. Ka×Kb cells cost
+  * only Ka + Kb distance evaluations per vector (√cells per half), so
+  * the assignment stays flat while the cell count scales with the
+  * corpus — the regime past ~10⁷ vectors where a flat coarse
+  * quantizer's n/occupancy × dim multiplies start to dominate.
+  *
+  * Probe list: because d²(x, c_{a,b}) = d²(x₁, uₐ) + d²(x₂, v_b)
+  * decomposes, the `nprobe` nearest product cells are selected exactly
+  * from the two half-distance tables (ties by lower product-cell id) —
+  * same contract as [[NearestCells]], drop-in at the same seam.
+  */
+case class ImiCells(child: Expression, centroidsA: Array[Array[Double]],
+    centroidsB: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"imi_cells expects array<float|double>, got ${t.catalogString}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ImiCells.compute(input.asInstanceOf[ArrayData], centroidsA, centroidsB,
+      nprobe, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("centroidsA", centroidsA, "double[][]")
+    val bRef = ctx.addReferenceObj("centroidsB", centroidsB, "double[][]")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""${ev.value} = graft.functions.ImiCells.compute(
+         |  $x, $aRef, $bRef, $nprobe, $isFloat);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImiCells =
+    copy(child = newChild)
+
+  // Array fields break case-class equality/semanticEquals; compare content.
+  override def equals(other: Any): Boolean = other match {
+    case ImiCells(c, ca, cb, np) =>
+      c == child && np == nprobe &&
+        ca.length == centroidsA.length && cb.length == centroidsB.length &&
+        ca.indices.forall(i => java.util.Arrays.equals(ca(i), centroidsA(i))) &&
+        cb.indices.forall(i => java.util.Arrays.equals(cb(i), centroidsB(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(nprobe),
+      Integer.valueOf(centroidsA.length), Integer.valueOf(centroidsB.length))
+
+  override def prettyName: String = "graft_imi_cells"
+}
+
+object ImiCells {
+  def compute(emb: ArrayData, centroidsA: Array[Array[Double]],
+      centroidsB: Array[Array[Double]], nprobe: Int, isFloat: Boolean): ArrayData = {
+    val n = emb.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) { v(i) = VectorIndexKernels.elem(emb, i, isFloat); i += 1 }
+    new GenericArrayData(computeLocal(v, centroidsA, centroidsB, nprobe))
+  }
+
+  /** Column-API entry point. */
+  def apply(emb: Column, centroidsA: Array[Array[Double]],
+      centroidsB: Array[Array[Double]], nprobe: Int): Column =
+    GraftBridge.column(
+      ImiCells(GraftBridge.expression(emb), centroidsA, centroidsB, nprobe))
+
+  /** The kernel: product-cell ids of the `nprobe` L2-nearest product
+    * cells (order (sum, cell id)). Half distances are Ka + Kb
+    * half-length loops; the selection never touches the Ka×Kb product —
+    * the i-th nearest product cell's half indices are provably within
+    * each half's own top-i (replacing a half index with a closer one
+    * yields a cell that precedes it in the total order), so the exact
+    * top-`nprobe` lives inside the nprobe×nprobe candidate grid over
+    * the per-half top-`nprobe` lists from [[NearestCells.computeLocal]]'s
+    * partial selection. Per-vector cost: (Ka+Kb)·dim/2 multiplies +
+    * O(nprobe·K) selection + nprobe² adds — flat in the cell COUNT
+    * product.
+    */
+  def computeLocal(v: Array[Double], centroidsA: Array[Array[Double]],
+      centroidsB: Array[Array[Double]], nprobe: Int): Array[Int] = {
+    val ka = centroidsA.length
+    val kb = centroidsB.length
+    val split = centroidsA(0).length
+    val vA = java.util.Arrays.copyOfRange(v, 0, math.min(split, v.length))
+    val vB = java.util.Arrays.copyOfRange(v, math.min(split, v.length), v.length)
+    def halfD2(half: Array[Double], ctr: Array[Double]): Double = {
+      val n = math.min(half.length, ctr.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { val diff = half(i) - ctr(i); acc += diff * diff; i += 1 }
+      acc
+    }
+    val m = math.min(nprobe, ka * kb)
+    val pa = math.min(m, ka)
+    val pb = math.min(m, kb)
+    // per-half exact top lists, ties by lower id (shared kernel)
+    val topA = NearestCells.computeLocal(vA, centroidsA, pa)
+    val topB = NearestCells.computeLocal(vB, centroidsB, pb)
+    val dA = topA.map(a => halfD2(vA, centroidsA(a)))
+    val dB = topB.map(b => halfD2(vB, centroidsB(b)))
+    // exact top-m over the candidate grid, order (sum, product-cell id)
+    val cand = new Array[(Double, Int)](pa * pb)
+    var i = 0
+    var ai = 0
+    while (ai < pa) {
+      var bi = 0
+      while (bi < pb) {
+        cand(i) = (dA(ai) + dB(bi), topA(ai) * kb + topB(bi))
+        i += 1
+        bi += 1
+      }
+      ai += 1
+    }
+    java.util.Arrays.sort(cand, Ordering.Tuple2[Double, Int])
+    cand.take(m).map(_._2)
+  }
+}

@@ -38,6 +38,11 @@ object Curation {
     import spark.implicits._
     val bl = Blocklist.toDF("source")
     Tables.documents(spark, dir)
+      // Unknown provenance does NOT pass a provenance gate: a NULL source
+      // drops here, explicitly. (Spark's left_anti KEEPS a null-key row
+      // while SQL's NOT IN yields NULL for it — this filter makes the two
+      // agree instead of leaving a latent engine divergence.)
+      .filter(col("source").isNotNull)
       .join(broadcast(bl), Seq("source"), "left_anti")
       .select(col("doc_id"), col("source"), col("lang"))
       .orderBy("doc_id")

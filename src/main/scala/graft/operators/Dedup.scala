@@ -643,21 +643,52 @@ object Dedup {
     * stays CONSTANT as data grows: a fixed cell count would make the
     * within-cell join quadratic again one decade up. The residual
     * super-constant term is the assignment itself (n × cells distance
-    * evals ⇒ n²/256 mults), which the native codegen'd [[NearestCells]]
-    * keeps sub-dominant well past 10⁷ vectors; the next decade's step is
-    * a two-level (IMI-style) quantizer with constant per-vector
-    * assignment cost, a drop-in swap at this same seam.
+    * evals ⇒ n²/256 mults), which the native codegen'd
+    * [[graft.functions.NearestCells]] keeps sub-dominant to
+    * [[EmbBlockedImiMin]] ≈ 10⁷ vectors; past it the SAME seam swaps in
+    * the two-level IMI quantizer ([[graft.functions.ImiCells]]): √cells
+    * sub-centroids per half, so per-vector assignment cost is flat in
+    * the product cell count. `spark.sql.graft.embBlocking` ∈ {ivf, imi}
+    * forces a side (DedupSpec pins the forced-IMI drop soundness and
+    * recall floor against the same exact baseline as the IVF side).
     *
     * No SQL oracle: the k-means quantizer is not SQL-portable.
     */
+  /** Corpus size above which [[embeddingCosBlocked]] swaps the flat IVF
+    * coarse quantizer for the two-level IMI one: at n/256 cells the flat
+    * assignment is n²/256 multiply-accumulates per full pass (~4·10¹²·dim
+    * at 10⁷ vectors — minutes of pure FLOPs), while IMI's per-half
+    * √(n/256) sub-centroids keep it n·√(n/256) — still sub-linear growth
+    * per vector at any realistic corpus.
+    */
+  private[operators] val EmbBlockedImiMin = 10000000L
+
   def embeddingCosBlocked(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.fanout(Tables.embeddings(spark, dir))
-    val nCells = math.max(16, (e.count() / 256).toInt)
-    val cents = graft.functions.IvfIndex.centroids(
-      e, "embedding", nCells, cacheKey = s"$dir#cosdedup",
-      sampleCap = math.max(4096, 8 * nCells))
+    val n = e.count()
+    val useImi = spark.conf.getOption("spark.sql.graft.embBlocking") match {
+      case Some("imi") => true
+      case Some("ivf") => false
+      case _ => n > EmbBlockedImiMin
+    }
+    val cellsOf: Column =
+      if (useImi) {
+        // per-half √(n/256) sub-centroids → n/256 product cells, same
+        // occupancy target as the flat path
+        val kHalf = math.max(4, math.ceil(math.sqrt(n / 256.0)).toInt)
+        val (ca, cb) = graft.functions.IvfIndex.imiCentroids(
+          e, "embedding", kHalf, cacheKey = s"$dir#cosdedup",
+          sampleCap = math.max(4096, 16 * kHalf))
+        graft.functions.ImiCells(col("embedding"), ca, cb, 2)
+      } else {
+        val nCells = math.max(16, (n / 256).toInt)
+        val cents = graft.functions.IvfIndex.centroids(
+          e, "embedding", nCells, cacheKey = s"$dir#cosdedup",
+          sampleCap = math.max(4096, 8 * nCells))
+        graft.functions.NearestCells(col("embedding"), cents, 2)
+      }
     val assigned = e.select(col("vec_id"), col("embedding"),
-        explode(graft.functions.NearestCells(col("embedding"), cents, 2)).as("cell"))
+        explode(cellsOf).as("cell"))
       // both self-join sides read the assignment — materialize once
       .barrier()
     assigned.as("a")

@@ -499,9 +499,16 @@ object TextOps {
     * lives inside B, which is what catches quotes, syndicated excerpts
     * and wrapper pages that a symmetric measure dilutes away (a 100-word
     * quote inside a 10 000-word page has Jaccard ≈ 0.01 but containment
-    * ≈ 1.0 from the quote's side). Probe side is the deterministic
-    * `doc_id % 20 = 0` slice — the incremental-ingest shape: a new batch
-    * checked for being-contained against the standing corpus.
+    * ≈ 1.0 from the quote's side). Probe side is a FIXED-SIZE
+    * deterministic min-k draw — the [[ContainmentProbeN]] documents with
+    * the smallest `md5('probe:' || doc_id)` (doc_id tie-break) — the
+    * incremental-ingest shape: a new batch of ~constant size checked for
+    * being-contained against the standing corpus. (Round 7 used a
+    * `doc_id % 20` slice — a corpus FRACTION, which made the testbed's
+    * probe×corpus co-occurrence grow ~n²·f and flagged the query 13× on
+    * the sf1→sf10 decade even though the production shape is linear.
+    * The min-k draw keeps the bench shape equal to the production shape:
+    * probe cost is O(corpus) with a constant batch.)
     *
     * Shape: PPJoin-style candidate generation + merge-pass verification,
     * all on 64-bit gram hashes (raw trigram strings never cross the
@@ -515,9 +522,22 @@ object TextOps {
     * the survivors' intersection is counted in one sorted-merge pass
     * ([[graft.functions.SortedIntersectCount]]), never re-joined.
     */
+  /** Fixed probe-batch size for [[containment]] (see its scaladoc). */
+  private[operators] val ContainmentProbeN = 128
+
   def containment(spark: SparkSession, dir: String): DataFrame = {
     val t = 0.2
     val d = Tables.fanout(Tables.documents(spark, dir))
+    // Deterministic min-k probe draw on the slim id column: orderBy+limit
+    // plans as TakeOrderedAndProject — a bounded per-partition heap, k ids
+    // to the driver, never a global sort. 128 longs is an adjudicated
+    // bounded collect (the probe BATCH is the operator's input contract).
+    val probeIds = d.select(col("doc_id"))
+      .orderBy(
+        md5(concat(lit("probe:"), col("doc_id").cast("string")).cast("binary")),
+        col("doc_id"))
+      .limit(ContainmentProbeN)
+      .collect().map(_.getLong(0)).toSeq
     val sh = d.select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(array_distinct(transform(
@@ -537,11 +557,11 @@ object TextOps {
         sort_array(transform(col("arr"), e => e.getField("g"))).as("hs"),
         transform(col("arr"), e => e.getField("g")).as("rare"))
       .barrier() // probe prefix, corpus postings and verification all read it
-    val probe = docs.filter(col("doc_id") % 20 === 0)
+    val probe = docs.filter(col("doc_id").isin(probeIds: _*))
       .select(col("doc_id").as("a_id"), col("n").as("a_n"),
         posexplode(slice(col("rare"), lit(1),
           (col("n") - ceil(col("n") * t) + 1).cast("int"))).as(Seq("pa0", "g")))
-    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val corpus = docs.filter(!col("doc_id").isin(probeIds: _*))
       .select(col("doc_id").as("b_id"), col("n").as("b_n"),
         posexplode(col("rare")).as(Seq("pb0", "g")))
     val cands = probe.join(corpus,
@@ -563,16 +583,21 @@ object TextOps {
   }
 
   val containmentOracle: String =
-    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-                  FROM documents
-                  WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
+    """WITH pids AS (SELECT doc_id FROM documents
+                     ORDER BY md5('probe:' || CAST(doc_id AS VARCHAR)), doc_id
+                     LIMIT 128),
+       w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+             FROM documents
+             WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
        g AS (SELECT doc_id,
                list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
                  FOR i IN generate_series(1, len(ws) - 2)]) AS gs
              FROM w),
        p AS (SELECT doc_id AS a_id, CAST(len(gs) AS BIGINT) AS a_n,
-               unnest(gs) AS s FROM g WHERE doc_id % 20 = 0),
-       c AS (SELECT doc_id AS b_id, unnest(gs) AS s FROM g WHERE doc_id % 20 <> 0),
+               unnest(gs) AS s FROM g
+             WHERE doc_id IN (SELECT doc_id FROM pids)),
+       c AS (SELECT doc_id AS b_id, unnest(gs) AS s FROM g
+             WHERE doc_id NOT IN (SELECT doc_id FROM pids)),
        j AS (SELECT a_id, b_id, a_n, count(*) AS n_common
              FROM p JOIN c USING (s) GROUP BY 1, 2, 3)
        SELECT a_id, b_id, n_common,
@@ -1179,6 +1204,19 @@ object TextOps {
     val wd = tot.select(
       floor(log((col("t_neg") + B).cast("double") / (col("t_pos") + B).cast("double"))
         * 1e6).cast("long").as("w0"))
+    // Degenerate-corpus guard ([[Similarity.powerComponent]]'s fail-loudly
+    // pattern): a corpus too small for ccnetBuckets to mint both tertiles
+    // gives ln(n_pos/n_neg) = ±Infinity, which Spark's long cast clamps to
+    // Long.MaxValue while DuckDB errors — fail loudly instead. The count
+    // action reads the barriered `cb` frame, so no extra corpus scan.
+    val tertiles = cb.agg(
+        coalesce(sum(when(col("bucket") === 0, 1L).otherwise(0L)), lit(0L)).as("n_pos"),
+        coalesce(sum(when(col("bucket") === 2, 1L).otherwise(0L)), lit(0L)).as("n_neg"))
+      .head()
+    require(tertiles.getLong(0) > 0 && tertiles.getLong(1) > 0,
+      s"nbQuality needs both training tertiles non-empty (n_pos=" +
+        s"${tertiles.getLong(0)}, n_neg=${tertiles.getLong(1)}): the corpus " +
+        "is too small/degenerate for ccnetBuckets to mint head and tail")
     val prior = cb.agg(
         sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("n_pos"),
         sum(when(col("bucket") === 2, 1L).otherwise(0L)).as("n_neg"))

@@ -233,8 +233,18 @@ object ParquetMergeSink {
     val carried = manifest.entries.filter { case (k, _) =>
       !k.startsWith("dir.") || !touched.contains(k.stripPrefix("dir.").toInt)
     }
-    finishCommit(fs, table, carried ++ updated)
+    finishCommit(fs, table, carried ++ updated ++ writeMeta(keys, version))
   }
+
+  /** Write-config metadata stamped into every merge commit: the key and
+    * version columns ARE the table's write contract, and recording them
+    * in the manifest lets the SQL catalog route `INSERT INTO graft.t`
+    * through this same idempotent merge without out-of-band config
+    * ([[graft.sources.GraftCatalog]]). Re-stamped on each commit, so
+    * pre-existing tables acquire it on their next API merge.
+    */
+  private def writeMeta(keys: Seq[String], version: String): Map[String, String] =
+    Map("merge.keys" -> keys.mkString(","), "merge.version" -> version)
 
   private val DelCol = "__del"
 
@@ -370,6 +380,6 @@ object ParquetMergeSink {
     val carried = manifest.entries.filter { case (k, _) =>
       !k.startsWith("dir.") || !touched.contains(k.stripPrefix("dir.").toInt)
     }
-    finishCommit(fs, table, carried ++ updated)
+    finishCommit(fs, table, carried ++ updated ++ writeMeta(keys, version))
   }
 }

@@ -130,15 +130,19 @@ class GraftCatalog extends TableCatalog {
     val dv = for {
       rel <- m.dirs.get("deletes")
       key <- m.entries.get("delete.key")
-    } yield {
-      val keys = spark.read.parquet(new Path(p, rel).toString)
-      val n = keys.count()
-      require(n <= MaxDvKeys,
-        s"$p carries a $n-key deletion vector (> $MaxDvKeys): compact the " +
-          "table to materialize the deletes before serving it via SQL")
-      (key, keys.collect().map(_.get(0)).toSet[Any])
-    }
-    new GraftTable(s"$catName.${ident.name}", spark, dataDirs, dv)
+    } yield (key, GraftCatalog.dvBroadcast(spark, p, m.version, rel, MaxDvKeys))
+    // SQL write config (merge-sink tables only): the manifest records the
+    // merge key/version columns — `INSERT INTO graft.t` routes through
+    // ParquetMergeSink.merge with them. Historical versions and
+    // DV-carrying tables stay read-only (a write on top of a time-travel
+    // read or an un-compacted delete epoch has no sane semantics).
+    val writeCfg = if (version.isDefined || dv.isDefined) None else for {
+      ks <- m.entries.get("merge.keys")
+      ver <- m.entries.get("merge.version")
+      bk <- m.entries.get("buckets")
+    } yield (ks.split(",").toSeq, ver, bk.toInt)
+    new GraftTable(s"$catName.${ident.name}", spark, dataDirs, dv,
+      p.toString, writeCfg)
   }
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
@@ -154,13 +158,49 @@ class GraftCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly
 }
 
+object GraftCatalog {
+
+  /** Deletion-vector key sets, loaded once per (table, manifest version)
+    * and shipped as a BROADCAST — one copy per executor, not one
+    * serialized closure copy per task (a 10M-key Set[Any] in the
+    * reader-factory closure taxed every task of every query). loadTable
+    * runs on every query against the table; the cache makes the
+    * count()+collect() a once-per-version cost. One live entry per table:
+    * a version flip (new delete epoch or a compact) replaces — and
+    * unpersists — the superseded broadcast.
+    */
+  private val dvCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, org.apache.spark.broadcast.Broadcast[Set[Any]])]()
+
+  private[sources] def dvBroadcast(spark: SparkSession, table: Path,
+      version: Long, rel: String,
+      maxKeys: Long): org.apache.spark.broadcast.Broadcast[Set[Any]] =
+    dvCache.compute(table.toString, (_, cached) => {
+      if (cached != null && cached._1 == version) cached
+      else {
+        if (cached != null) cached._2.unpersist(blocking = false)
+        val keys = spark.read.parquet(new Path(table, rel).toString)
+        val n = keys.count()
+        require(n <= maxKeys,
+          s"$table carries a $n-key deletion vector (> $maxKeys): compact " +
+            "the table to materialize the deletes before serving it via SQL")
+        (version,
+          spark.sparkContext.broadcast(keys.collect().map(_.get(0)).toSet[Any]))
+      }
+    })._2
+}
+
 /** A manifest-resolved managed table: schema and scans delegate to
   * Spark's parquet DSv2 over exactly the committed generation dirs; an
   * optional deletion vector wraps the scan (see [[GraftCatalog]]).
   */
 private[sources] class GraftTable(tableName: String, spark: SparkSession,
-    dataDirs: Seq[String], dv: Option[(String, Set[Any])])
-  extends Table with SupportsRead {
+    dataDirs: Seq[String],
+    dv: Option[(String, org.apache.spark.broadcast.Broadcast[Set[Any]])],
+    tablePath: String,
+    writeCfg: Option[(Seq[String], String, Int)])
+  extends Table with SupportsRead with SupportsWrite {
 
   private lazy val delegate = ParquetTable(tableName, spark,
     CaseInsensitiveStringMap.empty(), dataDirs, None, classOf[ParquetFileFormat])
@@ -168,7 +208,7 @@ private[sources] class GraftTable(tableName: String, spark: SparkSession,
   override def name(): String = tableName
   override def schema(): StructType = delegate.schema
   override def capabilities(): JSet[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val inner = delegate.newScanBuilder(options)
@@ -178,6 +218,41 @@ private[sources] class GraftTable(tableName: String, spark: SparkSession,
         new DvScanBuilder(inner, schema(), keyCol, keys)
     }
   }
+
+  /** `INSERT INTO graft.t` = ONE idempotent [[ParquetMergeSink.merge]]
+    * commit with the manifest-recorded key/version columns: duplicate
+    * keys upsert latest-wins exactly like the API path (the indexer's
+    * ON CONFLICT discipline — SQL INSERT is the SQL face of merge, and
+    * replaying the same INSERT converges to the same table). The V1Write
+    * seam hands the whole batch DataFrame to the sink on the driver,
+    * which is precisely merge's contract; the write itself is still the
+    * sink's distributed bucket-partitioned parquet write.
+    */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                val (keys, version, buckets) = writeCfg.getOrElse(
+                  throw new UnsupportedOperationException(
+                    s"$tableName is not SQL-writable: only CURRENT merge-sink " +
+                      "tables (manifest carries merge.keys/merge.version) accept " +
+                      "INSERT INTO; time-travel reads and DV-carrying tables " +
+                      "are read-only — write through the sink APIs"))
+                require(!overwrite,
+                  s"INSERT OVERWRITE into $tableName is not supported: the " +
+                    "merge protocol is upsert-only (ON CONFLICT DO UPDATE); " +
+                    "rebuild via the sink APIs for a full replace")
+                graft.sinks.ParquetMergeSink.merge(
+                  data, tablePath, keys, version, buckets)
+              }
+            }
+        }
+    }
 }
 
 /** Column-pruning/filter-pushdown passthrough that force-includes the
@@ -187,7 +262,8 @@ private[sources] class GraftTable(tableName: String, spark: SparkSession,
   * the vector would keep or drop — the conjunction is order-free).
   */
 private[sources] class DvScanBuilder(delegate: FileScanBuilder,
-    fullSchema: StructType, keyCol: String, keys: Set[Any])
+    fullSchema: StructType, keyCol: String,
+    keys: org.apache.spark.broadcast.Broadcast[Set[Any]])
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters {
 
@@ -212,11 +288,12 @@ private[sources] class DvScanBuilder(delegate: FileScanBuilder,
 }
 
 private[sources] class DvScan(delegate: Scan, output: StructType,
-    keyCol: String, keys: Set[Any]) extends Scan {
+    keyCol: String,
+    keys: org.apache.spark.broadcast.Broadcast[Set[Any]]) extends Scan {
 
   override def readSchema(): StructType = output
   override def description(): String =
-    s"GraftDvScan(key=$keyCol, deleted=${keys.size}) " + delegate.description()
+    s"GraftDvScan(key=$keyCol, deleted=${keys.value.size}) " + delegate.description()
 
   override def toBatch: Batch = new Batch {
     private val inner = delegate.toBatch
@@ -233,9 +310,14 @@ private[sources] class DvScan(delegate: Scan, output: StructType,
   * Columnar reads are declined — the filter runs per row (the deletion
   * vector cost; compact restores the vectorized path).
   */
+/** The deletion vector arrives as a broadcast handle — the factory ships
+  * the lightweight handle in every task closure; the key SET is fetched
+  * once per executor at first dereference.
+  */
 private[sources] class DvReaderFactory(delegate: PartitionReaderFactory,
     readSchema: StructType, outputNames: Array[String], keyCol: String,
-    keys: Set[Any]) extends PartitionReaderFactory {
+    keys: org.apache.spark.broadcast.Broadcast[Set[Any]])
+  extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
@@ -261,7 +343,7 @@ private[sources] class DvReaderFactory(delegate: PartitionReaderFactory,
         while (inner.next()) {
           val row = inner.get()
           val k = keyGet(row)
-          if (k == null || !keys.contains(k)) {
+          if (k == null || !keys.value.contains(k)) {
             current = if (identity) row else proj(row)
             return true
           }

@@ -8,6 +8,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Drain the listener bus (private[spark]) — lets diagnostic mains read
+    * complete per-task metrics after an action returns. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)

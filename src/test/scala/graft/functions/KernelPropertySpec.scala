@@ -41,6 +41,32 @@ class KernelPropertySpec extends SparkSpec {
     assert(bad.count() === 0, s"mismatching cases: ${bad.collect().mkString(", ")}")
   }
 
+  test("imi_cells top-probe equals brute force over the product cells") {
+    // integer-valued doubles keep every squared-distance sum exact, so
+    // the grid selection and the brute-force enumeration share one total
+    // order (ties included) — the property is equality, not closeness
+    for (trial <- 0 until 100) {
+      val dim = 8
+      val ka = rnd.between(2, 7)
+      val kb = rnd.between(2, 9)
+      def vec(n: Int) = Array.fill(n)(rnd.between(-4, 5).toDouble)
+      val ca = Array.fill(ka)(vec(dim / 2))
+      val cb = Array.fill(kb)(vec(dim - dim / 2))
+      val v = vec(dim)
+      val nprobe = rnd.between(1, 7)
+      def d2(a: Array[Double], b: Array[Double], off: Int): Double = {
+        var acc = 0.0
+        for (i <- b.indices) { val d = a(off + i) - b(i); acc += d * d }
+        acc
+      }
+      val brute = (for (a <- 0 until ka; b <- 0 until kb)
+        yield (d2(v, ca(a), 0) + d2(v, cb(b), dim / 2), a * kb + b))
+        .sorted.take(math.min(nprobe, ka * kb)).map(_._2)
+      val got = ImiCells.computeLocal(v, ca, cb, nprobe).toSeq
+      assert(got === brute, s"trial $trial: ka=$ka kb=$kb nprobe=$nprobe")
+    }
+  }
+
   test("graft_cosine is bit-equal to the zip_with/aggregate form across random vectors") {
     val cases = Seq.tabulate(300) { i =>
       val n = rnd.between(1, 17)

@@ -157,6 +157,31 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"blocked recall $recall below floor (exact ${exact.size})")
   }
 
+  test("forced-IMI blocking keeps the exact-subset pin and a recall floor") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.CosineSimilarity
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val exact = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .join(e.select(col("vec_id").as("ib"), col("embedding").as("eb")),
+        col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), CosineSimilarity(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.sql.graft.embBlocking", "imi")
+    try {
+      val imi = Dedup.embeddingCosBlocked(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+      // precision 1.0 by construction (every candidate exact-verified)
+      assert(imi.subsetOf(exact), "IMI-blocked pairs must be a subset of exact")
+      val recall = if (exact.isEmpty) 1.0 else (exact & imi).size.toDouble / exact.size
+      assert(recall >= 0.5, s"IMI recall $recall below floor (exact ${exact.size})")
+      // determinism: quantizers are seed-fixed, assignment is a pure expr
+      val again = Dedup.embeddingCosBlocked(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+      assert(again === imi, "forced-IMI blocking must be deterministic")
+    } finally spark.conf.unset("spark.sql.graft.embBlocking")
+  }
+
   test("semDedup ivf branch: sound drops, reported cosines exact, deterministic") {
     import org.apache.spark.sql.functions._
     import graft.functions.CosineSimilarity

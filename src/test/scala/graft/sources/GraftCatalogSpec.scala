@@ -89,6 +89,41 @@ class GraftCatalogSpec extends SparkSpec {
       "pre-delete version must still see all rows")
   }
 
+  test("INSERT INTO routes through the idempotent merge protocol") {
+    def mk(dir: String): Unit = ParquetMergeSink.merge(
+      Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "v", "ver"),
+      dir, Seq("k"), "ver", nBuckets = 4)
+    def rows(dir: String) = ParquetMergeSink.read(spark, dir)
+      .select("k", "v", "ver").collect().map(_.toSeq).toSet
+
+    mk(s"$root/w")
+    spark.sql("INSERT INTO graft.w VALUES (2, 'b2', 20), (3, 'c', 20)")
+    val afterOnce = rows(s"$root/w")
+    assert(afterOnce === Set(Seq(1L, "a", 10L), Seq(2L, "b2", 20L), Seq(3L, "c", 20L)),
+      "INSERT must upsert latest-wins on the merge keys, not append")
+
+    // SQL insert ≡ API merge: the same second batch through the API on a
+    // sibling table produces the identical table state
+    mk(s"$root/w_api")
+    ParquetMergeSink.merge(
+      Seq((2L, "b2", 20L), (3L, "c", 20L)).toDF("k", "v", "ver"),
+      s"$root/w_api", Seq("k"), "ver", nBuckets = 4)
+    assert(rows(s"$root/w_api") === afterOnce, "SQL insert must equal API merge")
+
+    // replay idempotence: re-running the same INSERT converges
+    spark.sql("INSERT INTO graft.w VALUES (2, 'b2', 20), (3, 'c', 20)")
+    assert(rows(s"$root/w") === afterOnce, "replayed INSERT must be a no-op")
+
+    // SQL reads observe the SQL write (catalog resolves the new manifest)
+    assert(spark.sql("SELECT v FROM graft.w WHERE k = 3").collect()
+      .map(_.getString(0)).toSeq === Seq("c"))
+
+    // upsert-only surface: INSERT OVERWRITE refuses loudly
+    intercept[Exception] {
+      spark.sql("INSERT OVERWRITE graft.w VALUES (9, 'z', 1)")
+    }
+  }
+
   test("catalog surface: listing, existence, read-only DDL, unmanaged refusal") {
     val _ = root // force catalog registration
     ParquetMergeSink.merge(Seq((1L, "x", 1L)).toDF("k", "v", "ver"),
