@@ -185,8 +185,20 @@ object ScaleUp {
     tables.foreach { case (name, df) =>
       // Single file per table, named exactly like the driver layout
       // (<table>.parquet as a FILE — the DuckDB oracle reads it directly).
+      // repartition(1), NOT coalesce(1): coalesce collapses the whole
+      // rotation pipeline into the one writer task; the shuffle keeps the
+      // transform parallel and only the write serial.
+      // 4 MB row groups: a parquet ROW GROUP is the minimum scan split,
+      // and the r7 files' single ~90 MB group made every sf10 scan
+      // single-task (one 26 s decode task vs 21 idle — the "straggler"
+      // the round-7 full-suite run hit for 38 min under memory
+      // pressure). Small groups cost a little compression but let a
+      // 32-core scan actually fan out over the one-file-per-table
+      // driver layout.
       val tmp = new Path(destPath, s"_tmp_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      df.repartition(1).write.mode("overwrite")
+        .option("parquet.block.size", (4 * 1024 * 1024).toString)
+        .parquet(tmp.toString)
       val part = fs.listStatus(tmp).map(_.getPath)
         .find(_.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no output for $name"))

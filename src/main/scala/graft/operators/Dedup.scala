@@ -311,10 +311,15 @@ object Dedup {
     val sigArr = hashed.select(
       col("doc_id"),
       graft.functions.MinHashSig(col("xs"), minHashAs, minHashBs).as("sig"))
-      // both sides of the band self-join read this — materialize once
+      // band explode + both sides of each scoring join read this
       .barrier()
+    // The band frame is SLIM (doc_id, band, bucket): the 64-long sig
+    // array never enters the bucket-cap window or the self-join shuffle
+    // (carrying it cost ~0.4 s at sf0.1 — the round-6 cap's hidden tax,
+    // visible as dd_minhash_lsh's 0.76→1.14 s creep); signatures join
+    // back onto the deduped candidate pairs instead.
     val bandedAll = sigArr.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       posexplode(bandBuckets(col("sig"))).as(Seq("band", "bucket")))
     // Cap degenerate buckets before the self-join (one count per (band,
     // bucket) — same shuffle key as the join itself).
@@ -327,10 +332,11 @@ object Dedup {
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cands
+      .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(
         col("doc_a"), col("doc_b"),
         (aggregate(
