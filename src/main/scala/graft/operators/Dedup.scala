@@ -600,9 +600,40 @@ object Dedup {
        WHERE rn = 1 AND fp NOT IN (SELECT fp FROM corpus)
        ORDER BY doc_id"""
 
-  /** 64-bit SimHash over word frequencies + 16-bit band blocking; pairs at
-    * hamming distance ≤ 3 are near-duplicates. No SQL oracle (hash family
-    * not portable); spec-pinned against `ngramJaccard`.
+  /** SimHash block widths: 64 bits in 6 blocks. Hamming ≤ 3 flips touch
+    * at most 3 blocks, so some 3 of the 6 are untouched — every true
+    * pair shares at least one 3-block combination key (pigeonhole).
+    */
+  private val SimHashBlockWidths = Seq(11, 11, 11, 11, 10, 10)
+
+  /** The 20 = C(6,3) combination keys for one 64-bit signature, as an
+    * array<long> (one xxhash64 of the combo's three block values each).
+    * This is the Manku–Jain–Sarma (WWW'07) table layout: a ~32-bit
+    * effective key makes random collisions ~n²/2³² — negligible — where
+    * the previous 4×16-bit single-block keys collided at p = 1/65536
+    * per band and went quadratic past ~10⁵ docs (the 16.8× sf10 flag).
+    */
+  private[operators] def simhashCombos(sim: Column): Column = {
+    val offsets = SimHashBlockWidths.scanLeft(0)(_ + _)
+    def block(i: Int): Column =
+      shiftright(sim, offsets(i))
+        .bitwiseAND(lit((1L << SimHashBlockWidths(i)) - 1L))
+    val combos = (0 until 6).combinations(3).toSeq
+    array(combos.zipWithIndex.map { case (c, id) =>
+      xxhash64(lit(id) +: c.map(block): _*)
+    }: _*)
+  }
+
+  /** 64-bit SimHash over word hashes + 3-of-6 block-combination blocking;
+    * pairs at hamming distance ≤ 3 are near-duplicates. Candidate
+    * generation is EXACT for the hamming radius (pigeonhole over the
+    * block combos — see [[simhashCombos]]); the final `bit_count` filter
+    * re-verifies, so blocking never changes the answer, only the
+    * candidate volume. Hot-bucket cap as in [[minhashLshDocs]]: a bucket
+    * only exceeds it on mass-identical text, which exact dedup is
+    * contractually expected to collapse first. No SQL oracle (hash
+    * family not portable); spec-pinned against `ngramJaccard` and the
+    * combo-cover guarantee is property-pinned in KernelPropertySpec.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.fanout(Tables.documents(spark, dir))
@@ -614,19 +645,29 @@ object Dedup {
     val hs = d.select(col("doc_id"),
       transform(words(col("text")), w => xxhash64(w)).as("hs"))
     val sig = hs.select(col("doc_id"), SimHash64(col("hs")).as("sim"))
-      // both sides of the band self-join read this — materialize once
+      // band explode + both scoring joins read this — materialize once
       .barrier()
-    val banded = sig.select(
-      col("doc_id"), col("sim"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "bucket")))
-    banded.as("a")
+    // slim band frame (doc_id, band, bucket) — the signature joins back
+    // onto deduped candidates, as in [[minhashLshDocs]]
+    val bandedAll = sig.select(
+      col("doc_id"),
+      posexplode(simhashCombos(col("sim"))).as(Seq("band", "bucket")))
+    val banded = bandedAll
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("__bsz") <= maxLshBucket)
+      .drop("__bsz")
+    val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    cands
+      .join(sig.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
       .orderBy("doc_a", "doc_b")

@@ -58,6 +58,31 @@ class DedupSpec extends SparkSpec {
     assert(extra.size <= lsh.size / 2, s"too many false positives: $extra")
   }
 
+  test("simhash 3-of-6 combo keys cover every hamming<=3 pair, rarely more") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    // near pairs: flip 0..3 random bits — MUST share a combo key
+    // (pigeonhole over the untouched blocks); far pairs: independent
+    // signatures — share a key only on a ~2^-32 random collision
+    val near = Seq.fill(300) {
+      val a = rnd.nextLong()
+      val flips = rnd.between(0, 4)
+      val b = (0 until flips).foldLeft(a)((v, _) => v ^ (1L << rnd.between(0, 64)))
+      (a, b, true)
+    }
+    val far = Seq.fill(300)((rnd.nextLong(), rnd.nextLong(), false))
+    val df = (near ++ far).toDF("a", "b", "near")
+      .select(col("near"),
+        arrays_overlap(Dedup.simhashCombos(col("a")),
+          Dedup.simhashCombos(col("b"))).as("shared"))
+      .collect()
+    df.filter(_.getBoolean(0)).foreach(r =>
+      assert(r.getBoolean(1), "a hamming<=3 pair must share a combo key"))
+    val falsePos = df.filter(r => !r.getBoolean(0) && r.getBoolean(1)).length
+    assert(falsePos <= 3, s"$falsePos/300 independent pairs collided")
+  }
+
   test("simhash finds most planted near-dups at hamming <= 3") {
     val sh = pairs(Dedup.simhash(spark, sfDir))
     val recall = (exactJaccardPairs & sh).size.toDouble / exactJaccardPairs.size
