@@ -21,8 +21,8 @@ import graft.functions.{CosineSimilarity, SimHash64, SortedIntersectCount}
   * Exact pairwise Jaccard is the correctness baseline (its shared-shingle
   * blocking join is quadratic in shingle document-frequency); the 100 TB
   * path is MinHash-LSH, whose banded bucket join bounds candidates to
-  * near-duplicates, and SimHash, whose 16-bit band join bounds hamming
-  * candidates. Both are pure Catalyst expressions — explode + hash-agg +
+  * near-duplicates, and SimHash, whose 3-of-6 block-combination join bounds
+  * hamming candidates. Both are pure Catalyst expressions — explode + hash-agg +
   * equi-join — so they partition and scale like any join.
   */
 object Dedup {
