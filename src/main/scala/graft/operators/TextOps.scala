@@ -264,14 +264,22 @@ object TextOps {
       // both the first-seen aggregate and the join probe read this —
       // materialize the corpus-wide explode once
       .barrier()
-    val firsts = tri.groupBy(col("ng")).agg(min(col("doc_id")).as("first_doc"))
-    tri.join(firsts, "ng")
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_ngrams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
-      .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
-        (floor(col("n_novel") * lit(1e4) / col("n_ngrams")) / lit(1e4)).as("novelty"))
+    // No join back onto the corpus-wide gram frame: a doc's novel-gram
+    // count IS the number of grams whose min-doc is this doc, so the
+    // per-gram min aggregate re-aggregates by first_doc directly — two
+    // hash aggregates replace the round-7 gram-keyed join of the 26M-row
+    // frame with itself (the join shuffled every (doc, gram) row a
+    // second time on a 32-char string key and was the top of the sf10
+    // text tail at 41 s).
+    val counts = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+    val novel = tri.groupBy(col("ng")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
+    counts
+      .join(novel, counts("doc_id") === novel("first_doc"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (floor(coalesce(col("n_novel"), lit(0L)) * lit(1e4) / col("n_ngrams"))
+          / lit(1e4)).as("novelty"))
       .orderBy("doc_id")
   }
 
