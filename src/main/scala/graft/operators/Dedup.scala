@@ -934,8 +934,12 @@ object Dedup {
     * the span budget an excision pass would cut.
     *
     * Scale shape: the only corpus-wide shuffle carries (md5, doc_id, pos)
-    * — constant-width 16-byte digests, never window text (md5 rather than
-    * xxhash keeps the DuckDB oracle byte-portable, as [[exact]] does).
+    * — constant-width TRUE 16-byte digests (`unhex(md5(...))`: Spark's
+    * md5 yields the 32-char hex STRING, ~44 B a row as a shuffle key;
+    * the unhex halves the exchange width and compares 16 raw bytes.
+    * md5 rather than xxhash keeps multiplicity counts collision-free at
+    * any corpus size; the digest never appears in the output, so the
+    * DuckDB oracle keeps its own hex form).
     * Window multiplicity is a two-phase count aggregate, so map-side
     * combine absorbs hot boilerplate windows before the exchange; the
     * duplicated-window filter is a semi join on the digest; the interval
@@ -953,7 +957,7 @@ object Dedup {
       .select(col("doc_id"), size(col("ws")).as("n_toks"),
         posexplode(transform(
           sequence(lit(1), size(col("ws")) - (W - 1)),
-          i => md5(array_join(slice(col("ws"), i, lit(W)), " ")))))
+          i => unhex(md5(array_join(slice(col("ws"), i, lit(W)), " "))))))
       .withColumnRenamed("col", "h")
       // multiplicity count, per-doc totals and the semi-join probe all
       // read this — materialize the corpus-wide explode once

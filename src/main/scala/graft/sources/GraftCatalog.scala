@@ -73,12 +73,14 @@ class GraftCatalog extends TableCatalog {
 
   private var catName: String = _
   private var root: Path = _
+  private var opts: CaseInsensitiveStringMap = _
 
   private def spark: SparkSession = SparkSession.active
   private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
+    opts = options
     val r = options.get("root")
     require(r != null,
       s"spark.sql.catalog.$name.root must name the warehouse directory")
@@ -141,8 +143,20 @@ class GraftCatalog extends TableCatalog {
       ver <- m.entries.get("merge.version")
       bk <- m.entries.get("buckets")
     } yield (ks.split(",").toSeq, ver, bk.toInt)
+    // SQL DELETE config (maintained single-table layouts — deleteWhere's
+    // own contract): the key is the table's ESTABLISHED vector key when a
+    // vector exists, else the catalog-declared one
+    // (`spark.sql.catalog.<cat>.deleteKey.<table> = column`). The
+    // declared key must uniquely identify rows: deletion vectors delete
+    // by the KEY of matching rows, which is SQL DELETE semantics only
+    // under uniqueness — that assertion is the table owner's to make,
+    // which is why the key is DECLARED, never guessed from the schema.
+    val deleteCfg =
+      if (version.isDefined || !dataEntries.keys.forall(_ == "table")) None
+      else m.entries.get("delete.key")
+        .orElse(Option(opts.get(s"deleteKey.${ident.name}")))
     new GraftTable(s"$catName.${ident.name}", spark, dataDirs, dv,
-      p.toString, writeCfg)
+      p.toString, writeCfg, deleteCfg)
   }
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
@@ -189,6 +203,36 @@ object GraftCatalog {
           spark.sparkContext.broadcast(keys.collect().map(_.get(0)).toSet[Any]))
       }
     })._2
+
+  /** V1 source Filter → Column, total over the shapes SQL DELETE
+    * planning produces; None = not expressible (the caller refuses the
+    * whole delete — never a partial one).
+    */
+  private[sources] def filterColumn(
+      f: org.apache.spark.sql.sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case And(l, r) => for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc && rc
+      case Or(l, r) => for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc || rc
+      case Not(c) => filterColumn(c).map(!_)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
 }
 
 /** A manifest-resolved managed table: schema and scans delegate to
@@ -199,8 +243,10 @@ private[sources] class GraftTable(tableName: String, spark: SparkSession,
     dataDirs: Seq[String],
     dv: Option[(String, org.apache.spark.broadcast.Broadcast[Set[Any]])],
     tablePath: String,
-    writeCfg: Option[(Seq[String], String, Int)])
-  extends Table with SupportsRead with SupportsWrite {
+    writeCfg: Option[(Seq[String], String, Int)],
+    deleteCfg: Option[String])
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private lazy val delegate = ParquetTable(tableName, spark,
     CaseInsensitiveStringMap.empty(), dataDirs, None, classOf[ParquetFileFormat])
@@ -253,6 +299,36 @@ private[sources] class GraftTable(tableName: String, spark: SparkSession,
             }
         }
     }
+
+  /** `DELETE FROM graft.t WHERE …` = ONE [[graft.sinks.TableMaintenance
+    * .deleteWhere]] commit: matching rows' keys append to the table's
+    * deletion vector (manifest flip, readers see it atomically, time
+    * travel to a pre-delete version resurrects). Replay-idempotent —
+    * re-deleting the same predicate unions the same keys. Only filters
+    * expressible as Columns are accepted; anything else refuses loudly
+    * toward the API (never a partial delete).
+    */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    deleteCfg.isDefined &&
+      filters.forall(f => GraftCatalog.filterColumn(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val key = deleteCfg.getOrElse(throw new UnsupportedOperationException(
+      s"$tableName is not SQL-deletable: DELETE needs a maintained " +
+        "single-table layout and a declared unique key — either an " +
+        "existing deletion vector's delete.key or " +
+        s"spark.sql.catalog.<cat>.deleteKey.<table> = <column>"))
+    val pred = filters.foldLeft(org.apache.spark.sql.functions.lit(true)) {
+      (acc, f) =>
+        acc && GraftCatalog.filterColumn(f).getOrElse(
+          throw new UnsupportedOperationException(
+            s"DELETE predicate $f is not expressible against $tableName — " +
+              "run TableMaintenance.deleteWhere with a Column predicate"))
+    }
+    graft.sinks.TableMaintenance.deleteWhere(spark, tablePath, key, pred)
+  }
 }
 
 /** Column-pruning/filter-pushdown passthrough that force-includes the

@@ -12,6 +12,9 @@ class GraftCatalogSpec extends SparkSpec {
     val r = java.nio.file.Files.createTempDirectory("graft-catalog").toString
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft.root", r)
+    // declared unique delete key for the SQL DELETE spec table (catalog
+    // options are read once at initialize — declare before first use)
+    spark.conf.set("spark.sql.catalog.graft.deleteKey.sdel", "k")
     r
   }
 
@@ -121,6 +124,52 @@ class GraftCatalogSpec extends SparkSpec {
     // upsert-only surface: INSERT OVERWRITE refuses loudly
     intercept[Exception] {
       spark.sql("INSERT OVERWRITE graft.w VALUES (9, 'z', 1)")
+    }
+  }
+
+  test("DELETE FROM routes through the deletion-vector protocol") {
+    val dir = s"$root/sdel"
+    (1L to 30L).map(k => (k, s"v$k")).toDF("k", "v").write.parquet(dir)
+    TableMaintenance.compact(spark, dir, targetBytes = 1 << 20)
+
+    spark.sql("DELETE FROM graft.sdel WHERE k > 20 OR k = 5")
+    def keysSql = spark.sql("SELECT k FROM graft.sdel").collect()
+      .map(_.getLong(0)).toSet
+    val expected = (1L to 20L).toSet - 5L
+    assert(keysSql === expected, "SQL DELETE must drop exactly the matches")
+    assert(TableMaintenance.read(spark, dir).collect()
+      .map(_.getAs[Long]("k")).toSet === expected,
+      "the API read must see the same vector")
+
+    // time travel before the delete resurrects everything (check now —
+    // each delete commit vacuums with keep=2, so the pre-delete manifest
+    // is only retained while the delete is the LATEST commit)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val versions = graft.sinks.ManifestCommit
+      .committed(fs, new org.apache.hadoop.fs.Path(dir)).map(_.version)
+    assert(spark.sql(s"SELECT count(*) FROM graft.sdel VERSION AS OF ${versions.head}")
+      .head.getLong(0) === 30L)
+
+    // replay idempotence: same DELETE re-unions the same keys
+    spark.sql("DELETE FROM graft.sdel WHERE k > 20 OR k = 5")
+    assert(keysSql === expected)
+
+    // a second delete on a NON-key column unions into the same vector
+    spark.sql("DELETE FROM graft.sdel WHERE v = 'v2'")
+    assert(keysSql === expected - 2L)
+
+    // a predicate with no Filter translation refuses the WHOLE delete
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft.sdel WHERE k % 3 = 0")
+    }
+    assert(keysSql === expected - 2L, "a refused delete must change nothing")
+
+    // a bucketed merge-sink table has no delete key — refuse loudly
+    ParquetMergeSink.merge(Seq((1L, "x", 1L)).toDF("k", "v", "ver"),
+      s"$root/nodel", Seq("k"), "ver", nBuckets = 2)
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft.nodel WHERE k = 1")
     }
   }
 
