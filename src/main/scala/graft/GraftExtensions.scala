@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopK)
+    // `MERGE INTO graft.t` → one ParquetMergeSink.mergeActions commit.
+    // Post-hoc: the analyzed MergeIntoTable (star assignments expanded)
+    // is rewritten before Spark refuses it for non-row-level-op tables.
+    ext.injectPostHocResolutionRule(_ => graft.sources.RewriteGraftMerge)
   }
 }
 

@@ -242,8 +242,8 @@ object GraftCatalog {
 private[sources] class GraftTable(tableName: String, spark: SparkSession,
     dataDirs: Seq[String],
     dv: Option[(String, org.apache.spark.broadcast.Broadcast[Set[Any]])],
-    tablePath: String,
-    writeCfg: Option[(Seq[String], String, Int)],
+    private[sources] val tablePath: String,
+    private[sources] val writeCfg: Option[(Seq[String], String, Int)],
     deleteCfg: Option[String])
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {

@@ -173,6 +173,108 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("MERGE INTO routes through mergeActions: three actions, one commit") {
+    def mk(dir: String): Unit = ParquetMergeSink.merge(
+      Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "v", "ver"),
+      dir, Seq("k"), "ver", nBuckets = 4)
+    def rows(dir: String) = ParquetMergeSink.read(spark, dir)
+      .select("k", "v", "ver").collect().map(_.toSeq).toSet
+    def versions(dir: String) = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      graft.sinks.ManifestCommit
+        .committed(fs, new org.apache.hadoop.fs.Path(dir)).map(_.version)
+    }
+    mk(s"$root/m")
+    mk(s"$root/m_api")
+    // delete k=1; update k=2; insert k=3 with an IN-BATCH DUPLICATE
+    // (ver 30 must win); unmatched delete-marked k=9 is a no-op
+    val src = Seq(
+      (1L, "-", 20L, "d"), (2L, "b2", 20L, "u"), (3L, "c", 20L, "u"),
+      (3L, "c30", 30L, "u"), (9L, "-", 20L, "d"))
+      .toDF("k", "v", "ver", "op")
+    src.createOrReplaceTempView("msrc")
+    val mergeSql = """
+      MERGE INTO graft.m AS t USING msrc AS s ON t.k = s.k
+      WHEN MATCHED AND s.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED AND s.op <> 'd' THEN INSERT *
+    """
+    val before = versions(s"$root/m").max
+    spark.sql(mergeSql)
+    val after = rows(s"$root/m")
+    assert(after === Set(Seq(2L, "b2", 20L), Seq(3L, "c30", 30L)),
+      "MERGE must delete, update (source wins), insert, and resolve " +
+        "in-batch duplicates latest-wins on the version column")
+    assert(versions(s"$root/m").max === before + 1,
+      "all three actions must land as ONE manifest version increment")
+
+    // SQL MERGE ≡ API mergeActions on an identical sibling table
+    ParquetMergeSink.mergeActions(src, s"$root/m_api", Seq("k"), "ver",
+      col("op") === "d", nBuckets = 4)
+    assert(rows(s"$root/m_api") === after, "SQL MERGE must equal API mergeActions")
+
+    // replay idempotence: the re-delete of the now-absent k=1 is a no-op
+    spark.sql(mergeSql)
+    assert(rows(s"$root/m") === after, "replayed MERGE must converge")
+
+    // SQL reads observe the merge (catalog resolves the new manifest)
+    assert(spark.sql("SELECT v FROM graft.m WHERE k = 3").collect()
+      .map(_.getString(0)).toSeq === Seq("c30"))
+  }
+
+  test("MERGE INTO refuses non-mergeActions shapes loudly and atomically") {
+    ParquetMergeSink.merge(
+      Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "v", "ver"),
+      s"$root/mr", Seq("k"), "ver", nBuckets = 4)
+    Seq((2L, "b2", 20L, "u"), (3L, "c", 20L, "d"))
+      .toDF("k", "v", "ver", "op").createOrReplaceTempView("mrsrc")
+    val before = ParquetMergeSink.read(spark, s"$root/mr")
+      .select("k", "v", "ver").collect().map(_.toSeq).toSet
+
+    def refused(sql: String, hint: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.getMessage != null && e.getMessage.contains("MERGE INTO"),
+        s"$hint: expected a loud MERGE refusal, got: ${e.getMessage}")
+      assert(ParquetMergeSink.read(spark, s"$root/mr")
+        .select("k", "v", "ver").collect().map(_.toSeq).toSet === before,
+        s"$hint: a refused MERGE must change nothing")
+    }
+    // no INSERT action (unmatched rows would be dropped silently)
+    refused("""MERGE INTO graft.mr t USING mrsrc s ON t.k = s.k
+               WHEN MATCHED THEN UPDATE SET *""", "update-only")
+    // partial assignment (non-star update)
+    refused("""MERGE INTO graft.mr t USING mrsrc s ON t.k = s.k
+               WHEN MATCHED THEN UPDATE SET v = s.v
+               WHEN NOT MATCHED THEN INSERT *""", "partial SET")
+    // conditional UPDATE
+    refused("""MERGE INTO graft.mr t USING mrsrc s ON t.k = s.k
+               WHEN MATCHED AND s.op = 'u' THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""", "conditional update")
+    // ON is not the merge keys
+    refused("""MERGE INTO graft.mr t USING mrsrc s ON t.v = s.v
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""", "non-key ON")
+    // DELETE without the complementary INSERT guard (unmatched
+    // delete-marked rows: SQL would insert, the sink no-ops — refuse)
+    refused("""MERGE INTO graft.mr t USING mrsrc s ON t.k = s.k
+               WHEN MATCHED AND s.op = 'd' THEN DELETE
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""", "unguarded insert")
+    // NOT MATCHED BY SOURCE is outside the merge protocol
+    refused("""MERGE INTO graft.mr t USING mrsrc s ON t.k = s.k
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *
+               WHEN NOT MATCHED BY SOURCE THEN DELETE""", "by-source")
+    // a DV-carrying maintained table has no merge write config
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO graft.dv t USING mrsrc s ON t.k = s.k
+                   WHEN MATCHED THEN UPDATE SET *
+                   WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(e.getMessage.contains("MERGE INTO"))
+  }
+
   test("catalog surface: listing, existence, read-only DDL, unmanaged refusal") {
     val _ = root // force catalog registration
     ParquetMergeSink.merge(Seq((1L, "x", 1L)).toDF("k", "v", "ver"),
