@@ -51,6 +51,19 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame   = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame  = table(s, d, "embeddings")
 
+  /** `documents` row count, memoized per (application, dir). The adaptive
+    * dedup switch ([[graft.operators.Dedup.ngramJaccard]]) reads this per
+    * invocation; the first call is a parquet-footer metadata job (no
+    * scan), repeats are a map hit — a table dir is immutable for the life
+    * of an application.
+    */
+  def documentCount(s: SparkSession, d: String): Long =
+    docCountCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}#$d",
+      _ => java.lang.Long.valueOf(documents(s, d).count())).longValue()
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** Spread a scan across all cores before CPU-heavy per-row work.
     *
     * Small local parquet files are one row group = one task, which would

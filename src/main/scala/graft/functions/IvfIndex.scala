@@ -72,12 +72,17 @@ object IvfIndex {
   def imiCentroids(corpus: DataFrame, embCol: String, kPerHalf: Int,
       cacheKey: String, sampleCap: Int = 4096, iters: Int = 10,
       seed: Long = 42L, restarts: Int = 4): (Array[Array[Double]], Array[Array[Double]]) = {
+    // ONE distributed sample scan feeds both halves (lazy: skipped
+    // entirely when both half-quantizers are already cached)
+    lazy val sample = {
+      val s = deterministicSample(corpus, embCol, sampleCap, seed)
+      require(s.nonEmpty && s(0).length >= 2,
+        "IMI needs at least 2-dimensional vectors to split")
+      s
+    }
     def half(tag: String, slice: Array[Double] => Array[Double]) =
       cached((cacheKey + tag, kPerHalf, sampleCap, iters, seed, restarts)) {
-        val s = deterministicSample(corpus, embCol, sampleCap, seed)
-        require(s.nonEmpty && s(0).length >= 2,
-          "IMI needs at least 2-dimensional vectors to split")
-        val pts = s.map(slice)
+        val pts = sample.map(slice)
         (0 until restarts)
           .map(r => lloyd(pts, kPerHalf, iters, seed + r))
           .minBy(sse(pts, _))

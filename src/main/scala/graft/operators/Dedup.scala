@@ -106,8 +106,9 @@ object Dedup {
       spark.conf.getOption("spark.sql.graft.jaccardCandidates") match {
         case Some("exact") => true
         case Some("lsh") => false
-        // parquet row-count metadata — no scan job
-        case _ => Tables.documents(spark, dir).count() <= JaccardExactMax
+        // parquet row-count metadata, memoized — at most one
+        // footer-only job per (application, dir)
+        case _ => Tables.documentCount(spark, dir) <= JaccardExactMax
       }
     val sh = shingled(spark, dir)
     if (useExact) ngramJaccardExact(sh) else ngramJaccardLsh(sh)
@@ -224,11 +225,7 @@ object Dedup {
     val bandedAll = base.select(
       col("doc_id"), col("n"),
       posexplode(bandBuckets(col("sig"))).as(Seq("band", "bucket")))
-    val banded = bandedAll
-      .withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
+    val banded = capBuckets(bandedAll, maxBucket, "dd_ngram_lsh_cap")
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -276,6 +273,30 @@ object Dedup {
     */
   private val maxLshBucket = 256
 
+  /** The hot-bucket cap applied to a slim (doc_id, …, band, bucket) band
+    * frame — with its drops OBSERVED, never silent: `capped_band_rows`
+    * (doc×band memberships discarded in over-cap buckets) and
+    * `max_bucket` surface through Spark's observed-metrics channel
+    * (`QueryExecution.observedMetrics` / any QueryExecutionListener) at
+    * zero extra cost (the aggregate rides the existing window pass — no
+    * job, no shuffle). `capped_band_rows = 0` certifies the cap changed
+    * nothing for that run, i.e. the blocking-exactness claims
+    * ([[simhash]]'s pigeonhole guarantee) held unconditionally; a
+    * non-zero count names exactly how much candidate mass a
+    * template-heavy corpus pushed past the cap.
+    */
+  private def capBuckets(bandedAll: DataFrame, maxBucket: Int,
+      metric: String): DataFrame =
+    bandedAll
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .observe(metric,
+        sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L))
+          .as("capped_band_rows"),
+        max(col("__bsz")).as("max_bucket"))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+
   /** MinHash family shared by [[minhashLshDocs]] and [[ngramJaccardLsh]]:
     * 64 permutations mod P = 2³¹−1, banded 16×4. Fixed odd multipliers/
     * offsets (Knuth multiplicative constants mod P).
@@ -322,12 +343,8 @@ object Dedup {
       col("doc_id"),
       posexplode(bandBuckets(col("sig"))).as(Seq("band", "bucket")))
     // Cap degenerate buckets before the self-join (one count per (band,
-    // bucket) — same shuffle key as the join itself).
-    val banded = bandedAll
-      .withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
+    // bucket) — same shuffle key as the join itself), drops observed.
+    val banded = capBuckets(bandedAll, maxBucket, "dd_minhash_lsh_cap")
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -627,13 +644,19 @@ object Dedup {
   /** 64-bit SimHash over word hashes + 3-of-6 block-combination blocking;
     * pairs at hamming distance ≤ 3 are near-duplicates. Candidate
     * generation is EXACT for the hamming radius (pigeonhole over the
-    * block combos — see [[simhashCombos]]); the final `bit_count` filter
-    * re-verifies, so blocking never changes the answer, only the
-    * candidate volume. Hot-bucket cap as in [[minhashLshDocs]]: a bucket
-    * only exceeds it on mass-identical text, which exact dedup is
-    * contractually expected to collapse first. No SQL oracle (hash
-    * family not portable); spec-pinned against `ngramJaccard` and the
-    * combo-cover guarantee is property-pinned in KernelPropertySpec.
+    * block combos — see [[simhashCombos]]) ON BUCKETS BELOW THE CAP: the
+    * hot-bucket guard (as in [[minhashLshDocs]]) drops combo buckets
+    * past `maxLshBucket` members, and a true pair whose EVERY shared
+    * combo bucket is over-cap is lost with them. A bucket only grows
+    * that large on mass-near-identical text — content exact dedup is
+    * contractually expected to collapse first — and the drop is never
+    * silent: [[capBuckets]] observes `capped_band_rows`/`max_bucket` per
+    * run, so `capped_band_rows = 0` (the normal case) certifies the
+    * pigeonhole guarantee held unconditionally. The final `bit_count`
+    * filter re-verifies every candidate, so blocking never ADDS a false
+    * pair regardless. No SQL oracle (hash family not portable);
+    * spec-pinned against `ngramJaccard` and the combo-cover guarantee is
+    * property-pinned in KernelPropertySpec.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.fanout(Tables.documents(spark, dir))
@@ -652,11 +675,7 @@ object Dedup {
     val bandedAll = sig.select(
       col("doc_id"),
       posexplode(simhashCombos(col("sim"))).as(Seq("band", "bucket")))
-    val banded = bandedAll
-      .withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("__bsz") <= maxLshBucket)
-      .drop("__bsz")
+    val banded = capBuckets(bandedAll, maxLshBucket, "dd_simhash_cap")
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

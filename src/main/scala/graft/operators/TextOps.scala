@@ -1215,28 +1215,27 @@ object TextOps {
     // Degenerate-corpus guard ([[Similarity.powerComponent]]'s fail-loudly
     // pattern): a corpus too small for ccnetBuckets to mint both tertiles
     // gives ln(n_pos/n_neg) = ±Infinity, which Spark's long cast clamps to
-    // Long.MaxValue while DuckDB errors — fail loudly instead. The count
-    // action reads the barriered `cb` frame, so no extra corpus scan.
+    // Long.MaxValue while DuckDB errors — fail loudly instead. ONE
+    // aggregate action over the barriered `cb` frame serves both the
+    // guard and the prior (floor∘log over two longs is the identical
+    // arithmetic driver-side — java.lang.Math either way).
     val tertiles = cb.agg(
         coalesce(sum(when(col("bucket") === 0, 1L).otherwise(0L)), lit(0L)).as("n_pos"),
         coalesce(sum(when(col("bucket") === 2, 1L).otherwise(0L)), lit(0L)).as("n_neg"))
       .head()
-    require(tertiles.getLong(0) > 0 && tertiles.getLong(1) > 0,
+    val (nPos, nNeg) = (tertiles.getLong(0), tertiles.getLong(1))
+    require(nPos > 0 && nNeg > 0,
       s"nbQuality needs both training tertiles non-empty (n_pos=" +
-        s"${tertiles.getLong(0)}, n_neg=${tertiles.getLong(1)}): the corpus " +
+        s"$nPos, n_neg=$nNeg): the corpus " +
         "is too small/degenerate for ccnetBuckets to mint head and tail")
-    val prior = cb.agg(
-        sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("n_pos"),
-        sum(when(col("bucket") === 2, 1L).otherwise(0L)).as("n_neg"))
-      .select(floor(log(col("n_pos").cast("double") / col("n_neg").cast("double"))
-        * 1e6).cast("long").as("prior"))
+    val prior = lit(math.floor(math.log(nPos.toDouble / nNeg) * 1e6).toLong)
     val sc = toks.join(broadcast(w), Seq("f"), "left").crossJoin(broadcast(wd))
       .groupBy(col("doc_id"))
       .agg(sum(coalesce(col("w"), col("w0"))).as("like_micro"))
-    cb.join(sc, "doc_id").crossJoin(broadcast(prior))
+    cb.join(sc, "doc_id")
       .select(col("doc_id"), col("bucket"),
-        (col("like_micro") + col("prior")).as("score_micro"),
-        ((col("like_micro") + col("prior")) > 0).as("pred"))
+        (col("like_micro") + prior).as("score_micro"),
+        ((col("like_micro") + prior) > 0).as("pred"))
       .orderBy("doc_id")
   }
 

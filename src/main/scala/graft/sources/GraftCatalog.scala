@@ -181,7 +181,11 @@ object GraftCatalog {
     * runs on every query against the table; the cache makes the
     * count()+collect() a once-per-version cost. One live entry per table:
     * a version flip (new delete epoch or a compact) replaces — and
-    * unpersists — the superseded broadcast.
+    * unpersists — the superseded broadcast. The cache key folds in the
+    * SparkContext's applicationId: the map is process-wide (object
+    * state), so after a session restart an unchanged (table, version)
+    * must NOT serve a broadcast minted on the stopped context — tasks
+    * would fail fetching the dead broadcast.
     */
   private val dvCache =
     new java.util.concurrent.ConcurrentHashMap[
@@ -190,7 +194,7 @@ object GraftCatalog {
   private[sources] def dvBroadcast(spark: SparkSession, table: Path,
       version: Long, rel: String,
       maxKeys: Long): org.apache.spark.broadcast.Broadcast[Set[Any]] =
-    dvCache.compute(table.toString, (_, cached) => {
+    dvCache.compute(s"${spark.sparkContext.applicationId}#$table", (_, cached) => {
       if (cached != null && cached._1 == version) cached
       else {
         if (cached != null) cached._2.unpersist(blocking = false)

@@ -100,11 +100,29 @@ class DedupSpec extends SparkSpec {
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
       (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
     val docs = (boiler ++ near).toDF("doc_id", "text")
-    val out = Dedup.minhashLshDocs(Dedup.shingledDocs(docs))
-    val got = pairs(out)
-    assert(got.contains((1L, 2L)), "the true near-dup pair must survive the cap")
-    assert(!got.exists { case (a, b) => a > 1000L && b > 1000L },
-      "boilerplate bucket members must be dropped by the cap, not paired")
+    // the cap must not be silent: its drops surface as observed metrics
+    @volatile var observed = Map.empty[String, org.apache.spark.sql.Row]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        observed = observed ++ qe.observedMetrics
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = Dedup.minhashLshDocs(Dedup.shingledDocs(docs))
+      val got = pairs(out)
+      assert(got.contains((1L, 2L)), "the true near-dup pair must survive the cap")
+      assert(!got.exists { case (a, b) => a > 1000L && b > 1000L },
+        "boilerplate bucket members must be dropped by the cap, not paired")
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      val m = observed.getOrElse("dd_minhash_lsh_cap",
+        fail("the hot-bucket cap must observe its drops (no silent caps)"))
+      assert(m.getAs[Long]("capped_band_rows") === 2000L * 16,
+        "each boilerplate doc's 16 band memberships must be reported dropped")
+      assert(m.getAs[Long]("max_bucket") === 2000L)
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("components collapse transitive near-dup chains to one cluster") {
