@@ -179,6 +179,26 @@ object ScaleUp {
         e.drop("__c", "__n", "__k", "__r", "__a")
       })
 
+    // Primary sort key per table: the single output file is written in
+    // key order so its 4 MB row groups carry DISJOINT min/max key ranges
+    // — parquet zone maps then prune key-range predicates at the scan
+    // (the lake layer's sorted/z-order path, exercised by the testbed
+    // instead of defeated by it; an unsorted repartition(1) gives every
+    // row group the full key span and zero pruning). Also restores
+    // byte-reproducibility of regenerated tables: repartition(1) row
+    // order depends on shuffle-fetch completion order, sort fixes it.
+    // events sorts by ts (event_id is assigned in ts order): time-range
+    // scans prune, and a file-replayed stream arrives roughly
+    // time-ordered — the production arrival shape.
+    val sortKeys: Map[String, Seq[String]] = Map(
+      "region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"),
+      "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey"),
+      "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+      "events" -> Seq("ts", "event_id"),
+      "documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"))
+
     val destPath = new Path(dest)
     val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(destPath)
@@ -196,7 +216,9 @@ object ScaleUp {
       // 32-core scan actually fan out over the one-file-per-table
       // driver layout.
       val tmp = new Path(destPath, s"_tmp_$name")
-      df.repartition(1).write.mode("overwrite")
+      df.repartition(1)
+        .sortWithinPartitions(sortKeys(name).map(col): _*)
+        .write.mode("overwrite")
         .option("parquet.block.size", (4 * 1024 * 1024).toString)
         .parquet(tmp.toString)
       val part = fs.listStatus(tmp).map(_.getPath)

@@ -51,17 +51,20 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame   = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame  = table(s, d, "embeddings")
 
-  /** `documents` row count, memoized per (application, dir). The adaptive
-    * dedup switch ([[graft.operators.Dedup.ngramJaccard]]) reads this per
-    * invocation; the first call is a parquet-footer metadata job (no
-    * scan), repeats are a map hit — a table dir is immutable for the life
-    * of an application.
+  /** Table row count, memoized per (application, dir, table). The
+    * adaptive operator switches ([[graft.operators.Dedup.ngramJaccard]],
+    * `embeddingCosBlocked`) read this per invocation; the first call is
+    * a parquet-footer metadata job on the RAW scan (no data columns, no
+    * fanout shuffle), repeats are a map hit — a table dir is immutable
+    * for the life of an application.
     */
-  def documentCount(s: SparkSession, d: String): Long =
-    docCountCache.computeIfAbsent(
-      s"${s.sparkContext.applicationId}#$d",
-      _ => java.lang.Long.valueOf(documents(s, d).count())).longValue()
-  private val docCountCache =
+  def tableCount(s: SparkSession, d: String, name: String): Long =
+    countCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}#$d#$name",
+      _ => java.lang.Long.valueOf(table(s, d, name).count())).longValue()
+  def documentCount(s: SparkSession, d: String): Long = tableCount(s, d, "documents")
+  def embeddingCount(s: SparkSession, d: String): Long = tableCount(s, d, "embeddings")
+  private val countCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Spread a scan across all cores before CPU-heavy per-row work.

@@ -731,7 +731,9 @@ object Dedup {
 
   def embeddingCosBlocked(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.fanout(Tables.embeddings(spark, dir))
-    val n = e.count()
+    // memoized footer-only count of the RAW table (counting the fanned
+    // frame would execute its repartition shuffle just to count)
+    val n = Tables.embeddingCount(spark, dir)
     val useImi = spark.conf.getOption("spark.sql.graft.embBlocking") match {
       case Some("imi") => true
       case Some("ivf") => false
@@ -817,9 +819,9 @@ object Dedup {
     // occupancy-constant IVF blocking (2-probe, adaptive cell count), so
     // the pair join stays linear at any scale. `spark.sql.graft.
     // semdedupBlocking` ∈ {kmeans, ivf} forces a side for specs/audits.
-    // one count job serves both the strategy pick and the IVF cell count
-    // (a forced-kmeans run never pays it)
-    lazy val nVecs = e.count()
+    // memoized footer-only count serves both the strategy pick and the
+    // IVF cell count (a forced-kmeans run never pays even the first one)
+    lazy val nVecs = Tables.embeddingCount(spark, dir)
     val useKmeans =
       spark.conf.getOption("spark.sql.graft.semdedupBlocking") match {
         case Some("kmeans") => true
