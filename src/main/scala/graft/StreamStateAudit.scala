@@ -32,6 +32,13 @@ object StreamStateAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // multi-batch replay knobs (see EventStream.eventsGlob): a landing
+    // directory of time-split files + a files-per-trigger cap make the
+    // bounded replay exercise real watermark eviction between batches
+    sys.env.get("SPARK_GRAFT_STREAM_GLOB")
+      .foreach(spark.conf.set("spark.sql.graft.streamEventsGlob", _))
+    sys.env.get("SPARK_GRAFT_STREAM_MAX_FILES")
+      .foreach(spark.conf.set("spark.sql.graft.streamMaxFiles", _))
 
     val lines = mutable.ArrayBuffer.empty[String]
     val listener = new StreamingQueryListener {

@@ -40,10 +40,28 @@ object EventStream {
     * pass the result down, instead of paying a driver-side parquet
     * listing + footer read per branch.
     */
+  /** Source admission knobs — the deployment shape is a DIRECTORY of
+    * arriving event files drained in bounded batches, which is also how
+    * the next-decade replay probes run (state eviction only exercises
+    * when the corpus spans multiple micro-batches):
+    *
+    *  - `spark.sql.graft.streamEventsGlob` — file admission glob
+    *    (default `events.parquet`, the one-file testdata layout; a
+    *    landing directory sets e.g. `events*.parquet`);
+    *  - `spark.sql.graft.streamMaxFiles` — maxFilesPerTrigger (honored
+    *    under AvailableNow: the file source implements
+    *    SupportsTriggerAvailableNow, pinning the tip and draining it in
+    *    capped batches).
+    */
+  private def eventsGlob(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.getOption("spark.sql.graft.streamEventsGlob")
+      .getOrElse("events.parquet")
+
   private def eventsTsIsLong(spark: org.apache.spark.sql.SparkSession,
       dir: String): Boolean = {
     import org.apache.spark.sql.types._
-    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType
+    spark.read.parquet(s"$dir/${eventsGlob(spark)}")
+      .schema("ts").dataType == LongType
   }
 
   private def eventsStream(spark: org.apache.spark.sql.SparkSession,
@@ -54,8 +72,11 @@ object EventStream {
       StructField("ts", if (tsIsLong) LongType else TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val rdr = spark.readStream.schema(schema)
+      .option("pathGlobFilter", eventsGlob(spark))
+    val limited = spark.conf.getOption("spark.sql.graft.streamMaxFiles")
+      .fold(rdr)(v => rdr.option("maxFilesPerTrigger", v))
+    val raw = limited.parquet(dir)
     if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
@@ -535,6 +556,10 @@ object EventStream {
     // whose state fits in a handful. Cap the width for this query (the
     // dominant cost is store setup, not data) and restore after. An
     // unbounded deployment sizes this to its key cardinality instead.
+    // Width=8 was re-verified at sf10 in round 9 (StreamStateAudit,
+    // interleaved min-of-3): 8 partitions min 15.7 s vs 32 partitions
+    // min 20.0 s — store lifecycles beat commit parallelism even with
+    // 4M state rows, so the small fixed cap stands at every gate SF.
     val shufKey = "spark.sql.shuffle.partitions"
     val prevShuf = conf.getOption(shufKey)
     conf.set(shufKey, math.min(8, conf.get(shufKey, "8").toInt).toString)
