@@ -68,14 +68,20 @@ object AnnRecall {
       .orderBy(xxhash64(lit(7L), col("vec_id")))
       .limit(512)
       .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
-    val truth = emb.join(broadcast(probes), col("vec_id") =!= col("p_id"))
+    // truth stratified by cosine band: IVF blocking recall is
+    // cosine-dependent by construction (same-cell probability rises with
+    // similarity), so one number at the operator's 0.3 floor would hide
+    // the near-dup band the operator exists for
+    val bands = Seq(0.3, 0.5, 0.7, 0.9)
+    val truthRows = emb.join(broadcast(probes), col("vec_id") =!= col("p_id"))
       .select(col("p_id"), col("vec_id"),
         CosineSimilarity(col("p_emb"), col("embedding")).as("cos"))
       .filter(col("cos") >= 0.3)
       .select(least(col("p_id"), col("vec_id")).as("vec_a"),
-        greatest(col("p_id"), col("vec_id")).as("vec_b"))
-      .distinct().collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+        greatest(col("p_id"), col("vec_id")).as("vec_b"), col("cos"))
+      .dropDuplicates("vec_a", "vec_b").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val truth = truthRows.map(_._1).toSet
     val probeIds = probes.select("p_id").collect().map(_.getLong(0)).toSet
     println(s"DEDUP-TRUTH probes=${probeIds.size} pairs=${truth.size}")
     Seq("ivf", "imi").foreach { side =>
@@ -87,11 +93,18 @@ object AnnRecall {
           .filter(p => probeIds.contains(p._1) || probeIds.contains(p._2))
           .toSet
         val wall = (System.nanoTime() - t0) / 1e9
+        val perBand = bands.zip(bands.tail :+ 1.01).map { case (lo, hi) =>
+          val t = truthRows.filter { case (_, c) => c >= lo && c < hi }
+          val r = if (t.isEmpty) Double.NaN
+            else t.count(p => found.contains(p._1)).toDouble / t.size
+          f"[$lo%.1f,${math.min(hi, 1.0)}%.1f)=${r}%.3f(n=${t.size}%d)"
+        }.mkString(" ")
         val recall =
           if (truth.isEmpty) 1.0
           else (truth & found).size.toDouble / truth.size
         println(f"RECALL dd_embedding_blocked[$side%s] pairRecall=$recall%.3f " +
           f"found=${found.size}%d truth=${truth.size}%d wall=$wall%.1fs")
+        println(s"  byBand[$side] $perBand")
       } finally spark.conf.unset("spark.sql.graft.embBlocking")
       Tables.releaseIntermediates(spark)
     }

@@ -155,7 +155,15 @@ object Similarity {
     */
   def pqTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val shortlistK = 24
+    // ADC rank displacement grows with the number of scored codes at fixed
+    // quantization error, so a CONSTANT re-rank shortlist decays at scale
+    // (measured recall@3: 0.83 at 500 vectors → 0.43 at 200k with the old
+    // fixed 24). Scale the shortlist with the scored-candidate count —
+    // the exact re-rank fetches shortlist×queries ids by broadcast, so
+    // this stays trivial; the cap keeps the fetch broadcastable (past it,
+    // shard the re-rank).
+    val shortlistK = math.min(4096,
+      math.max(24, (Tables.embeddingCount(spark, dir) / 512).toInt))
     val e = Tables.fanout(Tables.embeddings(spark, dir))
     val corpus = e.filter(col("vec_id") >= 10)
     val books = PqIndex.codebooks(corpus, "embedding", m = 16, k = 16,
@@ -217,7 +225,11 @@ object Similarity {
     // additional approximation, so buy back recall by probing wider —
     // still ~25% of the corpus, scored at 16 B/candidate.
     val nprobe = 8
-    val shortlistK = 24
+    // Shortlist scales with the SCORED candidate count (the probed
+    // fraction of the corpus) for the same displacement reason as
+    // [[pqTopk]]; measured at sf10, the fixed 24 cost recall@3 0.53.
+    val shortlistK = math.min(4096, math.max(24,
+      (Tables.embeddingCount(spark, dir) * nprobe / (nCells * 512L)).toInt))
     val e = Tables.fanout(Tables.embeddings(spark, dir))
     val corpus = e.filter(col("vec_id") >= 10)
     val cents = IvfIndex.centroids(e, "embedding", nCells, cacheKey = dir)
