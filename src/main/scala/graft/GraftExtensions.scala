@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Post-hoc: the analyzed MergeIntoTable (star assignments expanded)
     // is rewritten before Spark refuses it for non-row-level-op tables.
     ext.injectPostHocResolutionRule(_ => graft.sources.RewriteGraftMerge)
+    // `UPDATE graft.t SET …` → one read-modify-write merge commit.
+    ext.injectPostHocResolutionRule(_ => graft.sources.RewriteGraftUpdate)
   }
 }
 

@@ -216,10 +216,23 @@ object ScaleUp {
       // 32-core scan actually fan out over the one-file-per-table
       // driver layout.
       val tmp = new Path(destPath, s"_tmp_$name")
+      // Row-group size is BYTE-capped (4 MB) AND ROW-capped (~128 groups
+      // per table): parquet's block check runs on COMPRESSED bytes, and
+      // the PK sort places near-identical template copies adjacently, so
+      // compressible tables ballooned to a handful of skewed groups
+      // (sf10 documents: 17 groups spanning 724..31,783 rows — scans
+      // capped at 17 tasks, the widest group an 8x straggler; measured
+      // as pipe_training_set 13.6->49 s). The row cap restores uniform
+      // ~n/128 groups — full 32-core fanout with zone maps intact —
+      // while the byte cap still bounds incompressible tables
+      // (sf10 lineitem: 252 byte-capped groups, row cap never bites).
+      val rows = df.count()
+      val rowCap = math.max(1024L, math.ceil(rows / 128.0).toLong)
       df.repartition(1)
         .sortWithinPartitions(sortKeys(name).map(col): _*)
         .write.mode("overwrite")
         .option("parquet.block.size", (4 * 1024 * 1024).toString)
+        .option("parquet.block.row.count.limit", rowCap.toString)
         .parquet(tmp.toString)
       val part = fs.listStatus(tmp).map(_.getPath)
         .find(_.getName.endsWith(".parquet"))

@@ -57,7 +57,7 @@ object RewriteGraftMerge extends Rule[LogicalPlan] {
       rewrite(m, graftTarget(m.targetTable).get)
   }
 
-  private def graftTarget(plan: LogicalPlan): Option[(DataSourceV2Relation, GraftTable)] =
+  private[sources] def graftTarget(plan: LogicalPlan): Option[(DataSourceV2Relation, GraftTable)] =
     plan match {
       case SubqueryAlias(_, child) => graftTarget(child)
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
@@ -74,7 +74,7 @@ object RewriteGraftMerge extends Rule[LogicalPlan] {
         "anything else runs through the sink APIs")
 
   /** The attribute under star-alignment's optional no-op cast, else null. */
-  private def attrOf(e: Expression): AttributeReference = e match {
+  private[sources] def attrOf(e: Expression): AttributeReference = e match {
     case a: AttributeReference => a
     case Cast(a: AttributeReference, _, _, _) => a
     case _ => null

@@ -275,6 +275,92 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("MERGE INTO"))
   }
 
+  test("UPDATE routes through one read-modify-write merge commit") {
+    def mk(dir: String): Unit = ParquetMergeSink.merge(
+      Seq((1L, "a", 10L, 1.0), (2L, "b", 10L, 2.0), (3L, "c", 20L, -3.0))
+        .toDF("k", "v", "ver", "score"),
+      dir, Seq("k"), "ver", nBuckets = 4)
+    def rows(dir: String) = ParquetMergeSink.read(spark, dir)
+      .select("k", "v", "ver", "score").collect().map(_.toSeq).toSet
+    def versions(dir: String) = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      graft.sinks.ManifestCommit
+        .committed(fs, new org.apache.hadoop.fs.Path(dir)).map(_.version)
+    }
+    mk(s"$root/u")
+    mk(s"$root/u_api")
+
+    // constant + self-referential assignments, filtered; unassigned
+    // columns and untouched rows carry
+    val before = versions(s"$root/u").max
+    spark.sql("UPDATE graft.u SET v = 'fixed', score = score * 2 WHERE score < 2.0")
+    val after = rows(s"$root/u")
+    assert(after === Set(
+      Seq(1L, "fixed", 10L, 2.0), Seq(2L, "b", 10L, 2.0),
+      Seq(3L, "fixed", 20L, -6.0)),
+      "UPDATE must apply assignments to matching rows only, carrying " +
+        "unassigned columns and untouched rows")
+    assert(versions(s"$root/u").max === before + 1,
+      "UPDATE must land as ONE manifest version increment")
+
+    // SQL UPDATE ≡ API: the same read-modify-write through merge()
+    val apiBatch = ParquetMergeSink.read(spark, s"$root/u_api")
+      .where(col("score") < 2.0)
+      .select(col("k"), org.apache.spark.sql.functions.lit("fixed").as("v"),
+        col("ver"), (col("score") * 2).as("score"))
+    ParquetMergeSink.merge(apiBatch, s"$root/u_api", Seq("k"), "ver", nBuckets = 4)
+    assert(rows(s"$root/u_api") === after, "SQL UPDATE must equal API merge")
+
+    // statement semantics on replay: the constant converges, the
+    // self-referential assignment advances again (reads table-current)
+    spark.sql("UPDATE graft.u SET v = 'fixed', score = score * 2 WHERE score < 2.0")
+    assert(rows(s"$root/u") === Set(
+      Seq(1L, "fixed", 10L, 2.0), Seq(2L, "b", 10L, 2.0),
+      Seq(3L, "fixed", 20L, -12.0)),
+      "replayed UPDATE must re-read current values (SQL statement semantics)")
+
+    // a zero-match WHERE is a no-op: no manifest version bump
+    val v0 = versions(s"$root/u").max
+    spark.sql("UPDATE graft.u SET v = 'zz' WHERE k = 999")
+    assert(versions(s"$root/u").max === v0,
+      "an UPDATE matching no rows must not commit a new version")
+    // unfiltered UPDATE hits every row
+    spark.sql("UPDATE graft.u SET score = 0.0")
+    assert(ParquetMergeSink.read(spark, s"$root/u").select("score")
+      .collect().map(_.getDouble(0)).toSet === Set(0.0))
+    // SQL reads observe the SQL write
+    assert(spark.sql("SELECT v FROM graft.u WHERE k = 1").collect()
+      .map(_.getString(0)).toSeq === Seq("fixed"))
+  }
+
+  test("UPDATE refuses non-mergeable shapes loudly and atomically") {
+    ParquetMergeSink.merge(
+      Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "v", "ver"),
+      s"$root/ur", Seq("k"), "ver", nBuckets = 4)
+    val before = ParquetMergeSink.read(spark, s"$root/ur")
+      .select("k", "v", "ver").collect().map(_.toSeq).toSet
+
+    def refused(sql: String, hint: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.getMessage != null && e.getMessage.contains("UPDATE"),
+        s"$hint: expected a loud UPDATE refusal, got: ${e.getMessage}")
+      assert(ParquetMergeSink.read(spark, s"$root/ur")
+        .select("k", "v", "ver").collect().map(_.toSeq).toSet === before,
+        s"$hint: a refused UPDATE must change nothing")
+    }
+    // merge-key assignment changes row identity
+    refused("UPDATE graft.ur SET k = k + 100", "key assignment")
+    // nondeterministic assignment breaks replay/retry discipline
+    refused("UPDATE graft.ur SET v = cast(rand() as string)", "rand() SET")
+    // nondeterministic predicate selects different rows per retry
+    refused("UPDATE graft.ur SET v = 'x' WHERE rand() < 0.5", "rand() WHERE")
+    // a DV-carrying maintained table has no merge write config
+    val e = intercept[Exception](
+      spark.sql("UPDATE graft.dv SET v = 'x' WHERE k = 1"))
+    assert(e.getMessage.contains("UPDATE"))
+  }
+
   test("catalog surface: listing, existence, read-only DDL, unmanaged refusal") {
     val _ = root // force catalog registration
     ParquetMergeSink.merge(Seq((1L, "x", 1L)).toDF("k", "v", "ver"),
