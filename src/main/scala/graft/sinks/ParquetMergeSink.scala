@@ -136,6 +136,60 @@ object ParquetMergeSink {
     spark.read.parquet(dirs: _*)
   }
 
+  /** An EMPTY merge-sink table whose schema and write contract are
+    * committed before any data: generation 1 holds a single ZERO-ROW
+    * parquet file in bucket 0 (the schema lives in its footer, so every
+    * reader — API or catalog — resolves columns without special-casing
+    * emptiness), and manifest v1 records `merge.keys`/`merge.version`/
+    * `buckets`, making the table immediately writable through every SQL
+    * and API write path. This is `CREATE TABLE`'s protocol (the
+    * reference gets it from PostgreSQL DDL, db.go's migrations); the
+    * seed bucket behaves like any committed generation dir — the first
+    * merge touching bucket 0 supersedes it, untouched it carries
+    * forward as 0 rows.
+    *
+    * Refuses an existing table (CREATE is not idempotent-overwrite) and
+    * key/version columns absent from the schema — the write contract
+    * must be satisfiable or every later INSERT would fail at a distance.
+    */
+  def createEmpty(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType, keys: Seq[String],
+      version: String, nBuckets: Int = 16): Unit = {
+    val table = new Path(path)
+    val fs = fsFor(spark, table)
+    require(ManifestCommit.latest(fs, table).isEmpty &&
+        legacyLayout(fs, table).isEmpty,
+      s"$path already holds a committed table — createEmpty refuses to " +
+        "redefine it (merge into it, or remove it first)")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val cols = schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val missing = (keys :+ version)
+      .filterNot(c => cols.contains(c.toLowerCase(java.util.Locale.ROOT)))
+    require(missing.isEmpty,
+      s"key/version columns ${missing.mkString(", ")} are not in the " +
+        s"schema (${schema.fieldNames.mkString(", ")})")
+
+    val gen = ManifestCommit.newGeneration(1)
+    val seedDir = new Path(new Path(table, gen), s"$BucketCol=0")
+    val tmp = new Path(table, s"_seed_${java.util.UUID.randomUUID()}")
+    // A zero-row single-partition write still emits one part file with
+    // the schema in its footer (FileFormatWriter's empty-task file).
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"empty seed write for $path produced no parquet part file"))
+    fs.mkdirs(seedDir)
+    require(fs.rename(part, new Path(seedDir, part.getName)),
+      s"rename $part -> $seedDir failed")
+    fs.delete(tmp, true)
+    ManifestCommit.commit(fs, table, Map(
+      "buckets" -> nBuckets.toString,
+      "dir.0" -> s"$gen/$BucketCol=0") ++ writeMeta(keys, version))
+  }
+
   /** Table creation commits the bucket count FIRST, before any data
     * generation exists: a crash mid-first-merge leaves a committed count,
     * so a later merge (even with a different requested nBuckets) reads

@@ -59,9 +59,14 @@ import graft.sinks.ManifestCommit
   * deleted rows); [[graft.sinks.TableMaintenance.compact]] materializes
   * the vector and restores the fast path — the same trade Delta makes.
   *
-  * Read-only by design: writes go through the idempotent merge/compact
-  * sinks (the indexer's ON CONFLICT discipline), not SQL INSERT — DDL
-  * methods throw.
+  * Write surface — every statement is the SQL face of ONE idempotent
+  * sink commit, never a parallel write protocol: CREATE TABLE (seed
+  * generation + declared merge contract, [[ParquetMergeSink.createEmpty]]),
+  * INSERT (V1Write seam → merge), DELETE (`SupportsDelete` → deletion
+  * vectors), MERGE/UPDATE (post-resolution rewrites → mergeActions/
+  * merge), DROP TABLE (managed-dir delete, gated by `tableExists`).
+  * ALTER/RENAME throw: the manifest's schema-from-data and
+  * path-is-identity choices make both API-level operations.
   */
 class GraftCatalog extends TableCatalog {
 
@@ -164,11 +169,59 @@ class GraftCatalog extends TableCatalog {
       "(ParquetMergeSink, TableMaintenance), whose idempotent commits are " +
       "the lake's write protocol")
 
-  override def createTable(ident: Identifier, info: TableInfo): Table = readOnly
+  override def createTable(ident: Identifier, info: TableInfo): Table =
+    createTable(ident, info.schema(), info.partitions(), info.properties())
+
+  /** `CREATE TABLE graft.t (…) TBLPROPERTIES('merge.keys'='k1[,k2…]',
+    * 'merge.version'='ver'[, 'buckets'='N'])` — the SQL onboarding path
+    * for a NEW merge-sink table ([[ParquetMergeSink.createEmpty]]: a
+    * zero-row schema-carrying seed generation + a manifest recording the
+    * write contract), after which every SQL write path (INSERT, MERGE,
+    * UPDATE) works immediately. The key/version properties are REQUIRED:
+    * a graft table IS a keyed upsert sink (the reference's ON CONFLICT
+    * tables, db.go), and its merge keys are the table owner's contract —
+    * never guessed from the schema. `CREATE TABLE … AS SELECT` composes
+    * for free: Spark calls this then appends through the V1Write seam,
+    * i.e. CTAS = CREATE + one idempotent merge of the query result.
+    */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: JMap[String, String]): Table = readOnly
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      s"CREATE TABLE $catName.${ident.name}: PARTITIONED BY is not part " +
+        "of the merge-sink layout (tables are bucketed by their merge " +
+        "keys; use TableMaintenance for partition-managed layouts)")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catName, ident.name))
+    def prop(k: String) = Option(properties.get(k)).map(_.trim).filter(_.nonEmpty)
+    val keys = prop("merge.keys").map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"CREATE TABLE $catName.${ident.name} needs TBLPROPERTIES(" +
+          "'merge.keys'='k1[,k2…]', 'merge.version'='col') — a graft " +
+          "table is a keyed merge sink and its write contract is " +
+          "declared at creation, never guessed"))
+    val version = prop("merge.version").getOrElse(
+      throw new UnsupportedOperationException(
+        s"CREATE TABLE $catName.${ident.name}: TBLPROPERTIES must " +
+          "declare 'merge.version' (the column ordering upserts)"))
+    val buckets = prop("buckets").map(_.toInt).getOrElse(16)
+    graft.sinks.ParquetMergeSink.createEmpty(
+      spark, tablePath(ident).toString, schema, keys, version, buckets)
+    loadTable(ident)
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly
-  override def dropTable(ident: Identifier): Boolean = readOnly
+
+  /** `DROP TABLE graft.t` deletes the MANAGED table directory — manifest
+    * history, generations, deletion vectors, everything; `tableExists`
+    * gates it to manifest-managed dirs, so a plain parquet directory
+    * that happens to live under the root can never be dropped through
+    * SQL. Time travel does not survive a drop (the manifest log IS the
+    * history being deleted) — that is what DROP means.
+    */
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && fs.delete(tablePath(ident), true)
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly
 }
 

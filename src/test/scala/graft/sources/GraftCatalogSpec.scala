@@ -361,15 +361,72 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("UPDATE"))
   }
 
-  test("catalog surface: listing, existence, read-only DDL, unmanaged refusal") {
+  test("CREATE TABLE onboards an empty merge-sink table entirely in SQL") {
+    val _ = root
+    spark.sql("""CREATE TABLE graft.ct (k BIGINT, v STRING, ver BIGINT)
+      TBLPROPERTIES('merge.keys'='k','merge.version'='ver','buckets'='4')""")
+    // empty but schema-resolving, through both SQL and the API reader
+    assert(spark.sql("SELECT * FROM graft.ct").columns.toSeq === Seq("k", "v", "ver"))
+    assert(spark.sql("SELECT count(*) FROM graft.ct").head.getLong(0) === 0L)
+    assert(ParquetMergeSink.read(spark, s"$root/ct").count() === 0L)
+
+    // immediately writable through every SQL write path
+    spark.sql("INSERT INTO graft.ct VALUES (1, 'a', 10), (2, 'b', 10)")
+    spark.sql("UPDATE graft.ct SET v = 'a2' WHERE k = 1")
+    assert(spark.sql("SELECT * FROM graft.ct").collect()
+      .map(_.toSeq).toSet === Set(Seq(1L, "a2", 10L), Seq(2L, "b", 10L)),
+      "a created table must accept INSERT and UPDATE with the declared contract")
+    assert(ParquetMergeSink.read(spark, s"$root/ct").collect()
+      .map(r => r.getAs[Long]("k")).toSet === Set(1L, 2L),
+      "the API reader must see the SQL writes")
+
+    // redefinition, missing contract, and contract/schema drift refuse
+    intercept[Exception](spark.sql(
+      """CREATE TABLE graft.ct (x INT)
+         TBLPROPERTIES('merge.keys'='x','merge.version'='x')"""))
+    intercept[Exception](spark.sql("CREATE TABLE graft.ct2 (x INT)"))
+    intercept[Exception](spark.sql(
+      """CREATE TABLE graft.ct3 (x INT)
+         TBLPROPERTIES('merge.keys'='nope','merge.version'='x')"""))
+    assert(!spark.sql("SHOW TABLES IN graft").collect()
+      .map(_.getAs[String]("tableName")).toSet.exists(Set("ct2", "ct3")),
+      "refused CREATEs must leave nothing behind")
+  }
+
+  test("CTAS = CREATE + one merge of the query; DROP deletes the managed dir") {
+    val _ = root
+    Seq((1L, "a", 10L), (2L, "b", 10L), (2L, "b2", 20L))
+      .toDF("k", "v", "ver").createOrReplaceTempView("ctas_src")
+    spark.sql("""CREATE TABLE graft.cts
+      TBLPROPERTIES('merge.keys'='k','merge.version'='ver','buckets'='4')
+      AS SELECT * FROM ctas_src""")
+    assert(spark.sql("SELECT * FROM graft.cts").collect()
+      .map(_.toSeq).toSet === Set(Seq(1L, "a", 10L), Seq(2L, "b2", 20L)),
+      "CTAS must land as one merge — in-batch duplicate keys resolve " +
+        "latest-wins on the version column, not append")
+
+    spark.sql("DROP TABLE graft.cts")
+    assert(!new java.io.File(s"$root/cts").exists(),
+      "DROP must delete the managed table directory")
+    intercept[Exception](spark.sql("SELECT * FROM graft.cts").collect())
+
+    // an unmanaged parquet directory under the root is not droppable
+    Seq((1L, "x")).toDF("a", "b").write.parquet(s"$root/rawdir")
+    spark.sql("DROP TABLE IF EXISTS graft.rawdir")
+    assert(new java.io.File(s"$root/rawdir").exists(),
+      "DROP must never touch a directory without a manifest")
+  }
+
+  test("catalog surface: listing, existence, refused DDL, unmanaged refusal") {
     val _ = root // force catalog registration
     ParquetMergeSink.merge(Seq((1L, "x", 1L)).toDF("k", "v", "ver"),
       s"$root/lst", Seq("k"), "ver", nBuckets = 2)
     val names = spark.sql("SHOW TABLES IN graft").collect()
       .map(_.getAs[String]("tableName")).toSet
     assert(names.contains("lst"))
+    // ALTER and RENAME are API-level operations — refused
     intercept[Exception] {
-      spark.sql("DROP TABLE graft.lst")
+      spark.sql("ALTER TABLE graft.lst ADD COLUMN extra INT")
     }
     // a plain directory without a manifest is not a catalog table
     (1L to 3L).toDF("x").write.parquet(s"$root/plain")
