@@ -23,10 +23,24 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    // Query-boundary reclamation, OUTSIDE the clock: Spark frees shuffle
+    // files and broadcast blocks only when the driver GCs their handles
+    // (ContextCleaner is reference-triggered), and a large mostly-idle
+    // heap may not GC for the whole suite — so a long chunk accumulates
+    // hundreds of dead shuffles in the one local JVM and late queries
+    // run against that pressure, not their own cost (measured at sf10:
+    // samp_weighted 7.2 s late in a 40-query chunk vs 1.34 s standalone,
+    // same build/substrate). An explicit GC at each query boundary makes
+    // every query start from a reclaimed state; each still pays its own
+    // materialization inside the clock.
+    def reclaim(): Unit = {
+      Tables.releaseIntermediates(spark)
+      System.gc()
+    }
     // Warmup: one untimed pass over every query.
     selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      Tables.releaseIntermediates(spark)
+      reclaim()
     }
     // Three timed runs per query. `queries` carries the MIN (steady-state
     // throughput, robust to one-off GC/scheduler noise — the number to
@@ -47,7 +61,9 @@ object Bench {
       if (ok) Some(dt) else None
     }
     val all = selected.map { case (name, fn) =>
-      name -> Seq.fill(timedRuns)(timeOnce(fn))
+      val ts = Seq.fill(timedRuns)(timeOnce(fn))
+      reclaim()
+      name -> ts
     }
     val failed = all.collect { case (n, ts) if ts.exists(_.isEmpty) => n }.toSeq.sorted
     val samples = all.collect { case (n, ts) if ts.forall(_.isDefined) =>
