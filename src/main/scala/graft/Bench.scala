@@ -33,9 +33,12 @@ object Bench {
     // same build/substrate). An explicit GC at each query boundary makes
     // every query start from a reclaimed state; each still pays its own
     // materialization inside the clock.
+    // SPARK_GRAFT_BENCH_GC=0 disables the explicit GC — an A/B isolation
+    // aid for timing investigations (used to exonerate the GC when a
+    // repeated-execution slowdown was traced to a localCheckpoint barrier).
     def reclaim(): Unit = {
       Tables.releaseIntermediates(spark)
-      System.gc()
+      if (sys.env.get("SPARK_GRAFT_BENCH_GC").forall(_ == "1")) System.gc()
     }
     // Warmup: one untimed pass over every query.
     selected.foreach { case (_, fn) =>

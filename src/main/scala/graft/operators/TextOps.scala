@@ -518,17 +518,27 @@ object TextOps {
     * The min-k draw keeps the bench shape equal to the production shape:
     * probe cost is O(corpus) with a constant batch.)
     *
-    * Shape: PPJoin-style candidate generation + merge-pass verification,
+    * Shape: prefix-filter candidate generation + merge-pass verification,
     * all on 64-bit gram hashes (raw trigram strings never cross the
     * wire). A naive inverted-index count join melts on common trigrams
     * (one stop-phrase shared by P probes × C corpus docs emits P×C rows
     * for that gram alone); instead the probe side exposes only its
     * RAREST-first prefix — overlap ≥ ⌈t·|A|⌉ forces a match inside A's
-    * first |A|−⌈t·|A|⌉+1 grams — the corpus side its full rarest-first
-    * posting list, and the PPJoin positional cap
-    * 1 + min(|A|−pa, |B|−pb) ≥ ⌈t·|A|⌉ discards hopeless pairs before
-    * the survivors' intersection is counted in one sorted-merge pass
-    * ([[graft.functions.SortedIntersectCount]]), never re-joined.
+    * first |A|−⌈t·|A|⌉+1 grams, under ANY fixed gram order (pigeonhole
+    * on A's own grams), rarest-first chosen because it minimizes
+    * postings hit. The prefix frame (probe batch × prefix len — bounded
+    * by the fixed batch) BROADCASTS against the flat (doc, gram) table,
+    * so the standing corpus never builds per-document posting arrays:
+    * the only corpus-wide aggregate is the document-frequency table that
+    * orders prefixes, and sorted gram arrays materialize ONLY for the
+    * candidate documents the prefix join surfaces, before one exact
+    * sorted-merge intersection per pair
+    * ([[graft.functions.SortedIntersectCount]]). (Round 8 built
+    * rarest-first posting ARRAYS for every corpus document to run the
+    * PPJoin b-side positional cap — a pruning-only refinement that cost
+    * two corpus-wide shuffles and two array sorts per document; at
+    * sf10 the cap-free broadcast plan is ~2× faster end to end and the
+    * candidate superset is absorbed by the exact verification.)
     */
   /** Fixed probe-batch size for [[containment]] (see its scaladoc). */
   private[operators] val ContainmentProbeN = 128
@@ -546,6 +556,13 @@ object TextOps {
         col("doc_id"))
       .limit(ContainmentProbeN)
       .collect().map(_.getLong(0)).toSeq
+    // flat (doc, distinct-gram-hash) table — the ONLY corpus-wide frame.
+    // Deliberately NOT barriered: the df aggregate, the candidate join and
+    // the candidate-array build each recompute it (three narrow scans of a
+    // zone-mapped parquet + hash), which measured both faster AND stable
+    // across repeated executions at sf10, while a localCheckpoint of the
+    // ~10M-row gram frame was slower and showed a 17× uniform-slowdown
+    // pathology on re-execution in a long-lived JVM.
     val sh = d.select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(array_distinct(transform(
@@ -554,34 +571,38 @@ object TextOps {
           element_at(col("ws"), i + 1),
           element_at(col("ws"), i + 2),
           element_at(col("ws"), i + 3)))))).as("g"))
-    // document frequency orders every posting list rarest-first; the
-    // distinct-gram table is corpus-sized, so both sides shuffle (AQE may
-    // still broadcast while it genuinely fits)
+    // corpus document frequencies — the standing index (one partial agg)
     val df = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val docs = sh.join(df, "g")
+    // probe-batch posting arrays (ContainmentProbeN docs): the tiny probe
+    // gram set broadcasts INTO the df join, so the corpus-sized df table
+    // never shuffles for it
+    val probeArr = broadcast(sh.filter(col("doc_id").isin(probeIds: _*)))
+      .join(df, "g")
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("arr"))
-      .select(col("doc_id"), size(col("arr")).as("n"),
-        sort_array(transform(col("arr"), e => e.getField("g"))).as("hs"),
+      .select(col("doc_id").as("a_id"), size(col("arr")).as("a_n"),
+        sort_array(transform(col("arr"), e => e.getField("g"))).as("ha"),
         transform(col("arr"), e => e.getField("g")).as("rare"))
-      .barrier() // probe prefix, corpus postings and verification all read it
-    val probe = docs.filter(col("doc_id").isin(probeIds: _*))
-      .select(col("doc_id").as("a_id"), col("n").as("a_n"),
-        posexplode(slice(col("rare"), lit(1),
-          (col("n") - ceil(col("n") * t) + 1).cast("int"))).as(Seq("pa0", "g")))
-    val corpus = docs.filter(!col("doc_id").isin(probeIds: _*))
-      .select(col("doc_id").as("b_id"), col("n").as("b_n"),
-        posexplode(col("rare")).as(Seq("pb0", "g")))
-    val cands = probe.join(corpus,
-        probe("g") === corpus("g") &&
-          (lit(1) + least(col("a_n") - col("pa0") - 1, col("b_n") - col("pb0") - 1)) >=
-            ceil(col("a_n") * t))
-      .select(col("a_id"), col("b_id"))
+      .barrier() // read by the prefix join and the verification
+    // rarest-first prefix, broadcast against the flat gram table: every
+    // surviving (probe, corpus-doc) pair shares a prefix gram — complete
+    // by pigeonhole, exact after verification
+    val prefix = probeArr.select(col("a_id"),
+      explode(slice(col("rare"), lit(1),
+        (col("a_n") - ceil(col("a_n") * t) + 1).cast("int"))).as("g"))
+    val cands = sh.filter(!col("doc_id").isin(probeIds: _*))
+      .join(broadcast(prefix), "g")
+      .select(col("a_id"), col("doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    // sorted gram arrays ONLY for the candidate documents (AQE broadcasts
+    // the candidate-id side when it fits)
+    val bArr = sh.join(cands.select(col("b_id")).distinct(),
+        sh("doc_id") === col("b_id"))
+      .groupBy(col("b_id"))
+      .agg(sort_array(collect_list(col("g"))).as("hb"))
     cands
-      .join(docs.select(col("doc_id").as("a_id"), col("n").as("a_n"),
-        col("hs").as("ha")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+      .join(bArr, "b_id")
+      .join(broadcast(probeArr.select(col("a_id"), col("a_n"), col("ha"))), "a_id")
       .withColumn("n_common",
         graft.functions.SortedIntersectCount(col("ha"), col("hb")).cast("long"))
       .select(col("a_id"), col("b_id"), col("n_common"),
