@@ -118,7 +118,7 @@ object Dedup {
     * candidates back to the value-sorted 64-bit shingle-hash sets and
     * compute true Jaccard in one [[SortedIntersectCount]] merge pass.
     */
-  private def verifyJaccard(cands: DataFrame, docs: DataFrame): DataFrame =
+  private[operators] def verifyJaccard(cands: DataFrame, docs: DataFrame): DataFrame =
     cands
       .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("sha")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("shb")), "doc_b")
@@ -209,6 +209,17 @@ object Dedup {
     * ≤ 16 rows per pair (vs ~|prefix| for the exact path) and is absorbed
     * by one hash-agg; verification joins carry each doc's hash set once
     * per surviving pair side.
+    *
+    * The verification arrays are materialized for the WHOLE corpus in the
+    * one standing barrier, deliberately: a candidate-only array build
+    * (broadcast the candidate id set into a re-shingle scan, as
+    * text_containment does for its probe batch) was tried and measured
+    * ~5× SLOWER at sf10, because on a near-dup-heavy corpus the candidate
+    * id set IS the corpus (499,994 of 500,000 docs at sf10 — template
+    * replicas band together by construction), so the "savings" was a
+    * second full shingle scan plus an extra join. Candidate-only arrays
+    * only pay when candidates are sparse; a dedup operator cannot assume
+    * that — dup-heavy corpora are exactly its production case.
     */
   private[operators] def ngramJaccardLsh(
       shingles: DataFrame, maxBucket: Int = maxLshBucket): DataFrame = {
@@ -285,7 +296,7 @@ object Dedup {
     * non-zero count names exactly how much candidate mass a
     * template-heavy corpus pushed past the cap.
     */
-  private def capBuckets(bandedAll: DataFrame, maxBucket: Int,
+  private[operators] def capBuckets(bandedAll: DataFrame, maxBucket: Int,
       metric: String): DataFrame =
     bandedAll
       .withColumn("__bsz",
@@ -311,7 +322,7 @@ object Dedup {
     (0 until MinHashPerms).map(i => ((i + 1L) * 40503L * 69069L) % MinHashP)
 
   /** Per-band bucket ids (length-[[LshBands]] array) from a signature. */
-  private def bandBuckets(sig: Column): Column =
+  private[operators] def bandBuckets(sig: Column): Column =
     array((0 until LshBands).map(b =>
       xxhash64((b * LshRows until (b + 1) * LshRows)
         .map(i => element_at(sig, i + 1)): _*)): _*)
@@ -382,8 +393,11 @@ object Dedup {
     * doc_id per cluster, the same keep-lowest rule as [[exact]].
     */
   def components(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir)
-      .select(col("doc_a"), col("doc_b")).barrier()
+    // no barrier here: componentsFrom's strategy probe IS a bounded
+    // collect, so under the driver cap (the overwhelmingly common case —
+    // the cap counts near-dup EDGES, not documents) the pair query
+    // executes exactly once, with no checkpoint of its output
+    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
     componentsFrom(spark, pairs)
   }
 
@@ -392,24 +406,37 @@ object Dedup {
     * magnitude smaller than the corpus — and when its edges fit in one
     * task's memory, a driver union-find replaces O(diameter) join rounds
     * (each a shuffle + checkpoint) with one pass. The cap bounds what the
-    * driver ever holds (edges, not documents); above it, the distributed
-    * min-label propagation handles graphs of any size. Both paths produce
-    * identical labels (spec-pinned).
+    * driver ever holds (edges, not documents — 5M edges ≈ 80 MB of longs,
+    * trivial for any driver that runs Spark at all, and sized so even a
+    * duplicate-saturated corpus like the sf10 replica, 2.49M pair edges
+    * over 500k docs, stays on the one-pass path); above it, the
+    * distributed min-label propagation handles graphs of any size. Both
+    * paths produce identical labels (spec-pinned).
     */
   private[graft] def componentsFrom(spark: SparkSession, pairs: DataFrame,
-      maxDriverEdges: Long = 500000L): DataFrame = {
-    // Strategy probe costs O(cap), not a full materialization of the pair
-    // graph: a limit(cap + 1) count proves "fits under the cap" / "does
-    // not" without counting the (possibly huge) remainder. The EFFECTIVE
+      maxDriverEdges: Long = 5000000L): DataFrame = {
+    // Strategy probe = the driver-path collect itself, bounded: a
+    // limit(cap + 1) collect holds at most cap+1 rows, proves "fits under
+    // the cap" / "does not", and when it fits those rows ARE the edge
+    // list — the pair query executes exactly once and nothing is
+    // checkpointed (a count-then-collect probe would either execute the
+    // pair query twice or force a barrier on it; at sf10 that barrier was
+    // most of dd_components' cost over dd_ngram_jaccard). The EFFECTIVE
     // cap clamps to Int.MaxValue − 1: limit() can't probe past 2³¹, and a
     // driver-local edge array can't hold more anyway — so a larger
     // requested cap routes to the distributed path instead of silently
     // collecting an unbounded edge set (negative = force distributed).
     val effCap = math.max(-1L, math.min(maxDriverEdges, Int.MaxValue - 1L))
-    val probe = pairs.limit((effCap + 1L).toInt).count()
-    if (probe <= effCap) return componentsLocal(spark, pairs)
+    val head =
+      if (effCap < 0) Array.empty[org.apache.spark.sql.Row]
+      else pairs.limit((effCap + 1L).toInt).collect()
+    if (effCap >= 0 && head.length <= effCap)
+      return componentsLocal(spark, head.map(r => (r.getLong(0), r.getLong(1))))
+    // over the cap: the distributed propagation reads the pair graph many
+    // times (both edge directions + every round) — barrier it once here
     // undirected: send labels both ways
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+    val pb = pairs.barrier()
+    val edges = pb.union(pb.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").barrier()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("lab", col("doc_id"))
@@ -455,9 +482,9 @@ object Dedup {
     * to the distributed propagation (component id = min doc_id), used
     * only under the `components` edge cap.
     */
-  private def componentsLocal(spark: SparkSession, pairs: DataFrame): DataFrame = {
+  private def componentsLocal(spark: SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
-    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
