@@ -71,7 +71,7 @@ object ManifestCommit {
       dirs.values.map(_.split("/").head).toSet
   }
 
-  private def commitPath(root: Path, version: Long): Path =
+  private[graft] def commitPath(root: Path, version: Long): Path =
     new Path(new Path(root, CommitDir), f"$version%020d")
 
   private def parseVersion(name: String): Option[Long] =

@@ -68,7 +68,7 @@ import graft.sinks.ManifestCommit
   * ALTER/RENAME throw: the manifest's schema-from-data and
   * path-is-identity choices make both API-level operations.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   /** Deletion vectors ride the driver (and every task) as a key set —
     * the Delta in-memory-bitmap trade. Bounded loudly: past this, run
@@ -223,6 +223,18 @@ class GraftCatalog extends TableCatalog {
     tableExists(ident) && fs.delete(tablePath(ident), true)
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly
+
+  /** `CALL graft.system.<proc>(…)` — the maintenance surface
+    * ([[GraftProcedures]]: history, rollback, vacuum, compact).
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(catName, root, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")) || namespace.isEmpty)
+      GraftProcedures.All.map(Identifier.of(Array("system"), _))
+    else Array.empty
 }
 
 object GraftCatalog {

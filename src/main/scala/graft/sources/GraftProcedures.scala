@@ -1,0 +1,188 @@
+package graft.sources
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sinks.{ManifestCommit, TableMaintenance}
+
+/** The catalog's `CALL graft.system.*` maintenance procedures — the SQL
+  * face of the manifest-protocol operations that are not statements
+  * (Delta/Iceberg expose the same surface as stored procedures; Spark 4's
+  * DSv2 `ProcedureCatalog` is the public seam). Each procedure is ONE
+  * idempotent manifest operation; results come back as rows (the analyzer
+  * turns each returned [[LocalScan]] into a `LocalRelation`), so `CALL`
+  * output is SELECT-able like any query.
+  *
+  *  - `history(table)` — the retained manifest log: one row per version
+  *    still reachable by `VERSION AS OF` / rollback (the reference keeps
+  *    its history inside PostgreSQL's WAL; a lake table's history IS the
+  *    manifest chain, so the audit view reads it directly).
+  *  - `rollback(table, version)` — point the table back at a retained
+  *    version ([[ManifestCommit.rollback]]: history-preserving, commits a
+  *    NEW version that references the old generation — never deletes).
+  *  - `vacuum(table, keep)` — drop all but the newest `keep` manifest
+  *    versions and every generation dir only they referenced
+  *    ([[ManifestCommit.vacuum]]); the storage-reclaim half of rollback.
+  *  - `compact(table, target_mb, sort_by)` — rewrite a maintained
+  *    single-table layout into target-sized files via
+  *    [[TableMaintenance.compact]], MATERIALIZING any committed deletion
+  *    vector (the post-`DELETE FROM` step that restores vectorized scans
+  *    and aggregate pushdown). Refuses merge-sink bucketed tables loudly:
+  *    their buckets are rewritten whole on every merge, so there is
+  *    nothing to compact that a merge has not already compacted.
+  *
+  * Procedures live under the `system` namespace only — a procedure name
+  * can therefore never collide with a table name at the catalog root.
+  */
+private[sources] object GraftProcedures {
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** One-row result helper. */
+  private case class RowScan(schema: StructType, data: Seq[InternalRow])
+    extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = data.toArray
+  }
+
+  private def result(schema: StructType, rows: Seq[InternalRow]): JIterator[Scan] =
+    java.util.Collections.singletonList(RowScan(schema, rows): Scan).iterator()
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** Shared shape: every procedure takes the table name first and binds
+    * with fixed parameters (graft tables have no overload surface).
+    */
+  private abstract class GraftProcedure(
+      procName: String, params: Array[ProcedureParameter]) extends UnboundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = procName
+      override def parameters(): Array[ProcedureParameter] = params
+      override def isDeterministic: Boolean = false // mutates / reads table state
+      override def call(input: InternalRow): JIterator[Scan] = invoke(input)
+    }
+    def invoke(input: InternalRow): JIterator[Scan]
+  }
+
+  private def param(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def param(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  /** table-name argument → its managed root path (must exist). */
+  private def tableRoot(root: Path, table: String): Path = {
+    val p = new Path(root, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(p, ManifestCommit.CommitDir)),
+      s"$table is not a managed table under $root (no manifest log)")
+    p
+  }
+
+  def load(catalogName: String, root: Path, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedure ${ident.namespace.mkString(".")}.${ident.name} not found: " +
+        s"procedures live under $catalogName.system")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ident.name match {
+      case "history" => new GraftProcedure("history",
+          Array(param("table", StringType))) {
+        override def invoke(input: InternalRow): JIterator[Scan] = {
+          val p = tableRoot(root, input.getString(0))
+          val schema = StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("committed_at", StringType, nullable = false),
+            StructField("layout", StringType, nullable = false),
+            StructField("entries", StringType, nullable = false)))
+          val rows = ManifestCommit.committed(fs, p).sortBy(-_.version).map { m =>
+            val layout =
+              if (m.dirs.keys.forall(k => k == "table" || k == "deletes")) "maintained"
+              else if (m.dirs.keys.exists(_.forall(_.isDigit))) "merge-sink"
+              else "partitioned"
+            val at = java.time.Instant.ofEpochMilli(
+              fs.getFileStatus(ManifestCommit.commitPath(p, m.version))
+                .getModificationTime).toString
+            new GenericInternalRow(Array[Any](m.version, utf8(at), utf8(layout),
+              utf8(m.entries.toSeq.sortBy(_._1)
+                .map { case (k, v) => s"$k=$v" }.mkString(", "))))
+          }
+          result(schema, rows)
+        }
+      }
+      case "rollback" => new GraftProcedure("rollback",
+          Array(param("table", StringType), param("version", LongType))) {
+        override def invoke(input: InternalRow): JIterator[Scan] = {
+          val p = tableRoot(root, input.getString(0))
+          val v = ManifestCommit.rollback(fs, p, input.getLong(1))
+          result(
+            StructType(Seq(
+              StructField("restored_version", LongType, nullable = false),
+              StructField("new_version", LongType, nullable = false))),
+            Seq(new GenericInternalRow(Array[Any](input.getLong(1), v))))
+        }
+      }
+      case "vacuum" => new GraftProcedure("vacuum",
+          Array(param("table", StringType), param("keep", IntegerType, "2"))) {
+        override def invoke(input: InternalRow): JIterator[Scan] = {
+          val p = tableRoot(root, input.getString(0))
+          val keep = input.getInt(1)
+          require(keep >= 1, s"vacuum: keep must be >= 1, got $keep")
+          ManifestCommit.vacuum(fs, p, keep)
+          val retained = ManifestCommit.committed(fs, p).map(_.version).sorted
+          result(
+            StructType(Seq(
+              StructField("retained_versions", IntegerType, nullable = false),
+              StructField("oldest", LongType, nullable = false),
+              StructField("newest", LongType, nullable = false))),
+            Seq(new GenericInternalRow(
+              Array[Any](retained.size, retained.min, retained.max))))
+        }
+      }
+      case "compact" => new GraftProcedure("compact",
+          Array(param("table", StringType),
+            param("target_mb", IntegerType, "128"),
+            param("sort_by", StringType, "''"))) {
+        override def invoke(input: InternalRow): JIterator[Scan] = {
+          val table = input.getString(0)
+          val p = tableRoot(root, table)
+          val m = ManifestCommit.latest(fs, p)
+          require(!m.exists(_.dirs.keys.exists(_.forall(_.isDigit))),
+            s"compact: $table is a merge-sink bucketed table — every merge " +
+              "already rewrites its touched buckets whole, so there is " +
+              "nothing for compaction to reclaim (maintenance procedures " +
+              "serve maintained single-table layouts)")
+          val targetMb = input.getInt(1)
+          require(targetMb >= 1, s"compact: target_mb must be >= 1, got $targetMb")
+          val sortBy =
+            if (input.isNullAt(2)) Nil
+            else input.getString(2).trim match {
+              case "" => Nil
+              case s => s.split(",").map(_.trim).toSeq
+            }
+          val files = TableMaintenance.compact(
+            spark, p.toString, targetMb.toLong << 20, sortBy)
+          val v = ManifestCommit.latest(fs, p).map(_.version).getOrElse(0L)
+          result(
+            StructType(Seq(
+              StructField("version", LongType, nullable = false),
+              StructField("files", IntegerType, nullable = false))),
+            Seq(new GenericInternalRow(Array[Any](v, files))))
+        }
+      }
+      case other => throw new RuntimeException(
+        s"procedure $catalogName.system.$other not found — available: " +
+          "history, rollback, vacuum, compact")
+    }
+  }
+
+  val All: Array[String] = Array("history", "rollback", "vacuum", "compact")
+}

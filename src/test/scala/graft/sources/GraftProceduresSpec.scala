@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import graft.SparkSpec
+import graft.sinks.{ManifestCommit, ParquetMergeSink, TableMaintenance}
+
+/** `CALL graftp.system.*` — the SQL maintenance procedures
+  * ([[GraftProcedures]]): history, rollback, vacuum, compact. Each test
+  * pins the SQL route against the underlying manifest-protocol API it
+  * fronts, the same ≡-discipline as the INSERT/DELETE/MERGE specs.
+  */
+class GraftProceduresSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graft-proc").toString
+    spark.conf.set("spark.sql.catalog.graftp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftp.root", r)
+    spark.conf.set("spark.sql.catalog.graftp.deleteKey.p", "k")
+    r
+  }
+
+  private def fs: FileSystem =
+    FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+
+  private def versions(dir: String): Seq[Long] =
+    ManifestCommit.committed(fs, new Path(dir)).map(_.version)
+
+  test("compact materializes a deletion vector and reports the new version") {
+    val dir = s"$root/p"
+    (1L to 40L).map(k => (k, s"v$k")).toDF("k", "v").write.parquet(dir)
+    TableMaintenance.compact(spark, dir, targetBytes = 1 << 20)
+    spark.sql("DELETE FROM graftp.p WHERE k > 30")
+
+    val mPre = ManifestCommit.latest(fs, new Path(dir)).get
+    assert(mPre.dirs.contains("deletes"), "setup: a vector must exist")
+
+    val row = spark.sql(
+      "CALL graftp.system.compact(table => 'p', target_mb => 1)").head
+    val mPost = ManifestCommit.latest(fs, new Path(dir)).get
+    assert(row.getLong(0) === mPost.version, "compact must report the committed version")
+    assert(row.getInt(1) >= 1, "compact must report the output file count")
+    assert(!mPost.dirs.contains("deletes"),
+      "compact must materialize (and drop) the deletion vector")
+    // logical table state unchanged; physical rows now equal logical rows
+    assert(spark.sql("SELECT count(*) FROM graftp.p").head.getLong(0) === 30L)
+    val physical = spark.read.parquet(
+      TableMaintenance.resolveDataDir(spark, dir)).count()
+    assert(physical === 30L, "deleted rows must be physically gone after compact")
+  }
+
+  test("history lists retained versions newest-first with layout + entries") {
+    val dir = s"$root/p" // continues from the compact test's state
+    val rows = spark.sql("CALL graftp.system.history(table => 'p')").collect()
+    assert(rows.map(_.getLong(0)).toSeq === versions(dir).sorted.reverse,
+      "history must list exactly the retained manifest versions, newest first")
+    assert(rows.forall(_.getString(2) === "maintained"))
+    assert(rows.head.getString(3).contains("dir.table="),
+      "entries must carry the manifest's key=value pairs")
+    // committed_at parses as an instant
+    rows.foreach(r => java.time.Instant.parse(r.getString(1)))
+  }
+
+  test("rollback restores a retained version as a NEW commit") {
+    val dir = s"$root/rb"
+    ParquetMergeSink.merge(Seq((1L, "a", 10L)).toDF("k", "v", "ver"),
+      dir, Seq("k"), "ver", nBuckets = 2)
+    ParquetMergeSink.merge(Seq((1L, "a2", 20L), (2L, "b", 20L)).toDF("k", "v", "ver"),
+      dir, Seq("k"), "ver", nBuckets = 2)
+    val Seq(v1, v2) = versions(dir).sorted.toSeq
+
+    val row = spark.sql(
+      s"CALL graftp.system.rollback(table => 'rb', version => $v1)").head
+    assert(row.getLong(0) === v1)
+    assert(row.getLong(1) > v2, "rollback commits a NEW version (history preserved)")
+    // SQL reads now serve the restored state
+    assert(spark.sql("SELECT k, v FROM graftp.rb").collect().map(_.toSeq).toSet
+      === Set(Seq(1L, "a")),
+      "current reads must serve the rolled-back state")
+    // and the rolled-PAST version is still readable (history, not erasure)
+    assert(spark.sql(s"SELECT count(*) FROM graftp.rb VERSION AS OF $v2")
+      .head.getLong(0) === 2L)
+    // a vacuumed / never-committed version refuses loudly
+    val e = intercept[Exception] {
+      spark.sql("CALL graftp.system.rollback(table => 'rb', version => 999)").collect()
+    }
+    assert(e.getMessage.contains("not in the retained commit log"))
+  }
+
+  test("vacuum trims history and reports what is retained") {
+    val dir = s"$root/rb" // three retained versions from the rollback test
+    assert(versions(dir).size >= 2)
+    val row = spark.sql(
+      "CALL graftp.system.vacuum(table => 'rb', keep => 1)").head
+    assert(row.getInt(0) === 1, "keep=1 must retain exactly one version")
+    assert(row.getLong(1) === row.getLong(2), "oldest == newest when one retained")
+    assert(versions(dir) === Seq(row.getLong(2)))
+    // the vacuumed version is gone from time travel
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graftp.rb VERSION AS OF ${row.getLong(2) - 1}").collect()
+    }
+    // keep must be >= 1 (keep=0 would delete the table's only manifest)
+    val e = intercept[Exception] {
+      spark.sql("CALL graftp.system.vacuum(table => 'rb', keep => 0)").collect()
+    }
+    assert(e.getMessage.contains("keep must be >= 1"))
+  }
+
+  test("compact refuses merge-sink bucketed tables; unknown procedures are loud") {
+    val e1 = intercept[Exception] {
+      spark.sql("CALL graftp.system.compact(table => 'rb')").collect()
+    }
+    assert(e1.getMessage.contains("merge-sink"),
+      "bucketed tables have nothing to compact — the refusal must say so")
+    // history still serves them (read-only audit)
+    assert(spark.sql("CALL graftp.system.history(table => 'rb')").collect()
+      .forall(_.getString(2) === "merge-sink"))
+
+    val e2 = intercept[Exception] {
+      spark.sql("CALL graftp.system.frobnicate(table => 'rb')").collect()
+    }
+    assert(e2.getMessage.contains("frobnicate"))
+    // a non-`system` namespace refuses (Spark wraps it as FAILED_TO_LOAD_ROUTINE)
+    val e3 = intercept[Exception] {
+      spark.sql("CALL graftp.elsewhere.history(table => 'rb')").collect()
+    }
+    assert(e3.getMessage.contains("elsewhere"))
+    val e4 = intercept[Exception] {
+      spark.sql("CALL graftp.system.history(table => 'no_such_table')").collect()
+    }
+    assert(e4.getMessage.contains("not a managed table"))
+  }
+
+  test("defaults and positional arguments bind") {
+    val dir = s"$root/d"
+    (1L to 8L).map(k => (k, k * 2)).toDF("k", "x").write.parquet(dir)
+    TableMaintenance.compact(spark, dir, targetBytes = 1 << 20)
+    // positional, defaults for target_mb + sort_by
+    val row = spark.sql("CALL graftp.system.compact('d')").head
+    assert(row.getInt(1) === 1)
+    // sorted compaction through the sort_by argument = zone-map restore
+    spark.sql("CALL graftp.system.compact('d', 1, 'k')")
+    val data = spark.read.parquet(TableMaintenance.resolveDataDir(spark, dir))
+      .select("k").collect().map(_.getLong(0))
+    assert(data.toSeq === data.sorted.toSeq, "sort_by must order the rewrite")
+    assert(spark.sql("SELECT count(*) FROM graftp.d").head.getLong(0) === 8L)
+  }
+}
