@@ -132,6 +132,15 @@ class GraftProceduresSpec extends SparkSpec {
     assert(e4.getMessage.contains("not a managed table"))
   }
 
+  test("SHOW PROCEDURES lists the maintenance surface") {
+    root // force catalog registration
+    val shown = spark.sql("SHOW PROCEDURES IN graftp.system")
+    val nameCol = shown.columns.indexWhere(_.contains("procedure"))
+    assert(nameCol >= 0, s"unexpected SHOW PROCEDURES schema: ${shown.columns.toSeq}")
+    assert(shown.collect().map(_.getString(nameCol)).toSet
+      === GraftProcedures.All.toSet)
+  }
+
   test("defaults and positional arguments bind") {
     val dir = s"$root/d"
     (1L to 8L).map(k => (k, k * 2)).toDF("k", "x").write.parquet(dir)
