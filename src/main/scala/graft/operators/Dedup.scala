@@ -31,22 +31,22 @@ object Dedup {
 
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Distinct word 3-shingles per document. */
+  /** Sorted distinct 64-bit hashes of each document's word 3-shingles —
+    * ONE native codegen'd pass per row ([[graft.functions.ShingleHash64]],
+    * bit-identical to the xxhash64-of-concat_ws HOF chain it replaced,
+    * which ran interpreted and dominated every shingle operator's scan
+    * stage). Downstream never sees shingle STRINGS: candidates, MinHash
+    * signatures and verification all run on the longs, and the sorted
+    * order is exactly what [[SortedIntersectCount]] consumes.
+    */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     shingledDocs(Tables.fanout(Tables.documents(spark, dir)))
 
   private[operators] def shingledDocs(d: DataFrame): DataFrame = {
     d.select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(
-        col("doc_id"),
-        array_distinct(
-          transform(
-            sequence(lit(0), size(col("ws")) - 3),
-            i => concat_ws(" ",
-              element_at(col("ws"), i + 1),
-              element_at(col("ws"), i + 2),
-              element_at(col("ws"), i + 3)))).as("shingles"))
+      .select(col("doc_id"),
+        graft.functions.ShingleHash64(col("ws"), 3).as("hs"))
   }
 
   /** Exact dedup: keep the lowest doc_id of every identical-content group
@@ -152,8 +152,7 @@ object Dedup {
     // intersect runs on longs, not strings. A cross-shingle hash collision
     // (p ~ n²/2^64) could only add a candidate or nudge an intersect count;
     // verification still computes Jaccard over the full per-doc sets.
-    val sh = shingles.select(col("doc_id"),
-      explode(array_distinct(transform(col("shingles"), s => xxhash64(s)))).as("s"))
+    val sh = shingles.select(col("doc_id"), explode(col("hs")).as("s"))
     // DF-table join is NOT broadcast-pinned: distinct-shingle cardinality is
     // O(corpus tokens) — billions of rows at 100 TB. Both sides shuffle on
     // the shingle hash; AQE may still broadcast while it genuinely fits.
@@ -225,10 +224,9 @@ object Dedup {
       shingles: DataFrame, maxBucket: Int = maxLshBucket): DataFrame = {
     val t = JaccT
     val base = shingles.select(
-        col("doc_id"),
-        sort_array(array_distinct(transform(col("shingles"), s => xxhash64(s)))).as("hs"),
+        col("doc_id"), col("hs"),
         graft.functions.MinHashSig(
-          transform(col("shingles"), s => pmod(xxhash64(s), lit(MinHashP))),
+          transform(col("hs"), h => pmod(h, lit(MinHashP))),
           minHashAs, minHashBs).as("sig"))
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n"), col("sig"))
       // banded candidates + both verification joins read this
@@ -339,7 +337,7 @@ object Dedup {
     // dominating the query (same lesson as SimHash64).
     val hashed = shingles.select(
       col("doc_id"),
-      transform(col("shingles"), s => pmod(xxhash64(s), lit(MinHashP))).as("xs"))
+      transform(col("hs"), h => pmod(h, lit(MinHashP))).as("xs"))
     val sigArr = hashed.select(
       col("doc_id"),
       graft.functions.MinHashSig(col("xs"), minHashAs, minHashBs).as("sig"))

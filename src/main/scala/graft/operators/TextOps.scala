@@ -420,10 +420,7 @@ object TextOps {
       .filter(size(col("ws")) >= 5)
       .select(
         col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(0), size(col("ws")) - 5),
-          i => xxhash64(concat_ws(" ",
-            (0 until 5).map(j => element_at(col("ws"), i + j + 1)): _*)))).as("gs"),
+        graft.functions.ShingleHash64(col("ws"), 5).as("gs"),
         (substring(md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")),
           1, 1) < "2").as("is_eval"))
 
@@ -565,12 +562,8 @@ object TextOps {
     // pathology on re-execution in a long-lived JVM.
     val sh = d.select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(transform(
-        sequence(lit(0), size(col("ws")) - 3),
-        i => xxhash64(concat_ws(" ",
-          element_at(col("ws"), i + 1),
-          element_at(col("ws"), i + 2),
-          element_at(col("ws"), i + 3)))))).as("g"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHash64(col("ws"), 3)).as("g"))
     // corpus document frequencies — the standing index (one partial agg)
     val df = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
     // probe-batch posting arrays (ContainmentProbeN docs): the tiny probe
@@ -670,27 +663,29 @@ object TextOps {
     * 3-grams per document — the classic "repetitious text" quality gate
     * of large-scale corpus cleaning (boilerplate, keyword stuffing and
     * decoding loops all show up as low distinct-ngram ratios long before
-    * a human would flag them). Pure per-row projection (build n-grams
-    * with one `transform`, count distinct with `array_distinct` — all
-    * inside codegen'd HOF eval, no explode, no shuffle until the
-    * aggregate-free sort), so at 100 TB it's one scan. Ratios are exact
-    * integer divisions truncated at the output edge.
+    * a human would flag them). Pure per-row projection — one native
+    * shingle-hash pass per width ([[graft.functions.ShingleHash64]]), no
+    * explode, no shuffle until the aggregate-free sort — so at 100 TB
+    * it's one scan. Ratios are exact integer divisions truncated at the
+    * output edge.
     */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    def grams(n: Int) = transform(
-      sequence(lit(0), size(col("ws")) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(col("ws"), i + j + 1)): _*))
+    // total n-gram count is size(ws)−n+1 by construction; the distinct
+    // count comes from the native shingle-hash pass (ShingleHash64 —
+    // distinct over 64-bit gram hashes ≡ distinct over gram strings
+    // modulo a ~n²/2⁶⁴ collision, the same trade every hash-verified
+    // operator here makes), so no gram STRINGS are ever materialized
+    def total(n: Int) = (size(col("ws")) - lit(n - 1)).cast("long")
+    def distinctN(n: Int) =
+      size(graft.functions.ShingleHash64(col("ws"), n)).cast("long")
     Tables.fanout(Tables.documents(spark, dir))
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), grams(2).as("g2"), grams(3).as("g3"))
       .select(col("doc_id"),
-        size(col("g2")).cast("long").as("n_2grams"),
-        trunc4(lit(1.0) - size(array_distinct(col("g2"))) / size(col("g2")))
-          .as("dup2_ratio"),
-        size(col("g3")).cast("long").as("n_3grams"),
-        trunc4(lit(1.0) - size(array_distinct(col("g3"))) / size(col("g3")))
-          .as("dup3_ratio"))
+        total(2).as("n_2grams"),
+        trunc4(lit(1.0) - distinctN(2) / total(2)).as("dup2_ratio"),
+        total(3).as("n_3grams"),
+        trunc4(lit(1.0) - distinctN(3) / total(3)).as("dup3_ratio"))
       .orderBy("doc_id")
   }
 

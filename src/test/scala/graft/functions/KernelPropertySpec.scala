@@ -108,4 +108,38 @@ class KernelPropertySpec extends SparkSpec {
         s"NULL contract violated for id ${r.getLong(0)}")
     }
   }
+
+  test("shingle_hash64 is bit-equal to the sorted-distinct xxhash64 HOF chain") {
+    val vocab = Vector("the", "cat", "sat", "on", "a", "mat", "Ünïcødé",
+      "多字节", "x", "", "long-word-with-dashes")
+    val cases = Seq.tabulate(400) { i =>
+      val m = rnd.between(0, 30)
+      // heavy repetition so duplicate shingles are common (the dedup path)
+      Row(i.toLong, Seq.fill(m)(vocab(rnd.nextInt(vocab.size))))
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ws", ArrayType(StringType, containsNull = false))))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(cases).asJava),
+      schema)
+    for (n <- Seq(1, 2, 3, 5)) {
+      val hof = sort_array(array_distinct(transform(
+        sequence(lit(0), size(col("ws")) - n),
+        i => xxhash64(concat_ws(" ",
+          (0 until n).map(j => element_at(col("ws"), i + j + 1)): _*)))))
+      val bad = df.filter(size(col("ws")) >= n)
+        .select(col("id"),
+          ShingleHash64(col("ws"), n).as("native"), hof.as("builtin"))
+        .filter(col("native") =!= col("builtin"))
+      assert(bad.count() === 0,
+        s"n=$n mismatches: ${bad.collect().take(3).mkString(", ")}")
+      // below-width documents yield the empty set (the HOF chain would
+      // throw on the negative sequence bound; callers filter first)
+      val short = df.filter(size(col("ws")) < n)
+        .select(ShingleHash64(col("ws"), n).as("native"))
+        .filter(size(col("native")) =!= 0)
+      assert(short.count() === 0, s"n=$n: short docs must hash to empty")
+    }
+  }
 }
