@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, MinKLongs, SimHash64, SortedIntersectCount, VecSumDoubles}
+import graft.functions.{CosineSimilarity, MinKLongs, ShingleHash64, SimHash64, SortedIntersectCount, VecSumDoubles}
 
 /** Session extensions registering graft's native expressions for SQL use
   * and the custom-plan optimizations:
@@ -42,6 +42,23 @@ object GraftExtensions {
     (FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)),
+    (FunctionIdentifier("graft_shingle_hash64"),
+      new ExpressionInfo(classOf[ShingleHash64].getName, "graft_shingle_hash64"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_shingle_hash64(words, n) takes 2 arguments, got ${children.length}")
+        val n = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case v: Number if v.intValue() > 0 => v.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_shingle_hash64: n must be a positive integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_shingle_hash64: n must be a literal")
+        }
+        ShingleHash64(children.head, n)
+      }),
     (FunctionIdentifier("min_k_longs"),
       new ExpressionInfo(classOf[MinKLongs].getName, "min_k_longs"),
       (children: Seq[Expression]) => {

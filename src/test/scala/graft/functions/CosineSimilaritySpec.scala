@@ -49,5 +49,11 @@ class CosineSimilaritySpec extends SparkSpec {
       "SELECT vec_sum(v) AS s FROM VALUES (array(1.0D, 2.0D)), (array(3.0D, 4.0D)) AS t(v)")
       .head()
     assert(vs.getSeq[Double](0).toSeq === Seq(4.0, 6.0))
+    val sg = spark.sql(
+      """SELECT graft_shingle_hash64(array('a', 'b', 'c', 'a', 'b', 'c'), 3) AS g,
+                sort_array(array_distinct(array(
+                  xxhash64('a b c'), xxhash64('b c a'), xxhash64('c a b')))) AS e""")
+      .head()
+    assert(sg.getSeq[Long](0).toSeq === sg.getSeq[Long](1).toSeq)
   }
 }
