@@ -221,10 +221,21 @@ object Similarity {
   def ivfPqTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nCells = 32
-    // 8 probes (vs ivfTopk's 6): the ADC stage after the cell cut is an
-    // additional approximation, so buy back recall by probing wider —
-    // still ~25% of the corpus, scored at 16 B/candidate.
-    val nprobe = 8
+    // Probe count SCALES WITH THE INDEX (min 8, capped at every cell):
+    // at fixed nCells the per-cell population grows linearly with N, and
+    // a constant cell cut compounds with ADC displacement — measured
+    // recall@3 at sf10 (200k vectors) was 0.67 under a constant 8 while
+    // pq's full ADC scan held 0.80. Probing wider is the cheap lever:
+    // the extra candidates are scored at 16 B each from the pruned,
+    // cell-partitioned index scan, and nprobe does not enter the index
+    // fingerprint, so this is a serving-time knob — no rebuild. The
+    // floor keeps the small-SF spec behavior (≤100k vectors ⇒ 8, the
+    // pinned configuration); past that, one extra probe per 12.5k
+    // vectors until every cell is probed and ivfpq degrades gracefully
+    // into pq-over-the-inverted-file (the compressed scan is still the
+    // point at 100 TB — raw vectors are never read before the re-rank).
+    val nprobe = math.min(nCells,
+      math.max(8, (Tables.embeddingCount(spark, dir) / 12500L).toInt))
     // Shortlist scales with the SCORED candidate count (the probed
     // fraction of the corpus) for the same displacement reason as
     // [[pqTopk]]; measured at sf10, the fixed 24 cost recall@3 0.53.
