@@ -47,6 +47,106 @@ object ParquetMergeSink {
 
   private val BucketCol = "__bucket"
   private val PrefCol = "__pref"
+  private[graft] val SchemaKey = "schema"
+
+  /** The manifest-declared table schema, when the table carries one.
+    * Tables created via [[createEmpty]] (SQL CREATE) carry it from birth;
+    * API-grown tables acquire it on their next merge commit. It is the
+    * source of truth for reads the moment generations stop agreeing —
+    * i.e. after `ALTER TABLE … ADD COLUMN` ([[addColumns]]): reading the
+    * dirs with the declared schema makes parquet align files BY NAME and
+    * null-fill columns a pre-ALTER generation never wrote (the
+    * Delta/Iceberg add-column read contract, no data rewrite).
+    */
+  private[graft] def declaredSchema(
+      m: ManifestCommit.Manifest): Option[org.apache.spark.sql.types.StructType] =
+    m.entries.get(SchemaKey).map(org.apache.spark.sql.types.DataType.fromJson(_)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Nullability/metadata-normalized form for stamping into a manifest:
+    * parquet reads surface everything nullable, so a stable declared
+    * schema must too (otherwise the stamp would flap between commits).
+    */
+  private def stampable(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true)))
+
+  /** Align `df` onto the declared schema: columns match by name
+    * (case-insensitive), declared-but-absent columns null-fill, order
+    * follows the declaration. Extra columns and type mismatches REFUSE
+    * loudly — the sink never widens or coerces a schema implicitly;
+    * widening is exactly what `ALTER TABLE … ADD COLUMN` is for.
+    */
+  private def alignToSchema(df: DataFrame,
+      declared: org.apache.spark.sql.types.StructType, what: String): DataFrame = {
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val byName = df.schema.fields.map(f => lc(f.name) -> f).toMap
+    val declaredNames = declared.fields.map(f => lc(f.name)).toSet
+    val extra = df.columns.filterNot(c => declaredNames.contains(lc(c)))
+    require(extra.isEmpty,
+      s"$what carries columns not in the table schema: " +
+        s"${extra.mkString(", ")} — run ALTER TABLE … ADD COLUMN (or " +
+        "ParquetMergeSink.addColumns) first; the sink never widens a " +
+        "schema implicitly")
+    val cols = declared.fields.map { f =>
+      byName.get(lc(f.name)) match {
+        case Some(src) =>
+          require(src.dataType.catalogString == f.dataType.catalogString,
+            s"$what column ${f.name}: incoming type " +
+              s"${src.dataType.simpleString} does not match declared " +
+              s"${f.dataType.simpleString} — cast explicitly; type changes " +
+              "are refused")
+          col(src.name).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** `ALTER TABLE … ADD COLUMN` as ONE metadata-only manifest commit (no
+    * data is read or rewritten — Delta/Iceberg add-column semantics): the
+    * new head re-references the current generations unchanged and records
+    * the widened declared schema; every reader resolving through the
+    * manifest ([[read]]/[[readVersion]], the SQL catalog) null-fills the
+    * new columns for pre-ALTER generations by name. Time travel to a
+    * pre-ALTER version serves that manifest's OWN schema — the old shape,
+    * as the protocol requires.
+    *
+    * Only nullable, non-duplicate, top-level columns are addable; drops,
+    * renames, and type changes refuse loudly at the catalog (a lake scan
+    * cannot un-write immutable files). A legacy table without a declared
+    * schema adopts its current data schema as the base in the same
+    * commit.
+    */
+  def addColumns(spark: SparkSession, path: String,
+      newFields: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    val table = new Path(path)
+    val fs = fsFor(spark, table)
+    guardReadable(fs, table)
+    require(newFields.nonEmpty, "ADD COLUMN needs at least one column")
+    val notNullable = newFields.filterNot(_.nullable).map(_.name)
+    require(notNullable.isEmpty,
+      s"ADD COLUMN ${notNullable.mkString(", ")}: added columns must be " +
+        "nullable — existing generations cannot supply a value for them")
+    val m = ManifestCommit.latest(fs, table).getOrElse(
+      throw new IllegalStateException(
+        s"$path has no committed merge-sink table to alter"))
+    val base = declaredSchema(m).getOrElse(stampable(read(spark, path).schema))
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val existing = base.fields.map(f => lc(f.name)).toSet
+    val dup = newFields.map(f => lc(f.name))
+      .filter(n => existing.contains(n)) ++
+      newFields.groupBy(f => lc(f.name)).filter(_._2.size > 1).keys
+    require(dup.isEmpty,
+      s"ADD COLUMN ${dup.distinct.mkString(", ")}: column already exists")
+    val widened = org.apache.spark.sql.types.StructType(
+      base.fields ++ newFields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true)))
+    ManifestCommit.commit(fs, table,
+      (m.entries - "txid") + (SchemaKey -> widened.json))
+    ManifestCommit.vacuum(fs, table, keep = 2)
+  }
 
   private def fsFor(spark: SparkSession, p: Path): FileSystem = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -101,12 +201,13 @@ object ParquetMergeSink {
     val fs = fsFor(spark, table)
     guardReadable(fs, table)
     ManifestCommit.latest(fs, table)
-      .map(_.dirs)
+      .map(m => (m.dirs, declaredSchema(m)))
       .orElse(legacyLayout(fs, table).map(e =>
-        ManifestCommit.Manifest(0L, e).dirs))
-      .flatMap { dirMap =>
+        (ManifestCommit.Manifest(0L, e).dirs, None)))
+      .flatMap { case (dirMap, declared) =>
         val dirs = dirMap.values.toSeq.sorted.map(rel => new Path(table, rel).toString)
-        if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+        if (dirs.isEmpty) None
+        else Some(declared.fold(spark.read)(spark.read.schema).parquet(dirs: _*))
       }
   }
 
@@ -133,7 +234,8 @@ object ParquetMergeSink {
           ManifestCommit.committed(fs, table).map(_.version).mkString(", ")))
     val dirs = m.dirs.values.toSeq.sorted.map(rel => new Path(table, rel).toString)
     require(dirs.nonEmpty, s"version $version of $path references no data dirs")
-    spark.read.parquet(dirs: _*)
+    // That manifest's OWN schema (pre-ALTER versions keep the old shape).
+    declaredSchema(m).fold(spark.read)(spark.read.schema).parquet(dirs: _*)
   }
 
   /** An EMPTY merge-sink table whose schema and write contract are
@@ -177,6 +279,7 @@ object ParquetMergeSink {
     spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val schemaEntry = SchemaKey -> stampable(schema).json
     val part = fs.listStatus(tmp).map(_.getPath)
       .find(_.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException(
@@ -187,7 +290,8 @@ object ParquetMergeSink {
     fs.delete(tmp, true)
     ManifestCommit.commit(fs, table, Map(
       "buckets" -> nBuckets.toString,
-      "dir.0" -> s"$gen/$BucketCol=0") ++ writeMeta(keys, version))
+      "dir.0" -> s"$gen/$BucketCol=0",
+      schemaEntry) ++ writeMeta(keys, version))
   }
 
   /** Table creation commits the bucket count FIRST, before any data
@@ -240,8 +344,15 @@ object ParquetMergeSink {
     if (batch.isEmpty) return
     val manifest = ensureManifest(fs, table, nBuckets)
     val buckets = manifest.entries("buckets").toInt
+    // A declared schema (SQL-created, or stamped by a prior merge) is the
+    // write contract: the batch aligns onto it — null-fill for columns an
+    // old writer doesn't know yet (post-ADD COLUMN), loud refusal for
+    // columns the table doesn't have.
+    val declared = declaredSchema(manifest)
+    val aligned = declared.fold(batch)(d =>
+      alignToSchema(batch, d, s"merge batch into $path"))
 
-    val batchB = batch.withColumn(BucketCol, bucketExpr(keys, buckets))
+    val batchB = aligned.withColumn(BucketCol, bucketExpr(keys, buckets))
       .withColumn(PrefCol, lit(1)) // incoming outranks current on version ties
       .barrier() // bucket list + merge input: compute the batch once
     val touched = batchB.select(BucketCol).distinct()
@@ -257,7 +368,7 @@ object ParquetMergeSink {
       .map(rel => new Path(table, rel).toString)
     val current =
       if (currentDirs.nonEmpty)
-        Some(spark.read.parquet(currentDirs: _*)
+        Some(declared.fold(spark.read)(spark.read.schema).parquet(currentDirs: _*)
           .withColumn(BucketCol, bucketExpr(keys, buckets))
           .withColumn(PrefCol, lit(0)))
       else None
@@ -287,7 +398,14 @@ object ParquetMergeSink {
     val carried = manifest.entries.filter { case (k, _) =>
       !k.startsWith("dir.") || !touched.contains(k.stripPrefix("dir.").toInt)
     }
-    finishCommit(fs, table, carried ++ updated ++ writeMeta(keys, version))
+    // Stamp the declared schema (or, first time, the batch-derived one):
+    // pre-existing tables acquire the entry on their next merge, which is
+    // what makes ALTER TABLE available to API-grown tables too.
+    val schemaEntry = SchemaKey -> declared.getOrElse(
+      stampable(org.apache.spark.sql.types.StructType(
+        merged.schema.fields.filterNot(_.name == BucketCol)))).json
+    finishCommit(fs, table,
+      carried ++ updated ++ writeMeta(keys, version) + schemaEntry)
   }
 
   /** Write-config metadata stamped into every merge commit: the key and
@@ -362,8 +480,13 @@ object ParquetMergeSink {
     // deleteWhen's referenced columns unless they are keys/version; a
     // caller whose predicate reads genuine data columns passes
     // `targetCols` explicitly (Delta's target-schema declaration).
-    val tableCols: Seq[String] = readIfExists(spark, path)
-      .map(_.columns.toSeq)
+    // the declared-shaped schema when the table exists: the action
+    // projection null-fills declared columns the source predates (a CDC
+    // writer that has not learned a post-ALTER column yet).
+    val tableSchema: Option[org.apache.spark.sql.types.StructType] =
+      readIfExists(spark, path).map(_.schema)
+    val tableCols: Seq[String] = tableSchema
+      .map(_.fieldNames.toSeq)
       .orElse(Some(targetCols).filter(_.nonEmpty).map { tc =>
         val missing = (keys :+ version).filterNot(tc.contains) ++
           tc.filterNot(source.columns.contains)
@@ -402,10 +525,12 @@ object ParquetMergeSink {
     val dirMap = manifest.dirs
     val currentDirs = touched.toSeq.flatMap(b => dirMap.get(b.toString))
       .map(rel => new Path(table, rel).toString)
+    val declared = declaredSchema(manifest)
     val current = currentDirs match {
       case Seq() => None
-      case dirs => Some(spark.read.parquet(dirs: _*)
-        .withColumn(BucketCol, bucketExpr(keys, buckets)))
+      case dirs => Some(
+        declared.fold(spark.read)(spark.read.schema).parquet(dirs: _*)
+          .withColumn(BucketCol, bucketExpr(keys, buckets)))
     }
 
     // survivors = current rows whose key the source does not touch
@@ -414,8 +539,18 @@ object ParquetMergeSink {
     // matched+update: current dropped, source row inserted;
     // unmatched+insert: source row inserted; unmatched+delete: no-op.
     val sourceKeys = resolved.select(keys.map(col): _*)
+    val presentLc = resolved.columns
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val appliedCols: Seq[Column] = tableSchema match {
+      case Some(ts) => ts.fields.toSeq.map { f =>
+        if (presentLc.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
+          col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      case None => tableCols.map(col)
+    }
     val applied = resolved.filter(!col(DelCol))
-      .select((tableCols :+ BucketCol).map(col): _*)
+      .select(appliedCols :+ col(BucketCol): _*)
     val merged = current
       .map(_.join(sourceKeys, keys, "left_anti").unionByName(applied))
       .getOrElse(applied)
@@ -434,6 +569,10 @@ object ParquetMergeSink {
     val carried = manifest.entries.filter { case (k, _) =>
       !k.startsWith("dir.") || !touched.contains(k.stripPrefix("dir.").toInt)
     }
-    finishCommit(fs, table, carried ++ updated ++ writeMeta(keys, version))
+    val schemaEntry = SchemaKey -> declared.getOrElse(
+      stampable(org.apache.spark.sql.types.StructType(
+        merged.schema.fields.filterNot(_.name == BucketCol)))).json
+    finishCommit(fs, table,
+      carried ++ updated ++ writeMeta(keys, version) + schemaEntry)
   }
 }

@@ -161,7 +161,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       else m.entries.get("delete.key")
         .orElse(Option(opts.get(s"deleteKey.${ident.name}")))
     new GraftTable(s"$catName.${ident.name}", spark, dataDirs, dv,
-      p.toString, writeCfg, deleteCfg)
+      p.toString, writeCfg, deleteCfg,
+      graft.sinks.ParquetMergeSink.declaredSchema(m))
   }
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
@@ -210,7 +211,48 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly
+  /** `ALTER TABLE graft.t ADD COLUMN c TYPE` — schema evolution as ONE
+    * metadata-only manifest commit ([[graft.sinks.ParquetMergeSink
+    * .addColumns]]): no data is rewritten, pre-ALTER generations
+    * null-fill the new columns by name at scan time, and time travel to
+    * a pre-ALTER version serves the old shape (that manifest's own
+    * schema). The reference evolves its schema the same one-way route —
+    * additive `sql-migrations/` applied by the migrate step; drops,
+    * renames, and type changes refuse loudly here exactly as a
+    * down-migration is refused there (immutable files cannot be
+    * un-written; rewrite through the sink APIs instead).
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val adds = changes.map {
+      case a: TableChange.AddColumn => a
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE $catName.${ident.name}: only ADD COLUMN is " +
+          s"supported (got ${other.getClass.getSimpleName}); drops, " +
+          "renames, and type changes would contradict committed immutable " +
+          "generations — rebuild via the sink APIs for those")
+    }
+    val fields = adds.map { a =>
+      require(a.fieldNames.length == 1,
+        s"ALTER TABLE $catName.${ident.name}: nested ADD COLUMN " +
+          s"(${a.fieldNames.mkString(".")}) is not supported — only " +
+          "top-level columns")
+      require(a.position() == null,
+        s"ALTER TABLE $catName.${ident.name} ADD COLUMN ${a.fieldNames.head}" +
+          ": FIRST/AFTER positioning is not supported — new columns append")
+      require(a.defaultValue() == null,
+        s"ALTER TABLE $catName.${ident.name} ADD COLUMN ${a.fieldNames.head}" +
+          ": DEFAULT values are not supported — added columns null-fill")
+      require(a.isNullable,
+        s"ALTER TABLE $catName.${ident.name} ADD COLUMN ${a.fieldNames.head}" +
+          ": NOT NULL is not addable — existing rows cannot supply a value")
+      org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
+        nullable = true)
+    }
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    graft.sinks.ParquetMergeSink.addColumns(spark,
+      tablePath(ident).toString, fields.toSeq)
+    loadTable(ident)
+  }
 
   /** `DROP TABLE graft.t` deletes the MANAGED table directory — manifest
     * history, generations, deletion vectors, everything; `tableExists`
@@ -313,12 +355,17 @@ private[sources] class GraftTable(tableName: String, spark: SparkSession,
     dv: Option[(String, org.apache.spark.broadcast.Broadcast[Set[Any]])],
     private[sources] val tablePath: String,
     private[sources] val writeCfg: Option[(Seq[String], String, Int)],
-    deleteCfg: Option[String])
+    deleteCfg: Option[String],
+    declared: Option[StructType] = None)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
+  // The manifest-declared schema (when present) is the user-specified
+  // schema of the parquet scan: files align by name, generations written
+  // before an ADD COLUMN null-fill the new columns inside the reader.
   private lazy val delegate = ParquetTable(tableName, spark,
-    CaseInsensitiveStringMap.empty(), dataDirs, None, classOf[ParquetFileFormat])
+    CaseInsensitiveStringMap.empty(), dataDirs, declared,
+    classOf[ParquetFileFormat])
 
   override def name(): String = tableName
   override def schema(): StructType = delegate.schema

@@ -424,14 +424,107 @@ class GraftCatalogSpec extends SparkSpec {
     val names = spark.sql("SHOW TABLES IN graft").collect()
       .map(_.getAs[String]("tableName")).toSet
     assert(names.contains("lst"))
-    // ALTER and RENAME are API-level operations — refused
+    // destructive ALTERs are refused (ADD COLUMN has its own spec below)
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft.lst ADD COLUMN extra INT")
+      spark.sql("ALTER TABLE graft.lst DROP COLUMN v")
     }
     // a plain directory without a manifest is not a catalog table
     (1L to 3L).toDF("x").write.parquet(s"$root/plain")
     intercept[Exception] {
       spark.sql("SELECT * FROM graft.plain").collect()
     }
+  }
+
+  test("ALTER TABLE ADD COLUMN evolves the schema without rewriting data") {
+    val dir = s"$root/ev"
+    def versions = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      graft.sinks.ManifestCommit
+        .committed(fs, new org.apache.hadoop.fs.Path(dir))
+    }
+    def rows = spark.sql("SELECT * FROM graft.ev").collect()
+      .map(_.toSeq).toSet
+
+    ParquetMergeSink.merge(
+      Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "v", "ver"),
+      dir, Seq("k"), "ver", nBuckets = 4)
+    val preAlter = versions.last
+
+    spark.sql("ALTER TABLE graft.ev ADD COLUMN score DOUBLE")
+
+    // metadata-only commit: one version bump, SAME data dirs, no rewrite
+    val postAlter = versions.last
+    assert(postAlter.version === preAlter.version + 1)
+    assert(postAlter.dirs === preAlter.dirs,
+      "ADD COLUMN must re-reference the existing generations unchanged")
+
+    // pre-ALTER generation null-fills the new column by name
+    assert(spark.sql("SELECT * FROM graft.ev").columns.toSeq
+      === Seq("k", "v", "ver", "score"))
+    assert(rows === Set(Seq(1L, "a", 10L, null), Seq(2L, "b", 10L, null)))
+
+    // time travel to the pre-ALTER version returns the OLD shape
+    assert(spark.sql(
+        s"SELECT * FROM graft.ev VERSION AS OF ${preAlter.version}")
+      .columns.toSeq === Seq("k", "v", "ver"),
+      "a pre-ALTER version must serve its own (old) schema")
+
+    // INSERT with the new column: mixed-schema generations read together
+    spark.sql("INSERT INTO graft.ev VALUES (3, 'c', 20, 1.5)")
+    assert(rows === Set(
+      Seq(1L, "a", 10L, null), Seq(2L, "b", 10L, null),
+      Seq(3L, "c", 20L, 1.5)))
+
+    // replay idempotence across the ALTER boundary
+    spark.sql("INSERT INTO graft.ev VALUES (3, 'c', 20, 1.5)")
+    assert(rows === Set(
+      Seq(1L, "a", 10L, null), Seq(2L, "b", 10L, null),
+      Seq(3L, "c", 20L, 1.5)), "replayed INSERT must converge")
+
+    // UPDATE reaches rows in a pre-ALTER generation
+    spark.sql("UPDATE graft.ev SET score = 9.9 WHERE k = 1")
+    assert(rows === Set(
+      Seq(1L, "a", 10L, 9.9), Seq(2L, "b", 10L, null),
+      Seq(3L, "c", 20L, 1.5)))
+
+    // MERGE INTO across the boundary (full-shape source)
+    Seq((2L, "b2", 30L, 2.5, "u"), (4L, "d", 30L, 4.5, "u"))
+      .toDF("k", "v", "ver", "score", "op").createOrReplaceTempView("evsrc")
+    spark.sql("""MERGE INTO graft.ev t USING evsrc s ON t.k = s.k
+                 WHEN MATCHED AND s.op = 'd' THEN DELETE
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED AND s.op <> 'd' THEN INSERT *""")
+    assert(rows === Set(
+      Seq(1L, "a", 10L, 9.9), Seq(2L, "b2", 30L, 2.5),
+      Seq(3L, "c", 20L, 1.5), Seq(4L, "d", 30L, 4.5)))
+
+    // an OLD writer (batch predates the column) still merges: null-fill
+    ParquetMergeSink.merge(Seq((5L, "e", 40L)).toDF("k", "v", "ver"),
+      dir, Seq("k"), "ver", nBuckets = 4)
+    assert(rows.contains(Seq(5L, "e", 40L, null)),
+      "a pre-ALTER-shaped batch must merge with the new column null")
+    // the API read serves the declared (evolved) schema too
+    assert(ParquetMergeSink.read(spark, dir).columns.toSeq
+      === Seq("k", "v", "ver", "score"))
+
+    // a batch with a column the table does not have refuses loudly
+    val e = intercept[Exception] {
+      ParquetMergeSink.merge(
+        Seq((6L, "f", 50L, "x")).toDF("k", "v", "ver", "bogus"),
+        dir, Seq("k"), "ver", nBuckets = 4)
+    }
+    assert(e.getMessage.contains("ADD COLUMN"),
+      s"implicit widening must point at ALTER, got: ${e.getMessage}")
+
+    // refused evolution shapes, each loud and side-effect-free
+    val before = rows
+    intercept[Exception](spark.sql("ALTER TABLE graft.ev DROP COLUMN v"))
+    intercept[Exception](spark.sql("ALTER TABLE graft.ev RENAME COLUMN v TO w"))
+    intercept[Exception](spark.sql("ALTER TABLE graft.ev ALTER COLUMN ver TYPE INT"))
+    intercept[Exception](spark.sql("ALTER TABLE graft.ev ADD COLUMN v STRING"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.ev ADD COLUMN nn STRING NOT NULL"))
+    assert(rows === before, "refused ALTERs must change nothing")
   }
 }
