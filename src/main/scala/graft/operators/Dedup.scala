@@ -102,14 +102,19 @@ object Dedup {
     * so the oracle contract is unconditional at any sweep SF).
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val useExact =
-      spark.conf.getOption("spark.sql.graft.jaccardCandidates") match {
-        case Some("exact") => true
-        case Some("lsh") => false
-        // parquet row-count metadata, memoized — at most one
-        // footer-only job per (application, dir)
-        case _ => Tables.documentCount(spark, dir) <= JaccardExactMax
-      }
+    val forced = spark.conf.getOption("spark.sql.graft.jaccardCandidates")
+    val useExact = forced match {
+      case Some("exact") => true
+      case Some("lsh") => false
+      // parquet row-count metadata, memoized — at most one
+      // footer-only job per (application, dir)
+      case _ => Tables.documentCount(spark, dir) <= JaccardExactMax
+    }
+    graft.StrategyLog.record("dd_ngram_jaccard",
+      if (useExact) "exact" else "lsh",
+      forced.map(f => Seq[(String, Any)]("forced" -> f)).getOrElse(Seq(
+        "docs" -> Tables.documentCount(spark, dir),
+        "exactMax" -> JaccardExactMax)): _*)
     val sh = shingled(spark, dir)
     if (useExact) ngramJaccardExact(sh) else ngramJaccardLsh(sh)
   }
@@ -428,8 +433,14 @@ object Dedup {
     val head =
       if (effCap < 0) Array.empty[org.apache.spark.sql.Row]
       else pairs.limit((effCap + 1L).toInt).collect()
-    if (effCap >= 0 && head.length <= effCap)
+    if (effCap >= 0 && head.length <= effCap) {
+      graft.StrategyLog.record("dd_components", "driver",
+        "edges" -> head.length, "cap" -> effCap)
       return componentsLocal(spark, head.map(r => (r.getLong(0), r.getLong(1))))
+    }
+    graft.StrategyLog.record("dd_components", "distributed",
+      "edges" -> (if (effCap < 0) "forced" else s">$effCap"),
+      "cap" -> effCap)
     // over the cap: the distributed propagation reads the pair graph many
     // times (both edge directions + every round) — barrier it once here
     // undirected: send labels both ways
@@ -759,11 +770,16 @@ object Dedup {
     // memoized footer-only count of the RAW table (counting the fanned
     // frame would execute its repartition shuffle just to count)
     val n = Tables.embeddingCount(spark, dir)
-    val useImi = spark.conf.getOption("spark.sql.graft.embBlocking") match {
+    val forcedQ = spark.conf.getOption("spark.sql.graft.embBlocking")
+    val useImi = forcedQ match {
       case Some("imi") => true
       case Some("ivf") => false
       case _ => n > EmbBlockedImiMin
     }
+    graft.StrategyLog.record("dd_embedding_blocked",
+      if (useImi) "imi" else "ivf",
+      forcedQ.map(f => Seq[(String, Any)]("forced" -> f)).getOrElse(Seq(
+        "vecs" -> n, "imiMin" -> EmbBlockedImiMin)): _*)
     val cellsOf: Column =
       if (useImi) {
         // per-half √(n/256) sub-centroids → n/256 product cells, same
@@ -847,12 +863,16 @@ object Dedup {
     // memoized footer-only count serves both the strategy pick and the
     // IVF cell count (a forced-kmeans run never pays even the first one)
     lazy val nVecs = Tables.embeddingCount(spark, dir)
-    val useKmeans =
-      spark.conf.getOption("spark.sql.graft.semdedupBlocking") match {
-        case Some("kmeans") => true
-        case Some("ivf") => false
-        case _ => nVecs <= SemDedupKmeansMax
-      }
+    val forcedSide = spark.conf.getOption("spark.sql.graft.semdedupBlocking")
+    val useKmeans = forcedSide match {
+      case Some("kmeans") => true
+      case Some("ivf") => false
+      case _ => nVecs <= SemDedupKmeansMax
+    }
+    graft.StrategyLog.record("dd_semdedup",
+      if (useKmeans) "kmeans" else "ivf",
+      forcedSide.map(f => Seq[(String, Any)]("forced" -> f)).getOrElse(Seq(
+        "vecs" -> nVecs, "kmeansMax" -> SemDedupKmeansMax)): _*)
     val (assigned, pairs) =
       if (useKmeans) {
         val assign = Similarity.kmeans(spark, dir)

@@ -301,4 +301,42 @@ class DedupSpec extends SparkSpec {
     assert(out(5L).getAs[Long]("n_dup_tokens") === 30L)
     assert(out(5L).getAs[Double]("dup_ratio") === math.floor(30 * 1e4 / 31) / 1e4)
   }
+
+  test("adaptive operators record their strategy choice + threshold inputs") {
+    import graft.StrategyLog
+    // size-driven defaults on the small spec corpus name the inputs
+    Dedup.ngramJaccard(spark, sfDir).count()
+    val jac = StrategyLog.lastChoice("dd_ngram_jaccard").getOrElse("")
+    assert(jac.startsWith("exact") && jac.contains("docs=") &&
+      jac.contains(s"exactMax=${Dedup.JaccardExactMax}"), jac)
+
+    Dedup.semDedup(spark, sfDir).count()
+    val sd = StrategyLog.lastChoice("dd_semdedup").getOrElse("")
+    assert(sd.startsWith("kmeans") && sd.contains("vecs="), sd)
+
+    Dedup.embeddingCosBlocked(spark, sfDir).count()
+    val eb = StrategyLog.lastChoice("dd_embedding_blocked").getOrElse("")
+    assert(eb.startsWith("ivf") && eb.contains("vecs=") &&
+      eb.contains("imiMin="), eb)
+
+    Dedup.components(spark, sfDir).count()
+    val cp = StrategyLog.lastChoice("dd_components").getOrElse("")
+    assert(cp.startsWith("driver") && cp.contains("edges=") &&
+      cp.contains("cap="), cp)
+
+    // a forced side is recorded AS forced (audit can tell pin from policy)
+    spark.conf.set("spark.sql.graft.jaccardCandidates", "lsh")
+    try {
+      Dedup.ngramJaccard(spark, sfDir).count()
+      assert(StrategyLog.lastChoice("dd_ngram_jaccard")
+        .contains("lsh forced=lsh"))
+    } finally spark.conf.unset("spark.sql.graft.jaccardCandidates")
+
+    // the distributed components path records its side too
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    Dedup.componentsFrom(spark, pairs, maxDriverEdges = -1L).count()
+    val cd = StrategyLog.lastChoice("dd_components").getOrElse("")
+    assert(cd.startsWith("distributed") && cd.contains("edges=forced"), cd)
+  }
 }
