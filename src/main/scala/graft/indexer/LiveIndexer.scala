@@ -92,9 +92,15 @@ object LiveIndexer {
       checkpoint: String,
       decoderClass: String = classOf[Ingest.JsonPassthroughDecoder].getName,
       maxHeightsPerTrigger: Option[Long] = None,
-      afterTable: (Long, String) => Unit = (_, _) => ()): StreamingQuery = {
+      afterTable: (Long, String) => Unit = (_, _) => (),
+      clientClass: String =
+        classOf[graft.sources.DirHeightClient].getName): StreamingQuery = {
+    // `landingDir` is the client's one-string constructor arg: a
+    // directory for the sandbox DirHeightClient, an http(s) endpoint for
+    // HttpHeightClient — the lineage is identical either way.
     val base = spark.readStream.format("graft.sources.HeightPollSource")
-      .option("dir", landingDir)
+      .option("client", clientClass)
+      .option("clientArg", landingDir)
     val src = maxHeightsPerTrigger
       .fold(base)(n => base.option("maxHeightsPerTrigger", n.toString))
       .load()

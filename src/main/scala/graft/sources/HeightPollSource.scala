@@ -97,6 +97,39 @@ class DirHeightClient(dir: String) extends HeightClient {
   }
 }
 
+/** Real network client for the [[HeightClient]] SPI — the deployment
+  * shape of the reference's RPC pump (main.go's HTTP fetches), on the
+  * JDK's own `java.net.http.HttpClient` (no extra dependency). REST
+  * contract, documented here because both sides of the loopback
+  * integration spec implement it:
+  *
+  *   - `GET <endpoint>/latest_height` → the tip as decimal text
+  *   - `GET <endpoint>/block/<height>` → that height's block JSON body
+  *
+  * Any non-200 throws, which fails the Spark task — the engine's task
+  * retry IS the reference's per-height retry loop (the same contract
+  * [[HeightClient.fetchBlock]] documents). Instances are built fresh
+  * per use site from (class name, endpoint) like every client, so
+  * nothing network-y is ever serialized into a task closure.
+  */
+class HttpHeightClient(endpoint: String) extends HeightClient {
+  private val base = endpoint.stripSuffix("/")
+  private lazy val http = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+  private def get(url: String): String = {
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(30)).GET().build()
+    val resp = http.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new java.io.IOException(s"GET $url -> HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+  override def latestHeight(): Long = get(s"$base/latest_height").trim.toLong
+  override def fetchBlock(height: Long): String = get(s"$base/block/$height")
+}
+
 private[sources] object HeightPollSource {
   def makeClient(className: String, arg: String): HeightClient =
     Class.forName(className).getConstructor(classOf[String])
@@ -104,7 +137,9 @@ private[sources] object HeightPollSource {
 }
 
 class HeightPollTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
-  override def name(): String = s"height_poll(${options.get("dir")})"
+  override def name(): String = "height_poll(" +
+    Option(options.get("dir")).orElse(Option(options.get("clientArg")))
+      .getOrElse("?") + ")"
   override def schema(): StructType = BlockJsonSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
