@@ -29,6 +29,7 @@ object SparkEntry {
     "q04_order_priority" -> (Relational.q04OrderPriority _),
     "q22_no_orders" -> (Relational.q22NoOrders _),
     "q_rollup" -> (Relational.qRollup _),
+    "q_orders_skip" -> (Scale.ordersKeyRangeSkip _),
     "q18_large_orders" -> (Relational.q18LargeOrders _),
     "q13_customer_dist" -> (Relational.q13CustomerDist _),
     "q_repeat_customers" -> (Relational.qRepeatCustomers _),
@@ -221,6 +222,7 @@ object SparkEntry {
     "q04_order_priority" -> Relational.q04Oracle,
     "q22_no_orders" -> Relational.q22Oracle,
     "q_rollup" -> Relational.qRollupOracle,
+    "q_orders_skip" -> Scale.ordersKeyRangeSkipOracle,
     "q18_large_orders" -> Relational.q18Oracle,
     "q13_customer_dist" -> Relational.q13Oracle,
     "q_repeat_customers" -> Relational.qRepeatCustomersOracle,

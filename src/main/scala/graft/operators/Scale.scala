@@ -84,4 +84,86 @@ object Scale {
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bucket")
   }
+
+  /** How many sorted-layout builds ran in this JVM (spec hook: serving
+    * twice must build once — the bench must measure the SERVE, not the
+    * build).
+    */
+  private[graft] val skipLayoutBuilds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The skipping layout + zone map for `orders`, built once per data
+    * snapshot (offline index build, online serve — the [[graft.functions
+    * .IvfPqIndex]] discipline applied to the file-level stats index): a
+    * multi-file `TableMaintenance.writeSorted` layout keyed on
+    * `o_orderkey` plus the `_stats` manifest, committed under a
+    * fingerprint file that folds in the SOURCE snapshot id — an in-place
+    * rewrite of orders.parquet rebuilds instead of serving stale files.
+    */
+  private def ordersSkipLayout(spark: SparkSession, dir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val src = s"$dir/orders.parquet"
+    val snap = graft.functions.IvfPqIndex.snapshotId(spark, src)
+    val files = 32
+    val fp = s"fmt=1;src=$dir;$snap;files=$files;key=o_orderkey"
+    val layout = graft.functions.IvfPqIndex.indexRoot(spark) +
+      s"/skip_orders_${Integer.toHexString(dir.hashCode)}"
+    val fpPath = new Path(layout, "_graft_fp")
+    val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ok = fs.exists(fpPath) && {
+      val in = fs.open(fpPath)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) == fp
+      finally in.close()
+    }
+    if (!ok) {
+      skipLayoutBuilds.incrementAndGet()
+      fs.delete(new Path(layout), true)
+      graft.sinks.TableMaintenance.writeSorted(
+        graft.Tables.orders(spark, dir), layout, files, Seq("o_orderkey"))
+      graft.sinks.TableMaintenance.writeStatsIndex(
+        spark, layout, Seq("o_orderkey"))
+      // fingerprint lands LAST: a crash mid-build leaves a fingerprint-
+      // less dir, which re-builds — never a half-indexed serve
+      val out = fs.create(fpPath, true)
+      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    layout
+  }
+
+  /** Key-range order stats served through DRIVER-SIDE FILE PRUNING — the
+    * registered proof that the `writeSorted` + `writeStatsIndex` +
+    * `readSkipping` path ([[graft.sinks.TableMaintenance]]) returns
+    * full-scan answers while opening only the files whose zone-map
+    * [min,max] overlaps the range. The oracle runs the same predicate as
+    * a FULL SCAN over the original single-file table, so the correctness
+    * gate itself pins prune ≡ scan; the plan-level evidence (a proper
+    * subset of files in `inputFiles`) is pinned in ScaleSpec. The fixed
+    * key range sits in the first ScaleUp copy's key space, so at sf10
+    * the scan opens ~1/32nd of the layout while the answer stays
+    * row-identical to the 60M-row full scan — the Delta/Iceberg
+    * manifest-stats read path, demonstrated end-to-end.
+    */
+  def ordersKeyRangeSkip(spark: SparkSession, dir: String): DataFrame = {
+    val layout = ordersSkipLayout(spark, dir)
+    graft.sinks.TableMaintenance.readSkipping(spark, layout,
+        Seq(graft.sinks.TableMaintenance.KeyRange("o_orderkey", 1.0, 512.0)))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        // exact integer cents (the revenueUnits discipline): double sums
+        // are fold-order-dependent, integer cents exact at any SF
+        (sum(round(col("o_totalprice") * 100).cast("long")).cast("double")
+          / lit(100.0)).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val ordersKeyRangeSkipOracle: String =
+    """SELECT o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) / 100.0
+           AS total_price
+       FROM orders WHERE o_orderkey BETWEEN 1 AND 512
+       GROUP BY 1 ORDER BY 1"""
 }

@@ -180,4 +180,39 @@ class ScaleSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("key-range skip: driver-side file pruning, row-identical, build-once") {
+    val before = Scale.skipLayoutBuilds.get
+    val skipped = Scale.ordersKeyRangeSkip(spark, sfDir)
+    val rows = skipped.collect().map(_.toSeq).toSet
+    assert(Scale.skipLayoutBuilds.get === before + 1,
+      "first serve must build the layout + zone map once")
+
+    // plan-level evidence: the scan OPENS a proper subset of the layout's
+    // files (the zone map pruned on the driver before planning)
+    val layoutFiles = skipped.inputFiles.length
+    val fullLayout = Scale.ordersKeyRangeSkip(spark, sfDir) // cached layout
+    assert(Scale.skipLayoutBuilds.get === before + 1,
+      "second serve must LOAD the committed layout, not rebuild")
+    // count total files in the layout dir via the stats manifest's rows
+    val layoutDir = fullLayout.inputFiles.head
+      .replaceAll("/[^/]+\\.parquet$", "")
+    val total = spark.read.parquet(s"$layoutDir/_stats").count()
+    assert(layoutFiles < total,
+      s"expected pruning: opened $layoutFiles of $total files")
+
+    // row-identical to the full-scan predicate over the ORIGINAL table
+    val full = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") >= 1 && col("o_orderkey") <= 512)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_orders"),
+        (org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.round(col("o_totalprice") * 100)
+            .cast("long")).cast("double") / 100.0).as("total_price"))
+      .collect().map(_.toSeq).toSet
+    assert(rows === full, "pruned read must equal the full scan")
+    assert(rows.nonEmpty)
+  }
 }
