@@ -53,11 +53,13 @@ object ScaleUp {
     require(args.length == 3, "usage: ScaleUp <srcDir> <destDir> <copies>")
     val Array(src, dest, copiesStr) = args
     val copies = copiesStr.toInt
-    // The embedding disambiguation below supports two wrap levels of the
-    // 64-dim rotation (plain + reversed); past 128 copies a third level
-    // would silently repeat directions, so fail loudly instead.
-    require(copies <= 128, s"copies=$copies > 128 would repeat embedding " +
-      "directions (rotation wraps at dim=64, reversal doubles that); add " +
+    // The embedding transform stacks three orthogonal levels: cyclic
+    // rotation (64 at dim=64) × reversal (2) × per-level Rademacher sign
+    // flip (one deterministic ±1 diagonal per sign level, statistically
+    // distinct patterns) — 128 exactly-distinct directions per source
+    // vector, then hash-distinct beyond. Cap the sign levels at 32 so a
+    // typo'd copy count fails loudly instead of minting 10⁶ copies.
+    require(copies <= 64 * 2 * 32, s"copies=$copies > ${64 * 2 * 32}: add " +
       "another orthogonal transform level before scaling further")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -172,11 +174,27 @@ object ScaleUp {
           // palindromic vectors, which real embeddings are not).
           .withColumn("__a",
             floor(col("__c") / greatest(col("__n"), lit(1))).cast("int"))
-          .withColumn("embedding",
+          .withColumn("__rv",
             when(pmod(col("__a"), lit(2)) === 0, col("__r"))
               .otherwise(reverse(col("__r"))))
+          // Third level (past 128 copies): a per-level Rademacher SIGN
+          // FLIP — coordinate i negates iff xxhash64(level, i) is odd. A
+          // ±1 diagonal is orthogonal (norms and the coordinate
+          // magnitude distribution survive exactly), level 0 is the
+          // identity (copies ≤ 128 are byte-identical to the two-level
+          // transform), and distinct levels draw independent 64-bit sign
+          // patterns, so directions stay hash-distinct — the same
+          // "same distribution, unrelated content" contract as rotation
+          // and reversal. Negation preserves the element type; the
+          // array column's schema is untouched.
+          .withColumn("__sl", floor(col("__a") / 2).cast("long"))
+          .withColumn("embedding",
+            when(col("__sl") === 0, col("__rv")).otherwise(
+              transform(col("__rv"), (x, i) =>
+                when(pmod(xxhash64(col("__sl"), i), lit(2L)) === 0L, x)
+                  .otherwise(-x))))
           .withColumn("vec_id", col("vec_id") + col("__c") * DocStride)
-        e.drop("__c", "__n", "__k", "__r", "__a")
+        e.drop("__c", "__n", "__k", "__r", "__a", "__rv", "__sl")
       })
 
     // Primary sort key per table: the single output file is written in

@@ -132,6 +132,17 @@ object ParquetMergeSink {
     val m = ManifestCommit.latest(fs, table).getOrElse(
       throw new IllegalStateException(
         s"$path has no committed merge-sink table to alter"))
+    // merge-sink bucket layouts only: maintained/partitioned tables read
+    // through TableMaintenance, which resolves schema from data — an
+    // ALTER there would record a declaration nothing honors (and a
+    // DV-carrying table's delete epoch must compact before its shape
+    // changes). Refuse loudly rather than half-evolve.
+    val nonBucket = m.dirs.keys.filterNot(_.forall(_.isDigit))
+    require(nonBucket.isEmpty,
+      s"$path is not a merge-sink bucket layout (entries: " +
+        s"${nonBucket.take(3).mkString(", ")}…) — ADD COLUMN serves " +
+        "merge-sink tables; rewrite maintained layouts through " +
+        "TableMaintenance")
     val base = declaredSchema(m).getOrElse(stampable(read(spark, path).schema))
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val existing = base.fields.map(f => lc(f.name)).toSet

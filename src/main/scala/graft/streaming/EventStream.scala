@@ -23,6 +23,40 @@ case class TypeTotal(eventType: String, batchCount: Long, runningTotal: Long)
   */
 object EventStream {
 
+  /** Drain a bounded streaming replay into a parquet STAGING dir through
+    * `foreachBatch` and return the dir. This is the scale-safe
+    * materialization for gate queries whose per-trigger output grows
+    * with the corpus: a memory sink serializes every task result onto
+    * the driver and dies at `spark.driver.maxResultSize` once the
+    * emitted domain outgrows it (stream_dedup_daily's distinct keys and
+    * stream_session_stats' sessions both did, at sf30 — 1.03 GiB vs the
+    * 1 GiB cap), while foreachBatch keeps each trigger's frame
+    * DISTRIBUTED: `perBatch` writes it executor-side (append for
+    * append-mode streams; aggregate-then-overwrite for complete-mode
+    * re-emissions), and only the caller's bounded aggregate of the
+    * staged files is ever collected. Memory sinks remain right for
+    * queries whose OUTPUT domain is bounded (day × type grids, per-user
+    * state tails).
+    */
+  private def stageReplay(spark: org.apache.spark.sql.SparkSession,
+      outputMode: String, stream: DataFrame)(
+      perBatch: (DataFrame, String) => Unit): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stage_").toString
+    val q = stream.writeStream
+      .outputMode(outputMode)
+      .foreachBatch((b: DataFrame, _: Long) => perBatch(b, tmp))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    tmp
+  }
+
+  private def deleteStaged(spark: org.apache.spark.sql.SparkSession,
+      tmp: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   /** Streaming read of the `events` table with a layout-adaptive `ts`:
     * driver-generated data stores parquet TIMESTAMP(NANOS) (declared
     * LongType under the legacy nanos conf, rebuilt at micros), while a
@@ -403,30 +437,38 @@ object EventStream {
     // date_format buckets in the session timezone; the oracle's strftime
     // buckets raw UTC — agree only under UTC
     conf.set("spark.sql.session.timeZone", "UTC")
-    val name = s"graft_stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     try {
-      val q = eventsStream(spark, dir)
-        .select(col("ts"), col("user_id"), col("event_type"))
-        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark("day", "user_id", "event_type")
-        .select(col("day"), col("user_id"), col("event_type"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      // one emitted row per first-seen key → count(*) IS count-distinct;
-      // distinct users per day projects the same key set
-      val out = spark.table(name)
-        .groupBy(col("day"))
-        .agg(count(lit(1)).as("n_active_pairs"),
-          countDistinct(col("user_id")).as("n_users"))
-        .orderBy("day")
-      val rows = out.collect().toIndexedSeq
-      spark.createDataFrame(rows.asJava, out.schema)
+      // The deduped stream is O(corpus) (one row per distinct key) — it
+      // STAGES to parquet via foreachBatch (executor-side write), never a
+      // memory sink: the memory sink collects every task result onto the
+      // driver, which dies at spark.driver.maxResultSize once the key
+      // domain outgrows it (measured fatally at sf30: 1.03 GiB of
+      // serialized results against the 1 GiB cap). The aggregate below
+      // reads the staged files distributed; only the bounded per-day
+      // result ever reaches the driver.
+      val staged = stageReplay(spark, outputMode = "append",
+        eventsStream(spark, dir)
+          .select(col("ts"), col("user_id"), col("event_type"))
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("day", "user_id", "event_type")
+          .select(col("day"), col("user_id"), col("event_type"))) {
+        (b, tmp) => b.write.mode("append").parquet(tmp)
+      }
+      try {
+        // one emitted row per first-seen key → count(*) IS count-distinct;
+        // distinct users per day projects the same key set
+        val out = spark.read.schema(
+            "day STRING, user_id BIGINT, event_type STRING")
+          .parquet(staged)
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n_active_pairs"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("day")
+        val rows = out.collect().toIndexedSeq
+        spark.createDataFrame(rows.asJava, out.schema)
+      } finally deleteStaged(spark, staged)
     } finally {
-      spark.catalog.dropTempView(name)
       prevNanos.fold(conf.unset("spark.sql.legacy.parquet.nanosAsLong"))(
         conf.set("spark.sql.legacy.parquet.nanosAsLong", _))
       prevTz.fold(conf.unset("spark.sql.session.timeZone"))(
@@ -492,29 +534,39 @@ object EventStream {
     val conf = spark.conf
     val prevNanos = conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val name = s"graft_stream_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     try {
-      val q = sessionWindows(eventsStream(spark, dir), 1800)
-        .select(col("user_id"), col("n_events"), col("dur_sec"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val out = spark.table(name)
-        .groupBy(col("user_id"))
-        .agg(
-          count(lit(1)).as("n_sessions"),
-          sum(col("n_events")).as("n_events"),
-          max(col("n_events")).as("max_session_events"),
-          (floor(sum(col("n_events")) / count(lit(1)) * 1e4) / 1e4)
-            .as("avg_session_events"),
-          sum(col("dur_sec")).as("total_session_sec"))
-        .orderBy("user_id")
-      val rows = out.collect().toIndexedSeq
-      spark.createDataFrame(rows.asJava, out.schema)
+      // Complete mode re-emits EVERY session per trigger — O(corpus) —
+      // so each emission folds to the per-user result DISTRIBUTED inside
+      // foreachBatch and overwrites the staging dir (last trigger = final
+      // complete state); see [[stageReplay]] for why a memory sink is
+      // fatal here at scale. The session_window machinery under test is
+      // untouched — only the materialization of its output moved off the
+      // driver.
+      val staged = stageReplay(spark, outputMode = "complete",
+        sessionWindows(eventsStream(spark, dir), 1800)
+          .select(col("user_id"), col("n_events"), col("dur_sec"))) {
+        (b, tmp) =>
+          b.groupBy(col("user_id"))
+            .agg(
+              count(lit(1)).as("n_sessions"),
+              sum(col("n_events")).as("n_events"),
+              max(col("n_events")).as("max_session_events"),
+              (floor(sum(col("n_events")) / count(lit(1)) * 1e4) / 1e4)
+                .as("avg_session_events"),
+              sum(col("dur_sec")).as("total_session_sec"))
+            .write.mode("overwrite").parquet(tmp)
+      }
+      try {
+        val out = spark.read.schema(
+            "user_id BIGINT, n_sessions BIGINT, n_events BIGINT, " +
+              "max_session_events BIGINT, avg_session_events DOUBLE, " +
+              "total_session_sec BIGINT")
+          .parquet(staged)
+          .orderBy("user_id")
+        val rows = out.collect().toIndexedSeq
+        spark.createDataFrame(rows.asJava, out.schema)
+      } finally deleteStaged(spark, staged)
     } finally {
-      spark.catalog.dropTempView(name)
       prevNanos.fold(conf.unset("spark.sql.legacy.parquet.nanosAsLong"))(
         conf.set("spark.sql.legacy.parquet.nanosAsLong", _))
     }
@@ -563,7 +615,6 @@ object EventStream {
     val shufKey = "spark.sql.shuffle.partitions"
     val prevShuf = conf.getOption(shufKey)
     conf.set(shufKey, math.min(8, conf.get(shufKey, "8").toInt).toString)
-    val name = s"graft_stream_pctx_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     // separate source instances per branch, ONE footer probe for all three
     val tsIsLong = eventsTsIsLong(spark, dir)
     def src = eventsStream(spark, dir, tsIsLong)
@@ -583,20 +634,24 @@ object EventStream {
       val markers = src.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"),
           lit(null).cast("timestamp").as("vts"))
-      val q = joined.unionByName(markers)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val out = spark.table(name)
-        .groupBy(col("purchase_id"))
-        .agg(count(col("vts")).as("n_views_1h"))
-        .orderBy("purchase_id")
-      val rows = out.collect().toIndexedSeq
-      spark.createDataFrame(rows.asJava, out.schema)
+      // (purchase, view) join pairs are O(corpus) — staged to parquet,
+      // not a memory sink (see [[stageReplay]]; at sf30 this sink was
+      // the next one in line to cross the driver result cap)
+      val staged = stageReplay(spark, outputMode = "append",
+        joined.unionByName(markers)) {
+        (b, tmp) => b.write.mode("append").parquet(tmp)
+      }
+      try {
+        val out = spark.read
+          .schema("purchase_id BIGINT, vts TIMESTAMP")
+          .parquet(staged)
+          .groupBy(col("purchase_id"))
+          .agg(count(col("vts")).as("n_views_1h"))
+          .orderBy("purchase_id")
+        val rows = out.collect().toIndexedSeq
+        spark.createDataFrame(rows.asJava, out.schema)
+      } finally deleteStaged(spark, staged)
     } finally {
-      spark.catalog.dropTempView(name)
       prevNanos.fold(conf.unset("spark.sql.legacy.parquet.nanosAsLong"))(
         conf.set("spark.sql.legacy.parquet.nanosAsLong", _))
       prevShuf.fold(conf.unset(shufKey))(conf.set(shufKey, _))

@@ -526,5 +526,13 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql(
       "ALTER TABLE graft.ev ADD COLUMN nn STRING NOT NULL"))
     assert(rows === before, "refused ALTERs must change nothing")
+
+    // a maintained (non-bucket) layout refuses toward TableMaintenance
+    val mdir = s"$root/ev_maint"
+    (1L to 5L).map(k => (k, s"v$k")).toDF("k", "v").write.parquet(mdir)
+    TableMaintenance.compact(spark, mdir, targetBytes = 1 << 20)
+    val em = intercept[Exception](
+      spark.sql("ALTER TABLE graft.ev_maint ADD COLUMN z INT"))
+    assert(em.getMessage.contains("merge-sink"), em.getMessage)
   }
 }
