@@ -441,9 +441,83 @@ object Dedup {
     graft.StrategyLog.record("dd_components", "distributed",
       "edges" -> (if (effCap < 0) "forced" else s">$effCap"),
       "cap" -> effCap)
-    // over the cap: the distributed propagation reads the pair graph many
-    // times (both edge directions + every round) — barrier it once here
-    // undirected: send labels both ways
+    // Over the cap: CONTRACT first, then solve the small remainder. A
+    // plain min-label propagation costs rounds × (15M-row join + agg +
+    // checkpoint) — measured 129 s standalone at sf30, the first SF to
+    // cross the cap, ~12× the sf10 driver path for 3× the data. One
+    // round of PARTITION-LOCAL union-find removes almost all of that:
+    // each partition collapses its edge slice to (node → local root)
+    // in one mapPartitions pass (the pair query executes ONCE, through
+    // this shuffle), and only CROSS-partition adjacency survives into
+    // the root graph — nodes seen by several partitions link their
+    // local roots. Near-dup clusters are small and mostly
+    // partition-local, so the root graph is orders of magnitude smaller
+    // than the pair graph and normally resolves on the driver; a root
+    // graph still over the cap falls back to the min-label propagation,
+    // now over contracted edges. Labels are identical to the driver
+    // path by construction: local roots merge min-wards, the global min
+    // doc of a component is its own local root wherever it appears, so
+    // the component id is still the min doc_id (spec-pinned equal).
+    import spark.implicits._
+    val nodeRoot = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .repartition(col("doc_a"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        // keys copied out first: path compression rewrites map VALUES
+        // mid-iteration, which a live map iterator must not observe
+        val ks = parent.keys.toArray
+        ks.iterator.map(n => (n, find(n)))
+      }
+      .toDF("doc_id", "root")
+      .barrier() // read twice: root-graph extraction + the final join back
+    // a node seen by k partitions links its k local roots (star on the
+    // minimum — min-wards like every merge here)
+    val rootEdges = nodeRoot.groupBy(col("doc_id"))
+      .agg(collect_set(col("root")).as("rs"))
+      .filter(size(col("rs")) > 1)
+      .select(array_min(col("rs")).as("doc_a"), explode(col("rs")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    val rootHead =
+      if (effCap < 0) Array.empty[org.apache.spark.sql.Row]
+      else rootEdges.limit((effCap + 1L).toInt).collect()
+    val rootLabels =
+      if (effCap >= 0 && rootHead.length <= effCap)
+        componentsLocal(spark,
+          rootHead.map(r => (r.getLong(0), r.getLong(1))))
+      else labelPropagation(spark, rootEdges)
+    // roots with no cross-partition adjacency label themselves
+    val out = nodeRoot
+      .join(rootLabels.withColumnRenamed("doc_id", "root"), Seq("root"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("root")).as("component"))
+      .groupBy(col("doc_id")).agg(min(col("component")).as("component"))
+      .orderBy("doc_id")
+    out
+  }
+
+  /** Min-label propagation over an undirected pair list — the base-case
+    * solver for a contracted root graph that STILL exceeds the driver
+    * cap. Rounds = component diameter; the contraction in
+    * [[componentsFrom]] keeps both the edge count and the diameter small
+    * before this ever runs.
+    */
+  private def labelPropagation(spark: SparkSession, pairs: DataFrame): DataFrame = {
     val pb = pairs.barrier()
     val edges = pb.union(pb.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").barrier()
@@ -456,6 +530,11 @@ object Dedup {
     def sumOf(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lab").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = sumOf(labels)
+    // an EMPTY edge list (a fully partition-local contraction under a
+    // forced-distributed cap) has nothing to propagate: sum-of-empty is
+    // null, and the schema-correct empty label frame is the answer
+    if (prevSum == null)
+      return labels.select(col("doc_id"), col("lab").as("component"))
     var rounds = 0
     var converged = false
     while (!converged && rounds < 50) {
@@ -484,7 +563,6 @@ object Dedup {
         s"component propagation did not converge in $rounds rounds " +
           "(pair-graph diameter exceeds the cap); raise the round cap")
     labels.select(col("doc_id"), col("lab").as("component"))
-      .orderBy("doc_id")
   }
 
   /** Driver union-find over a bounded edge list — semantically identical

@@ -154,6 +154,28 @@ class DedupSpec extends SparkSpec {
     assert(local.nonEmpty)
   }
 
+  test("contracted distributed components merge chains across partitions") {
+    import spark.implicits._
+    // a 200-hop chain scattered over 16 partitions (every contraction
+    // partition holds a few disconnected chain fragments — the merge MUST
+    // happen in the cross-partition root graph), plus disjoint pairs
+    val chain = (1L until 200L).map(i => (i, i + 1))
+    val stars = (0 until 50).map(i => (1000L + i.toLong, 2000L + i.toLong))
+    val edges = (chain ++ stars).sortBy(e => e._1 * 2654435761L % 997)
+    val pairs = spark.sparkContext.parallelize(edges, 16).toDF("doc_a", "doc_b")
+    val got = Dedup.componentsFrom(spark, pairs, maxDriverEdges = -1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (1L to 200L).foreach(n => assert(got(n) === 1L, s"chain node $n"))
+    (0 until 50).foreach { i =>
+      assert(got(1000L + i) === 1000L + i)
+      assert(got(2000L + i) === 1000L + i)
+    }
+    // identical to the driver union-find over the same graph
+    val drv = Dedup.componentsFrom(spark, pairs, maxDriverEdges = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === drv)
+  }
+
   test("incremental dedup drops re-crawls and double-submits, keeps fresh docs") {
     import org.apache.spark.sql.functions._
     val out = Dedup.incremental(spark, sfDir).collect()
