@@ -182,6 +182,11 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("key-range skip: driver-side file pruning, row-identical, build-once") {
+    // hermetic index root: the shared default persists committed layouts
+    // across JVMs, which would make build-once unobservable here
+    spark.conf.set("spark.graft.index.dir",
+      java.nio.file.Files.createTempDirectory("graft-skip-idx").toString)
+    try {
     val before = Scale.skipLayoutBuilds.get
     val skipped = Scale.ordersKeyRangeSkip(spark, sfDir)
     val rows = skipped.collect().map(_.toSeq).toSet
@@ -214,5 +219,6 @@ class ScaleSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(rows === full, "pruned read must equal the full scan")
     assert(rows.nonEmpty)
+    } finally spark.conf.unset("spark.graft.index.dir")
   }
 }
