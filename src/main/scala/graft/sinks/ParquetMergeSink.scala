@@ -73,14 +73,31 @@ object ParquetMergeSink {
       org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true)))
 
   /** Align `df` onto the declared schema: columns match by name
-    * (case-insensitive), declared-but-absent columns null-fill, order
-    * follows the declaration. Extra columns and type mismatches REFUSE
-    * loudly — the sink never widens or coerces a schema implicitly;
-    * widening is exactly what `ALTER TABLE … ADD COLUMN` is for.
+    * (case-insensitive), declared-but-absent DATA columns null-fill,
+    * order follows the declaration. Three things REFUSE loudly — the
+    * sink never repairs a malformed batch implicitly:
+    *
+    *   - extra columns (widening is what `ALTER TABLE … ADD COLUMN` is
+    *     for) and type mismatches (cast explicitly);
+    *   - a batch missing any of `required` (the merge keys + version
+    *     column): null-filling a key would hash every such row into one
+    *     bucket and collapse them to a single row under latest-wins, and
+    *     a null version silently loses the tie-break — both are silent
+    *     data loss for a malformed writer, so they fail at the door;
+    *   - two incoming columns that differ only by case (`V` and `v`):
+    *     the case-insensitive name match cannot pick one without
+    *     silently dropping the other.
     */
   private def alignToSchema(df: DataFrame,
-      declared: org.apache.spark.sql.types.StructType, what: String): DataFrame = {
+      declared: org.apache.spark.sql.types.StructType, what: String,
+      required: Seq[String] = Nil): DataFrame = {
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val caseDups = df.schema.fields.groupBy(f => lc(f.name))
+      .filter(_._2.length > 1).values.map(_.map(_.name).mkString("/"))
+    require(caseDups.isEmpty,
+      s"$what carries columns that differ only by case: " +
+        s"${caseDups.mkString(", ")} — the by-name match cannot pick one " +
+        "without silently dropping the other; rename or drop one first")
     val byName = df.schema.fields.map(f => lc(f.name) -> f).toMap
     val declaredNames = declared.fields.map(f => lc(f.name)).toSet
     val extra = df.columns.filterNot(c => declaredNames.contains(lc(c)))
@@ -89,6 +106,12 @@ object ParquetMergeSink {
         s"${extra.mkString(", ")} — run ALTER TABLE … ADD COLUMN (or " +
         "ParquetMergeSink.addColumns) first; the sink never widens a " +
         "schema implicitly")
+    val missingRequired = required.filterNot(c => byName.contains(lc(c)))
+    require(missingRequired.isEmpty,
+      s"$what is missing the merge key/version column(s) " +
+        s"${missingRequired.mkString(", ")} — only genuine data columns " +
+        "(post-ADD COLUMN) null-fill; a null-filled key or version would " +
+        "silently collapse or mis-order rows under latest-wins")
     val cols = declared.fields.map { f =>
       byName.get(lc(f.name)) match {
         case Some(src) =>
@@ -361,7 +384,8 @@ object ParquetMergeSink {
     // columns the table doesn't have.
     val declared = declaredSchema(manifest)
     val aligned = declared.fold(batch)(d =>
-      alignToSchema(batch, d, s"merge batch into $path"))
+      alignToSchema(batch, d, s"merge batch into $path",
+        required = keys :+ version))
 
     val batchB = aligned.withColumn(BucketCol, bucketExpr(keys, buckets))
       .withColumn(PrefCol, lit(1)) // incoming outranks current on version ties
@@ -447,7 +471,11 @@ object ParquetMergeSink {
     * Schema: inserted/updated rows are PROJECTED onto the table's
     * columns (Delta's `UPDATE SET * / INSERT *` with target columns) —
     * source-only columns such as a CDC op flag feed the predicate and
-    * are never stored. The source must carry every table column. A
+    * are never stored. The source must carry the keys + version and
+    * every pre-ALTER column; declared columns the source predates
+    * (post-`ADD COLUMN`) are CARRIED OVER from the current row on
+    * matched updates and null-filled on inserts — an old-shape CDC
+    * writer never nulls out a value it has not learned about. A
     * brand-new table derives its schema from the source MINUS the
     * delete predicate's referenced columns (keys/version always kept),
     * so create-via-mergeActions and merge-into-existing store the same
@@ -479,6 +507,20 @@ object ParquetMergeSink {
     val table = new Path(path)
     val fs = fsFor(spark, table)
     guardReadable(fs, table)
+    // Same front-door contract as merge(): the source must actually carry
+    // the key/version columns (never null-fill them) and must not carry
+    // case-duplicate names the by-name projection would silently collapse.
+    def srcLc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val srcCaseDups = source.columns.groupBy(srcLc)
+      .filter(_._2.length > 1).values.map(_.mkString("/"))
+    require(srcCaseDups.isEmpty,
+      s"mergeActions source for $path carries columns that differ only " +
+        s"by case: ${srcCaseDups.mkString(", ")} — rename or drop one first")
+    val srcCols = source.columns.map(srcLc).toSet
+    val srcMissing = (keys :+ version).filterNot(c => srcCols.contains(srcLc(c)))
+    require(srcMissing.isEmpty,
+      s"mergeActions source for $path is missing the merge key/version " +
+        s"column(s) ${srcMissing.mkString(", ")}")
     // Emptiness is checked BEFORE ensureManifest: a no-op batch against a
     // nonexistent path must leave the filesystem untouched, not mint an
     // empty v1 table as a side effect.
@@ -552,15 +594,39 @@ object ParquetMergeSink {
     val sourceKeys = resolved.select(keys.map(col): _*)
     val presentLc = resolved.columns
       .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    // Declared columns the source predates (a CDC writer that has not
+    // learned a post-ALTER column yet): a matched UPDATE must NOT
+    // overwrite the current row's value with null, so those columns are
+    // carried over FROM the current row by key (Delta's UPDATE SET *
+    // refuses this shape outright; carrying the value is strictly
+    // lossless and keeps old-shape CDC writers working across an ALTER).
+    // Unmatched inserts get null — the ADD COLUMN read contract. The
+    // key-join touches only the already-read touched buckets.
+    val absentFields = tableSchema
+      .map(_.fields.toSeq.filterNot(f =>
+        presentLc.contains(f.name.toLowerCase(java.util.Locale.ROOT))))
+      .getOrElse(Nil)
+    val CurPrefix = "__cur_"
+    val enriched = current match {
+      case Some(cur) if absentFields.nonEmpty =>
+        val curVals = cur.select(
+          keys.map(col) ++
+            absentFields.map(f => col(f.name).as(CurPrefix + f.name)): _*)
+        resolved.join(curVals, keys, "left")
+      case _ => resolved
+    }
+    val carriedLc = (if (current.isDefined) absentFields else Nil)
+      .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
     val appliedCols: Seq[Column] = tableSchema match {
       case Some(ts) => ts.fields.toSeq.map { f =>
-        if (presentLc.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
-          col(f.name)
+        val fLc = f.name.toLowerCase(java.util.Locale.ROOT)
+        if (presentLc.contains(fLc)) col(f.name)
+        else if (carriedLc.contains(fLc)) col(CurPrefix + f.name).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }
       case None => tableCols.map(col)
     }
-    val applied = resolved.filter(!col(DelCol))
+    val applied = enriched.filter(!col(DelCol))
       .select(appliedCols :+ col(BucketCol): _*)
     val merged = current
       .map(_.join(sourceKeys, keys, "left_anti").unionByName(applied))

@@ -37,11 +37,27 @@ object EventStream {
     * staged files is ever collected. Memory sinks remain right for
     * queries whose OUTPUT domain is bounded (day × type grids, per-user
     * state tails).
+    *
+    * The staging dir must be EXECUTOR-VISIBLE — foreachBatch tasks write
+    * to it from every node — so it is derived from a shared,
+    * scheme-qualified location (`spark.sql.graft.streamStagingDir` if
+    * set, else the session warehouse dir, which every deployment already
+    * shares), never from a driver-local `java.io.tmpdir` path that only
+    * exists on one machine.
     */
   private def stageReplay(spark: org.apache.spark.sql.SparkSession,
       outputMode: String, stream: DataFrame)(
       perBatch: (DataFrame, String) => Unit): String = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stage_").toString
+    val root = spark.conf.getOption("spark.sql.graft.streamStagingDir")
+      .getOrElse(spark.conf.get("spark.sql.warehouse.dir") + "/_graft_stage")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // scheme-qualify so executor tasks resolve the SAME filesystem the
+    // driver staged against (a bare /tmp/... path would re-resolve
+    // through each node's default FS)
+    val tmp = fs.makeQualified(new org.apache.hadoop.fs.Path(rootPath,
+      s"stage_${java.util.UUID.randomUUID()}")).toString
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tmp))
     val q = stream.writeStream
       .outputMode(outputMode)
       .foreachBatch((b: DataFrame, _: Long) => perBatch(b, tmp))

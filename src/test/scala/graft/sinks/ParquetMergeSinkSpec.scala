@@ -366,6 +366,99 @@ class ParquetMergeSinkSpec extends SparkSpec {
     }
   }
 
+  test("a batch missing the merge key or version column refuses instead of null-filling") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-req").toString + "/t"
+    ParquetMergeSink.merge(
+      Seq((1L, "a", 10L)).toDF("k", "v", "ver"), dir, Seq("k"), "ver")
+
+    // missing version: a null-filled ver would silently lose latest-wins
+    val noVer = intercept[IllegalArgumentException] {
+      ParquetMergeSink.merge(Seq((1L, "a2")).toDF("k", "v"), dir, Seq("k"), "ver")
+    }
+    assert(noVer.getMessage.contains("ver"), noVer.getMessage)
+    // missing key: every row would hash to one bucket and collapse to one
+    val noKey = intercept[IllegalArgumentException] {
+      ParquetMergeSink.merge(Seq(("a2", 20L)).toDF("v", "ver"), dir, Seq("k"), "ver")
+    }
+    assert(noKey.getMessage.contains("k"), noKey.getMessage)
+    // mergeActions: same front door
+    val actNoVer = intercept[IllegalArgumentException] {
+      ParquetMergeSink.mergeActions(
+        Seq((1L, "a2", false)).toDF("k", "v", "del"), dir, Seq("k"), "ver",
+        org.apache.spark.sql.functions.col("del"))
+    }
+    assert(actNoVer.getMessage.contains("ver"), actNoVer.getMessage)
+    assert(ParquetMergeSink.read(spark, dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq === Seq((1L, "a")),
+      "refused batches must leave the table untouched")
+
+    // a genuinely-new DATA column is the one thing that null-fills:
+    // post-ADD COLUMN, an old-shape writer (carrying keys+version but not
+    // the new column) still merges
+    ParquetMergeSink.addColumns(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    ParquetMergeSink.merge(
+      Seq((2L, "b", 10L)).toDF("k", "v", "ver"), dir, Seq("k"), "ver")
+    val rows = ParquetMergeSink.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.isNullAt(r.fieldIndex("score"))).toMap
+    assert(rows === Map(1L -> true, 2L -> true))
+  }
+
+  test("a batch with case-duplicate columns refuses instead of silently collapsing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-case").toString + "/t"
+    ParquetMergeSink.merge(
+      Seq((1L, "a", 10L)).toDF("k", "v", "ver"), dir, Seq("k"), "ver")
+    val dup = Seq((1L, "lower", "UPPER", 20L)).toDF("k", "v", "V", "ver")
+    val e = intercept[IllegalArgumentException] {
+      ParquetMergeSink.merge(dup, dir, Seq("k"), "ver")
+    }
+    assert(e.getMessage.contains("case"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      ParquetMergeSink.mergeActions(
+        dup.withColumn("del", org.apache.spark.sql.functions.lit(false)),
+        dir, Seq("k"), "ver", org.apache.spark.sql.functions.col("del"))
+    }
+    assert(e2.getMessage.contains("case"), e2.getMessage)
+  }
+
+  test("mergeActions matched UPDATE carries post-ALTER columns an old-shape source lacks") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-carry").toString + "/t"
+    ParquetMergeSink.merge(
+      Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "v", "ver"),
+      dir, Seq("k"), "ver")
+    ParquetMergeSink.addColumns(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    // a new-shape writer sets score for k=1
+    ParquetMergeSink.merge(
+      Seq((1L, "a", 20L, 0.9)).toDF("k", "v", "ver", "score"),
+      dir, Seq("k"), "ver")
+
+    // an old-shape CDC writer (predates the ALTER) updates k=1, deletes
+    // k=2, inserts k=3 — k=1's score must SURVIVE the update, not null out
+    val oldShape = Seq(
+      (1L, "a-upd", 30L, false), (2L, "b", 30L, true), (3L, "c", 30L, false))
+      .toDF("k", "v", "ver", "del")
+    ParquetMergeSink.mergeActions(oldShape, dir, Seq("k"), "ver", col("del"))
+    val rows = ParquetMergeSink.read(spark, dir).collect().map(r =>
+      r.getAs[Long]("k") -> (r.getAs[String]("v"),
+        if (r.isNullAt(r.fieldIndex("score"))) None
+        else Some(r.getAs[Double]("score")))).toMap
+    assert(rows === Map(
+      1L -> ("a-upd", Some(0.9)), // updated, score carried over
+      3L -> ("c", None)),          // inserted, score null-filled
+      s"got $rows")
+
+    // replay converges (idempotent under the carry-over too)
+    ParquetMergeSink.mergeActions(oldShape, dir, Seq("k"), "ver", col("del"))
+    val again = ParquetMergeSink.read(spark, dir).collect().map(r =>
+      r.getAs[Long]("k") -> (if (r.isNullAt(r.fieldIndex("score"))) None
+        else Some(r.getAs[Double]("score")))).toMap
+    assert(again === Map(1L -> Some(0.9), 3L -> None))
+  }
+
   test("empty batches against a nonexistent path leave the filesystem untouched") {
     import org.apache.spark.sql.functions.col
     val root = java.nio.file.Files.createTempDirectory("graft-merge-noop").toString
