@@ -822,26 +822,75 @@ object Dedup {
     * — and with it candidates-per-vector and the pair join's output —
     * stays CONSTANT as data grows: a fixed cell count would make the
     * within-cell join quadratic again one decade up. The residual
-    * super-constant term is the assignment itself (n × cells distance
-    * evals ⇒ n²/256 mults), which the native codegen'd
-    * [[graft.functions.NearestCells]] keeps sub-dominant to
-    * [[EmbBlockedImiMin]] ≈ 10⁷ vectors; past it the SAME seam swaps in
-    * the two-level IMI quantizer ([[graft.functions.ImiCells]]): √cells
-    * sub-centroids per half, so per-vector assignment cost is flat in
-    * the product cell count. `spark.sql.graft.embBlocking` ∈ {ivf, imi}
-    * forces a side (DedupSpec pins the forced-IMI drop soundness and
-    * recall floor against the same exact baseline as the IVF side).
+    * super-constant terms are the flat quantizer's TRAINING (k centroids
+    * on an 8·k sample — quadratic in the cell count) and the assignment
+    * (n × cells distance evals); past [[FlatIvfCellMax]] cells the SAME
+    * seam ([[coarseCells]]) swaps in the two-level IMI quantizer
+    * ([[graft.functions.ImiCells]]): √cells sub-centroids per half on a
+    * fixed-size sample, so training is sub-second and per-vector
+    * assignment flat in the product cell count.
+    * `spark.sql.graft.embBlocking` ∈ {ivf, imi} forces a side (DedupSpec
+    * pins the forced-IMI drop soundness and recall floor against the
+    * same exact baseline as the IVF side).
     *
     * No SQL oracle: the k-means quantizer is not SQL-portable.
     */
-  /** Corpus size above which [[embeddingCosBlocked]] swaps the flat IVF
-    * coarse quantizer for the two-level IMI one: at n/256 cells the flat
-    * assignment is n²/256 multiply-accumulates per full pass (~4·10¹²·dim
-    * at 10⁷ vectors — minutes of pure FLOPs), while IMI's per-half
-    * √(n/256) sub-centroids keep it n·√(n/256) — still sub-linear growth
-    * per vector at any realistic corpus.
+  /** Cell count above which the scaling-cell blocking operators swap the
+    * flat IVF coarse quantizer for the two-level IMI one. The binding
+    * constraint is TRAINING, not assignment: flat Lloyd's trains k
+    * centroids on an 8·k sample — O(k²·dim·restarts·iters) driver-side
+    * FLOPs that grow QUADRATICALLY as the cell count scales with the
+    * corpus (measured: 93.8 s cold at 2 343 cells / 600 k vectors, sf30 —
+    * 18× the 5 s the rest of dd_semdedup costs), while IMI trains 2·√k
+    * sub-centroids on a fixed 4 096 sample (sub-second at any corpus) and
+    * assigns with √k + √k distance evals instead of k. At the 256-vector
+    * occupancy target, 512 cells ≈ 131 k vectors; flat training at the
+    * cap is a one-time ~2 s. (This replaces the former 10⁷-vector
+    * `EmbBlockedImiMin`, which considered only assignment cost and left
+    * training quadratic through the 10⁵–10⁷ regime.)
     */
-  private[operators] val EmbBlockedImiMin = 10000000L
+  private[operators] val FlatIvfCellMax = 512
+
+  /** The blocking quantizer every scaling-cell embedding operator shares
+    * ([[embeddingCosBlocked]], [[semDedup]]'s blocked side): flat IVF up
+    * to [[FlatIvfCellMax]] cells, two-level IMI past it — the SAME
+    * n/256 product-cell occupancy target either way, so downstream pair
+    * joins see identical candidate bounds. Returns the multi-probe cells
+    * column (nearest first) and the choice name for the strategy log.
+    */
+  private def coarseCells(e: DataFrame, n: Long, probe: Int,
+      cacheKey: String, forced: Option[String],
+      imiProbe: Option[Int] = None): (Column, String) = {
+    val nCells = math.max(16, (n / 256).toInt)
+    val useImi = forced match {
+      case Some("imi") => true
+      case Some(_) => false // "ivf": pin the flat side for specs/audits
+      case None => nCells > FlatIvfCellMax
+    }
+    if (useImi) {
+      val kHalf = math.max(4, math.ceil(math.sqrt(n / 256.0)).toInt)
+      val (ca, cb) = graft.functions.IvfIndex.imiCentroids(
+        e, "embedding", kHalf, cacheKey = cacheKey,
+        sampleCap = math.max(4096, 16 * kHalf))
+      // Probe-count trade, measured at sf10 (200k vecs, 784 cells):
+      // product cells split near-dup pairs across boundaries more often
+      // than flat cells (independent-half quantization), so IMI probe 2
+      // finds 73% of flat-2-probe's verified pairs — but probe 3 finds
+      // 143% of them at the same candidate-join cost. Callers whose
+      // DOWNSTREAM cost is bounded (per-vector aggregates) pass
+      // imiProbe = probe+1 and buy the extra recall for free; callers
+      // that EMIT the pairs keep parity (each found pair is an output
+      // row — at sf30's dup density probe 3 doubles the output and its
+      // dedup+sort cost with it).
+      (graft.functions.ImiCells(col("embedding"), ca, cb,
+        imiProbe.getOrElse(probe)), "imi")
+    } else {
+      val cents = graft.functions.IvfIndex.centroids(
+        e, "embedding", nCells, cacheKey = cacheKey,
+        sampleCap = math.max(4096, 8 * nCells))
+      (graft.functions.NearestCells(col("embedding"), cents, probe), "ivf")
+    }
+  }
 
   def embeddingCosBlocked(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.fanout(Tables.embeddings(spark, dir))
@@ -849,31 +898,10 @@ object Dedup {
     // frame would execute its repartition shuffle just to count)
     val n = Tables.embeddingCount(spark, dir)
     val forcedQ = spark.conf.getOption("spark.sql.graft.embBlocking")
-    val useImi = forcedQ match {
-      case Some("imi") => true
-      case Some("ivf") => false
-      case _ => n > EmbBlockedImiMin
-    }
-    graft.StrategyLog.record("dd_embedding_blocked",
-      if (useImi) "imi" else "ivf",
+    val (cellsOf, choice) = coarseCells(e, n, 2, s"$dir#cosdedup", forcedQ)
+    graft.StrategyLog.record("dd_embedding_blocked", choice,
       forcedQ.map(f => Seq[(String, Any)]("forced" -> f)).getOrElse(Seq(
-        "vecs" -> n, "imiMin" -> EmbBlockedImiMin)): _*)
-    val cellsOf: Column =
-      if (useImi) {
-        // per-half √(n/256) sub-centroids → n/256 product cells, same
-        // occupancy target as the flat path
-        val kHalf = math.max(4, math.ceil(math.sqrt(n / 256.0)).toInt)
-        val (ca, cb) = graft.functions.IvfIndex.imiCentroids(
-          e, "embedding", kHalf, cacheKey = s"$dir#cosdedup",
-          sampleCap = math.max(4096, 16 * kHalf))
-        graft.functions.ImiCells(col("embedding"), ca, cb, 2)
-      } else {
-        val nCells = math.max(16, (n / 256).toInt)
-        val cents = graft.functions.IvfIndex.centroids(
-          e, "embedding", nCells, cacheKey = s"$dir#cosdedup",
-          sampleCap = math.max(4096, 8 * nCells))
-        graft.functions.NearestCells(col("embedding"), cents, 2)
-      }
+        "vecs" -> n, "cellMax" -> FlatIvfCellMax)): _*)
     val assigned = e.select(col("vec_id"), col("embedding"),
         explode(cellsOf).as("cell"))
       // both self-join sides read the assignment — materialize once
@@ -915,13 +943,14 @@ object Dedup {
     * [[components]]: up to [[SemDedupKmeansMax]] vectors it runs the
     * exact k = 8 Lloyd's whose 4 rounds DuckDB can unroll (the
     * hash-verified configuration — every gate SF lands here); past the
-    * cutoff the same keep rule runs on [[embeddingCosBlocked]]'s
-    * 2-probe IVF blocking with cell count max(16, n/256), keeping the
-    * pair join linear at any scale (the drop rule is SOUND on either
-    * side: a dropped vector provably has a lower-id exact-cosine
+    * cutoff the same keep rule runs on the shared [[coarseCells]]
+    * 2-probe blocking (flat IVF with cell count max(16, n/256), IMI past
+    * [[FlatIvfCellMax]] cells), keeping BOTH the pair join and the
+    * quantizer training linear at any scale (the drop rule is SOUND on
+    * any side: a dropped vector provably has a lower-id exact-cosine
     * near-dup; blocking only affects which near-dups are FOUND).
-    * DedupSpec forces and pins both sides via
-    * `spark.sql.graft.semdedupBlocking`.
+    * DedupSpec forces and pins the sides via
+    * `spark.sql.graft.semdedupBlocking` ∈ {kmeans, ivf, imi}.
     */
   /** Above this corpus size the keep rule runs on IVF-cell blocking
     * instead of the oracle-composable k = 8 kmeans (see [[semDedup]]).
@@ -937,22 +966,22 @@ object Dedup {
     // the cutoff the SAME keep rule runs on [[embeddingCosBlocked]]'s
     // occupancy-constant IVF blocking (2-probe, adaptive cell count), so
     // the pair join stays linear at any scale. `spark.sql.graft.
-    // semdedupBlocking` ∈ {kmeans, ivf} forces a side for specs/audits.
+    // semdedupBlocking` ∈ {kmeans, ivf, imi} forces a side for
+    // specs/audits.
     // memoized footer-only count serves both the strategy pick and the
     // IVF cell count (a forced-kmeans run never pays even the first one)
     lazy val nVecs = Tables.embeddingCount(spark, dir)
     val forcedSide = spark.conf.getOption("spark.sql.graft.semdedupBlocking")
     val useKmeans = forcedSide match {
       case Some("kmeans") => true
-      case Some("ivf") => false
+      case Some(_) => false // "ivf" | "imi": pin the blocked side
       case _ => nVecs <= SemDedupKmeansMax
     }
-    graft.StrategyLog.record("dd_semdedup",
-      if (useKmeans) "kmeans" else "ivf",
-      forcedSide.map(f => Seq[(String, Any)]("forced" -> f)).getOrElse(Seq(
-        "vecs" -> nVecs, "kmeansMax" -> SemDedupKmeansMax)): _*)
     val (assigned, pairs) =
       if (useKmeans) {
+        graft.StrategyLog.record("dd_semdedup", "kmeans",
+          forcedSide.map(f => Seq[(String, Any)]("forced" -> f)).getOrElse(Seq(
+            "vecs" -> nVecs, "kmeansMax" -> SemDedupKmeansMax)): _*)
         val assign = Similarity.kmeans(spark, dir)
           .select(col("vec_id"), col("cluster"))
         val v = e.join(assign, "vec_id")
@@ -966,16 +995,22 @@ object Dedup {
           .filter(col("cos") >= 0.3)
         (v.select(col("vec_id"), col("cluster")), p)
       } else {
-        val nCells = math.max(16, (nVecs / 256).toInt)
-        val cents = graft.functions.IvfIndex.centroids(
-          e, "embedding", nCells, cacheKey = s"$dir#semdedup",
-          sampleCap = math.max(4096, 8 * nCells))
+        // imiProbe = 3: semDedup's output is one verdict per vector (the
+        // pair stream collapses inside count_distinct), so the extra
+        // probe's recall is nearly free here — unlike the pair-emitting
+        // embeddingCosBlocked (see [[coarseCells]])
+        val (cellsOf, choice) = coarseCells(e, nVecs, 2, s"$dir#semdedup",
+          forcedSide.filter(_ != "kmeans"), imiProbe = Some(3))
+        graft.StrategyLog.record("dd_semdedup", choice,
+          forcedSide.map(f => Seq[(String, Any)]("forced" -> f)).getOrElse(Seq(
+            "vecs" -> nVecs, "kmeansMax" -> SemDedupKmeansMax,
+            "cellMax" -> FlatIvfCellMax)): _*)
         // barrier BEFORE the multi-probe explode: one row per vector, so
         // the assignment output needs no dropDuplicates, and each
         // self-join side re-derives the (cheap, shuffle-free) explode
         // from the materialized frame
         val withCells = e.select(col("vec_id"), col("embedding"),
-            graft.functions.NearestCells(col("embedding"), cents, 2).as("cells"))
+            cellsOf.as("cells"))
           .barrier()
         val a = withCells.select(col("vec_id"), col("embedding"),
           explode(col("cells")).as("cell"))

@@ -281,6 +281,19 @@ class DedupSpec extends SparkSpec {
       val again = Dedup.semDedup(spark, sfDir).collect().map(_.toSeq)
       assert(again.toSeq === out.map(_.toSeq).toSeq,
         "ivf-blocked semDedup must be deterministic")
+      // the IMI side (the >FlatIvfCellMax-cells scale path) obeys the
+      // same soundness contract: drops only with an exact lower-id
+      // near-dup, reported cosines drawn from the exact pair set
+      spark.conf.set("spark.sql.graft.semdedupBlocking", "imi")
+      val imi = Dedup.semDedup(spark, sfDir).collect()
+      assert(imi.length === out.length, "one verdict per vector (imi)")
+      imi.filterNot(_.getAs[Boolean]("keep")).foreach { r =>
+        val id = r.getAs[Long]("vec_id")
+        assert(exact.contains(id),
+          s"vec $id dropped without an exact near-dup (imi)")
+        assert(exact(id).contains(r.getAs[Double]("max_cos")),
+          s"vec $id max_cos is not an exact lower-pair cosine (imi)")
+      }
       // the flag is honored: kmeans mode labels clusters 0..7 only, the
       // ivf mode over this corpus uses 16 cells — cluster domains differ
       spark.conf.set("spark.sql.graft.semdedupBlocking", "kmeans")
@@ -339,7 +352,7 @@ class DedupSpec extends SparkSpec {
     Dedup.embeddingCosBlocked(spark, sfDir).count()
     val eb = StrategyLog.lastChoice("dd_embedding_blocked").getOrElse("")
     assert(eb.startsWith("ivf") && eb.contains("vecs=") &&
-      eb.contains("imiMin="), eb)
+      eb.contains("cellMax="), eb)
 
     Dedup.components(spark, sfDir).count()
     val cp = StrategyLog.lastChoice("dd_components").getOrElse("")
