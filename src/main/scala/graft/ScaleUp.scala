@@ -50,8 +50,14 @@ object ScaleUp {
   private val DocStride = 1000000L // doc_id and vec_id (they join)
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleUp <srcDir> <destDir> <copies>")
-    val Array(src, dest, copiesStr) = args
+    require(args.length >= 3,
+      "usage: ScaleUp <srcDir> <destDir> <copies> [table ...] — with no " +
+        "table names every table scales; naming a subset skips the rest " +
+        "(a family-targeted replica, e.g. documents/embeddings/events for " +
+        "the dedup+streaming decade probes, skips the single-writer " +
+        "lineitem sort that dominates full-replica wall time)")
+    val Array(src, dest, copiesStr) = args.take(3)
+    val only = args.drop(3).toSet
     val copies = copiesStr.toInt
     // The embedding transform stacks three orthogonal levels: cyclic
     // rotation (64 at dim=64) × reversal (2) × per-level Rademacher sign
@@ -220,7 +226,10 @@ object ScaleUp {
     val destPath = new Path(dest)
     val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(destPath)
-    tables.foreach { case (name, df) =>
+    val unknown = only -- tables.map(_._1).toSet
+    require(unknown.isEmpty, s"unknown table(s): ${unknown.mkString(", ")}")
+    tables.filter(t => only.isEmpty || only.contains(t._1))
+      .foreach { case (name, df) =>
       // Single file per table, named exactly like the driver layout
       // (<table>.parquet as a FILE — the DuckDB oracle reads it directly).
       // repartition(1), NOT coalesce(1): coalesce collapses the whole
