@@ -52,7 +52,10 @@ object Bench {
     // observed number. Checkpoint blocks are released AFTER the clock
     // stops — each query still pays its own materialization cost, but
     // queries don't tax each other through block-manager pressure.
-    val timedRuns = 3
+    // SPARK_GRAFT_BENCH_RUNS overrides for very large SFs where a single
+    // run is minutes and min-of-3 would burn the measurement budget; the
+    // emitted JSON records whatever was used.
+    val timedRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
     // A failed run must NOT become a timing sample: elapsed-to-exception
     // would publish a broken query as the suite's fastest. Failures are
     // reported by name in `failed` and excluded from every statistic.

@@ -48,6 +48,8 @@ object ParquetMergeSink {
   private val BucketCol = "__bucket"
   private val PrefCol = "__pref"
   private[graft] val SchemaKey = "schema"
+  private[graft] val PhysKey = "schema.phys"
+  private[graft] val RetiredKey = "schema.retired"
 
   /** The manifest-declared table schema, when the table carries one.
     * Tables created via [[createEmpty]] (SQL CREATE) carry it from birth;
@@ -71,6 +73,79 @@ object ParquetMergeSink {
       : org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(s.fields.map(f =>
       org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true)))
+
+  /** Logical→physical column-name mapping (Delta column-mapping
+    * "name"-mode shape): RENAME is a metadata flip that keeps the
+    * PHYSICAL name every generation was written with, and reads project
+    * physical → logical, so old files keep serving their data under the
+    * new name with zero rewrite. Identity entries are never stored; an
+    * absent entry means the logical name IS the physical name. Keys are
+    * stored with the logical name's declared case; lookups are
+    * case-insensitive like every other name match in the sink.
+    */
+  private[graft] def physMap(m: ManifestCommit.Manifest): Map[String, String] =
+    m.entries.get(PhysKey).map(parseNameMap).getOrElse(Map.empty)
+
+  /** Physical names retired by DROP COLUMN. Old generations still carry
+    * their data, so neither a later ADD COLUMN nor a rename may ever
+    * claim a retired physical name — doing so would resurrect the
+    * dropped values into the new column (the failure mode Delta refuses
+    * drops for without column mapping). The list only grows.
+    */
+  private[graft] def retiredPhys(m: ManifestCommit.Manifest): Set[String] =
+    m.entries.get(RetiredKey).toSeq.flatMap(_.split(","))
+      .map(_.trim).filter(_.nonEmpty).toSet
+
+  // One-line JSON object <-> Map[String,String]; json4s ships with Spark.
+  private def renderNameMap(m: Map[String, String]): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(m))
+  }
+  private def parseNameMap(s: String): Map[String, String] =
+    org.json4s.jackson.JsonMethods.parse(s)
+      .asInstanceOf[org.json4s.JObject].obj.map { case (k, v) =>
+        k -> v.asInstanceOf[org.json4s.JString].s
+      }.toMap
+
+  private def lcName(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+
+  private def physOf(map: Map[String, String], logical: String): String = {
+    val byLc = map.map { case (k, v) => lcName(k) -> v }
+    byLc.getOrElse(lcName(logical), logical)
+  }
+
+  /** The declared schema with physical field names — what the parquet
+    * scan is asked for; files of every generation align to it by name.
+    */
+  private[graft] def physicalSchema(declared: org.apache.spark.sql.types.StructType,
+      map: Map[String, String]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(declared.fields.map(f =>
+      f.copy(name = physOf(map, f.name))))
+
+  /** Project a physical-named scan onto the logical declared shape. */
+  private def toLogical(df: DataFrame,
+      declared: org.apache.spark.sql.types.StructType,
+      map: Map[String, String]): DataFrame =
+    if (map.isEmpty) df
+    else df.select(declared.fields.map(f =>
+      col(physOf(map, f.name)).as(f.name)).toSeq: _*)
+
+  /** Rename a logical-named frame to physical column names for a
+    * generation write (extra non-declared columns, e.g. the bucket
+    * column, pass through unchanged).
+    */
+  private def toPhysical(df: DataFrame,
+      declared: org.apache.spark.sql.types.StructType,
+      map: Map[String, String]): DataFrame =
+    if (map.isEmpty) df
+    else {
+      val declaredLc = declared.fields.map(f => lcName(f.name)).toSet
+      df.select(df.columns.map { c =>
+        if (declaredLc.contains(lcName(c))) col(c).as(physOf(map, c))
+        else col(c)
+      }.toSeq: _*)
+    }
 
   /** Align `df` onto the declared schema: columns match by name
     * (case-insensitive), declared-but-absent DATA columns null-fill,
@@ -177,8 +252,138 @@ object ParquetMergeSink {
     val widened = org.apache.spark.sql.types.StructType(
       base.fields ++ newFields.map(f =>
         org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true)))
+    // Physical-name assignment: a new column normally keeps its own name,
+    // but a name some generation may already carry data under — a DROPPED
+    // column's retired physical name, or a physical name a rename left
+    // behind — gets a FRESH suffixed physical name instead, so old files
+    // can never resurrect their values into the new column.
+    val pmap = physMap(m)
+    var usedLc = base.fields.map(f => lc(physOf(pmap, f.name))).toSet ++
+      retiredPhys(m).map(lc)
+    val newEntries = newFields.flatMap { f =>
+      if (!usedLc.contains(lc(f.name))) { usedLc += lc(f.name); None }
+      else {
+        val fresh = Iterator.from(2).map(i => s"${f.name}__$i")
+          .find(c => !usedLc.contains(lc(c))).get
+        usedLc += lc(fresh)
+        Some(f.name -> fresh)
+      }
+    }
+    val newMap = pmap ++ newEntries
     ManifestCommit.commit(fs, table,
-      (m.entries - "txid") + (SchemaKey -> widened.json))
+      (m.entries - "txid" - PhysKey) ++
+        Map(SchemaKey -> widened.json) ++
+        (if (newMap.nonEmpty) Map(PhysKey -> renderNameMap(newMap)) else Map.empty))
+    ManifestCommit.vacuum(fs, table, keep = 2)
+  }
+
+  /** `ALTER TABLE … DROP COLUMN` as ONE metadata-only manifest commit —
+    * the narrowed declared schema stops reads from ever requesting the
+    * column; no file is rewritten (Delta column-mapping drop semantics).
+    * The dropped column's PHYSICAL name is RETIRED in the manifest: old
+    * generations still carry its values, so a later ADD COLUMN of the
+    * same name is given a fresh physical name and starts null — dropped
+    * data never resurrects. Time travel to a pre-DROP version serves the
+    * old shape, values intact. Merge keys and the version column are not
+    * droppable (they are the table's write contract); a batch still
+    * carrying the dropped column refuses at the door like any other
+    * undeclared column.
+    */
+  def dropColumns(spark: SparkSession, path: String,
+      names: Seq[String]): Unit = {
+    val table = new Path(path)
+    val fs = fsFor(spark, table)
+    guardReadable(fs, table)
+    require(names.nonEmpty, "DROP COLUMN needs at least one column")
+    val m = ManifestCommit.latest(fs, table).getOrElse(
+      throw new IllegalStateException(
+        s"$path has no committed merge-sink table to alter"))
+    val nonBucket = m.dirs.keys.filterNot(_.forall(_.isDigit))
+    require(nonBucket.isEmpty,
+      s"$path is not a merge-sink bucket layout (entries: " +
+        s"${nonBucket.take(3).mkString(", ")}…) — DROP COLUMN serves " +
+        "merge-sink tables; rewrite maintained layouts through " +
+        "TableMaintenance")
+    val base = declaredSchema(m).getOrElse(stampable(read(spark, path).schema))
+    val baseLc = base.fields.map(f => lcName(f.name)).toSet
+    val missing = names.filterNot(n => baseLc.contains(lcName(n)))
+    require(missing.isEmpty,
+      s"DROP COLUMN ${missing.mkString(", ")}: no such column " +
+        s"(table has ${base.fieldNames.mkString(", ")})")
+    val dropLc = names.map(lcName).toSet
+    val contract = (m.entries.get("merge.keys").toSeq.flatMap(_.split(",")) ++
+      m.entries.get("merge.version")).map(_.trim).filter(_.nonEmpty)
+    val protectedHit = contract.filter(c => dropLc.contains(lcName(c)))
+    require(protectedHit.isEmpty,
+      s"DROP COLUMN ${protectedHit.mkString(", ")}: merge key/version " +
+        "columns are the table's write contract and cannot be dropped")
+    val remaining = base.fields.filterNot(f => dropLc.contains(lcName(f.name)))
+    require(remaining.nonEmpty, "DROP COLUMN would leave the table empty")
+    val pmap = physMap(m)
+    val retired = retiredPhys(m) ++
+      base.fields.filter(f => dropLc.contains(lcName(f.name)))
+        .map(f => physOf(pmap, f.name))
+    val newMap = pmap.filterNot { case (k, _) => dropLc.contains(lcName(k)) }
+    ManifestCommit.commit(fs, table,
+      (m.entries - "txid" - PhysKey) ++
+        Map(SchemaKey -> org.apache.spark.sql.types.StructType(remaining).json,
+          RetiredKey -> retired.toSeq.sorted.mkString(",")) ++
+        (if (newMap.nonEmpty) Map(PhysKey -> renderNameMap(newMap)) else Map.empty))
+    ManifestCommit.vacuum(fs, table, keep = 2)
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN` as ONE metadata-only manifest commit:
+    * the declared schema takes the new logical name while the PHYSICAL
+    * name — the name every generation's files were written with — stays
+    * what it was, recorded in the manifest's logical→physical map. Reads
+    * scan physical and project to logical, so existing data serves under
+    * the new name immediately, and generations written after the rename
+    * use the SAME physical name, keeping one file schema forever (Delta
+    * column-mapping "name" mode; Iceberg gets the same effect from field
+    * ids). Renaming a merge key or the version column updates the write
+    * contract entries in the same atomic commit. Time travel to a
+    * pre-RENAME version serves the old name. An old writer still sending
+    * the old name refuses at the door (undeclared column) — exactly
+    * Delta's behavior after a rename.
+    */
+  def renameColumn(spark: SparkSession, path: String,
+      from: String, to: String): Unit = {
+    val table = new Path(path)
+    val fs = fsFor(spark, table)
+    guardReadable(fs, table)
+    val m = ManifestCommit.latest(fs, table).getOrElse(
+      throw new IllegalStateException(
+        s"$path has no committed merge-sink table to alter"))
+    val nonBucket = m.dirs.keys.filterNot(_.forall(_.isDigit))
+    require(nonBucket.isEmpty,
+      s"$path is not a merge-sink bucket layout (entries: " +
+        s"${nonBucket.take(3).mkString(", ")}…) — RENAME COLUMN serves " +
+        "merge-sink tables; rewrite maintained layouts through " +
+        "TableMaintenance")
+    val base = declaredSchema(m).getOrElse(stampable(read(spark, path).schema))
+    require(base.fields.exists(f => lcName(f.name) == lcName(from)),
+      s"RENAME COLUMN $from: no such column " +
+        s"(table has ${base.fieldNames.mkString(", ")})")
+    require(!base.fields.exists(f => lcName(f.name) == lcName(to)),
+      s"RENAME COLUMN $from TO $to: column $to already exists")
+    val pmap = physMap(m)
+    val phys = physOf(pmap, from)
+    val renamed = org.apache.spark.sql.types.StructType(base.fields.map(f =>
+      if (lcName(f.name) == lcName(from)) f.copy(name = to) else f))
+    val newMap = pmap.filterNot { case (k, _) => lcName(k) == lcName(from) } ++
+      (if (lcName(to) == lcName(phys)) Map.empty[String, String]
+       else Map(to -> phys))
+    // the write contract follows the logical name atomically
+    val contractEntries = Seq("merge.keys", "merge.version").flatMap { k =>
+      m.entries.get(k).map { v =>
+        k -> v.split(",").map(_.trim).map(c =>
+          if (lcName(c) == lcName(from)) to else c).mkString(",")
+      }
+    }
+    ManifestCommit.commit(fs, table,
+      (m.entries - "txid" - PhysKey) ++
+        Map(SchemaKey -> renamed.json) ++ contractEntries ++
+        (if (newMap.nonEmpty) Map(PhysKey -> renderNameMap(newMap)) else Map.empty))
     ManifestCommit.vacuum(fs, table, keep = 2)
   }
 
@@ -235,13 +440,17 @@ object ParquetMergeSink {
     val fs = fsFor(spark, table)
     guardReadable(fs, table)
     ManifestCommit.latest(fs, table)
-      .map(m => (m.dirs, declaredSchema(m)))
+      .map(m => (m.dirs, declaredSchema(m), physMap(m)))
       .orElse(legacyLayout(fs, table).map(e =>
-        (ManifestCommit.Manifest(0L, e).dirs, None)))
-      .flatMap { case (dirMap, declared) =>
+        (ManifestCommit.Manifest(0L, e).dirs, None, Map.empty[String, String])))
+      .flatMap { case (dirMap, declared, pmap) =>
         val dirs = dirMap.values.toSeq.sorted.map(rel => new Path(table, rel).toString)
         if (dirs.isEmpty) None
-        else Some(declared.fold(spark.read)(spark.read.schema).parquet(dirs: _*))
+        else Some {
+          val scan = declared.fold(spark.read)(d =>
+            spark.read.schema(physicalSchema(d, pmap))).parquet(dirs: _*)
+          declared.fold(scan)(d => toLogical(scan, d, pmap))
+        }
       }
   }
 
@@ -268,8 +477,14 @@ object ParquetMergeSink {
           ManifestCommit.committed(fs, table).map(_.version).mkString(", ")))
     val dirs = m.dirs.values.toSeq.sorted.map(rel => new Path(table, rel).toString)
     require(dirs.nonEmpty, s"version $version of $path references no data dirs")
-    // That manifest's OWN schema (pre-ALTER versions keep the old shape).
-    declaredSchema(m).fold(spark.read)(spark.read.schema).parquet(dirs: _*)
+    // That manifest's OWN schema AND name mapping (pre-ALTER versions
+    // keep the old shape; pre-RENAME versions keep the old names).
+    val pmap = physMap(m)
+    declaredSchema(m) match {
+      case None => spark.read.parquet(dirs: _*)
+      case Some(d) => toLogical(
+        spark.read.schema(physicalSchema(d, pmap)).parquet(dirs: _*), d, pmap)
+    }
   }
 
   /** An EMPTY merge-sink table whose schema and write contract are
@@ -383,6 +598,7 @@ object ParquetMergeSink {
     // old writer doesn't know yet (post-ADD COLUMN), loud refusal for
     // columns the table doesn't have.
     val declared = declaredSchema(manifest)
+    val pmap = physMap(manifest)
     val aligned = declared.fold(batch)(d =>
       alignToSchema(batch, d, s"merge batch into $path",
         required = keys :+ version))
@@ -403,7 +619,11 @@ object ParquetMergeSink {
       .map(rel => new Path(table, rel).toString)
     val current =
       if (currentDirs.nonEmpty)
-        Some(declared.fold(spark.read)(spark.read.schema).parquet(currentDirs: _*)
+        Some({
+          val scan = declared.fold(spark.read)(d =>
+            spark.read.schema(physicalSchema(d, pmap))).parquet(currentDirs: _*)
+          declared.fold(scan)(d => toLogical(scan, d, pmap))
+        }
           .withColumn(BucketCol, bucketExpr(keys, buckets))
           .withColumn(PrefCol, lit(0)))
       else None
@@ -415,9 +635,12 @@ object ParquetMergeSink {
 
     // New immutable generation holding the touched buckets' merged rows;
     // nothing live is overwritten, so a crash before the commit below is
-    // invisible to readers (the orphan dir is vacuumed later).
+    // invisible to readers (the orphan dir is vacuumed later). Files are
+    // written under PHYSICAL column names — renamed columns keep the name
+    // they were born with, so every generation shares one file schema.
     val gen = ManifestCommit.newGeneration(manifest.version + 1)
-    merged.write.mode(SaveMode.Overwrite)
+    declared.fold(merged)(d => toPhysical(merged, d, pmap))
+      .write.mode(SaveMode.Overwrite)
       .partitionBy(BucketCol).parquet(new Path(table, gen).toString)
 
     val updated = touched.toSeq.flatMap { b =>
@@ -579,11 +802,14 @@ object ParquetMergeSink {
     val currentDirs = touched.toSeq.flatMap(b => dirMap.get(b.toString))
       .map(rel => new Path(table, rel).toString)
     val declared = declaredSchema(manifest)
+    val pmap = physMap(manifest)
     val current = currentDirs match {
       case Seq() => None
-      case dirs => Some(
-        declared.fold(spark.read)(spark.read.schema).parquet(dirs: _*)
-          .withColumn(BucketCol, bucketExpr(keys, buckets)))
+      case dirs => Some({
+        val scan = declared.fold(spark.read)(d =>
+          spark.read.schema(physicalSchema(d, pmap))).parquet(dirs: _*)
+        declared.fold(scan)(d => toLogical(scan, d, pmap))
+      }.withColumn(BucketCol, bucketExpr(keys, buckets)))
     }
 
     // survivors = current rows whose key the source does not touch
@@ -633,7 +859,8 @@ object ParquetMergeSink {
       .getOrElse(applied)
 
     val gen = ManifestCommit.newGeneration(manifest.version + 1)
-    merged.write.mode(SaveMode.Overwrite)
+    declared.fold(merged)(d => toPhysical(merged, d, pmap))
+      .write.mode(SaveMode.Overwrite)
       .partitionBy(BucketCol).parquet(new Path(table, gen).toString)
 
     val updated = touched.toSeq.flatMap { b =>

@@ -160,9 +160,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       if (version.isDefined || !dataEntries.keys.forall(_ == "table")) None
       else m.entries.get("delete.key")
         .orElse(Option(opts.get(s"deleteKey.${ident.name}")))
+    val renames = graft.sinks.ParquetMergeSink.physMap(m)
+    require(renames.isEmpty || dv.isEmpty,
+      s"$p carries both a column rename map and a deletion vector — " +
+        "renames serve merge-sink tables and vectors maintained layouts; " +
+        "this state is unreachable through the sink APIs")
     new GraftTable(s"$catName.${ident.name}", spark, dataDirs, dv,
       p.toString, writeCfg, deleteCfg,
-      graft.sinks.ParquetMergeSink.declaredSchema(m))
+      graft.sinks.ParquetMergeSink.declaredSchema(m), renames)
   }
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
@@ -211,46 +216,75 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     loadTable(ident)
   }
 
-  /** `ALTER TABLE graft.t ADD COLUMN c TYPE` — schema evolution as ONE
-    * metadata-only manifest commit ([[graft.sinks.ParquetMergeSink
-    * .addColumns]]): no data is rewritten, pre-ALTER generations
-    * null-fill the new columns by name at scan time, and time travel to
-    * a pre-ALTER version serves the old shape (that manifest's own
-    * schema). The reference evolves its schema the same one-way route —
-    * additive `sql-migrations/` applied by the migrate step; drops,
-    * renames, and type changes refuse loudly here exactly as a
-    * down-migration is refused there (immutable files cannot be
-    * un-written; rewrite through the sink APIs instead).
+  /** `ALTER TABLE graft.t …` — schema evolution, each statement ONE
+    * metadata-only manifest commit; no data file is ever rewritten:
+    *
+    *  - `ADD COLUMN c TYPE` ([[graft.sinks.ParquetMergeSink.addColumns]]):
+    *    pre-ALTER generations null-fill the new column by name at scan
+    *    time. Re-adding a previously dropped name gets a FRESH physical
+    *    name, so dropped data never resurrects.
+    *  - `DROP COLUMN c` ([[graft.sinks.ParquetMergeSink.dropColumns]]):
+    *    the narrowed declared schema stops reads from requesting the
+    *    column; its physical name is retired in the manifest.
+    *  - `RENAME COLUMN a TO b` ([[graft.sinks.ParquetMergeSink
+    *    .renameColumn]]): the logical name flips while every generation
+    *    keeps its physical name (Delta column-mapping "name" mode) —
+    *    scans read physical and project to logical, so old data serves
+    *    under the new name with zero rewrite; renaming a merge key
+    *    updates the write contract in the same commit.
+    *
+    * Time travel to a pre-ALTER version serves that manifest's own shape
+    * and names. The reference evolves its schema the same
+    * metadata-forward route (`sql-migrations/`); TYPE CHANGES refuse
+    * loudly — committed immutable files cannot change their physical
+    * type, and an implicit cast-on-read would silently change query
+    * semantics.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val adds = changes.map {
-      case a: TableChange.AddColumn => a
-      case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE $catName.${ident.name}: only ADD COLUMN is " +
-          s"supported (got ${other.getClass.getSimpleName}); drops, " +
-          "renames, and type changes would contradict committed immutable " +
-          "generations — rebuild via the sink APIs for those")
-    }
-    val fields = adds.map { a =>
-      require(a.fieldNames.length == 1,
-        s"ALTER TABLE $catName.${ident.name}: nested ADD COLUMN " +
-          s"(${a.fieldNames.mkString(".")}) is not supported — only " +
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val path = tablePath(ident).toString
+    def oneName(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"ALTER TABLE $catName.${ident.name}: nested $what " +
+          s"(${fieldNames.mkString(".")}) is not supported — only " +
           "top-level columns")
+      fieldNames.head
+    }
+    val adds = changes.collect { case a: TableChange.AddColumn =>
+      val name = oneName(a.fieldNames, "ADD COLUMN")
       require(a.position() == null,
-        s"ALTER TABLE $catName.${ident.name} ADD COLUMN ${a.fieldNames.head}" +
+        s"ALTER TABLE $catName.${ident.name} ADD COLUMN $name" +
           ": FIRST/AFTER positioning is not supported — new columns append")
       require(a.defaultValue() == null,
-        s"ALTER TABLE $catName.${ident.name} ADD COLUMN ${a.fieldNames.head}" +
+        s"ALTER TABLE $catName.${ident.name} ADD COLUMN $name" +
           ": DEFAULT values are not supported — added columns null-fill")
       require(a.isNullable,
-        s"ALTER TABLE $catName.${ident.name} ADD COLUMN ${a.fieldNames.head}" +
+        s"ALTER TABLE $catName.${ident.name} ADD COLUMN $name" +
           ": NOT NULL is not addable — existing rows cannot supply a value")
-      org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
-        nullable = true)
+      org.apache.spark.sql.types.StructField(name, a.dataType, nullable = true)
     }
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    graft.sinks.ParquetMergeSink.addColumns(spark,
-      tablePath(ident).toString, fields.toSeq)
+    val drops = changes.collect { case d: TableChange.DeleteColumn =>
+      oneName(d.fieldNames, "DROP COLUMN")
+    }
+    val renames = changes.collect { case r: TableChange.RenameColumn =>
+      oneName(r.fieldNames, "RENAME COLUMN") -> r.newName
+    }
+    val unsupported = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.RenameColumn])
+    if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+      s"ALTER TABLE $catName.${ident.name}: only ADD/DROP/RENAME COLUMN " +
+        s"are supported (got ${unsupported.head.getClass.getSimpleName}); " +
+        "type changes would contradict committed immutable generations — " +
+        "rebuild via the sink APIs for those")
+    if (adds.nonEmpty)
+      graft.sinks.ParquetMergeSink.addColumns(spark, path, adds.toSeq)
+    if (drops.nonEmpty)
+      graft.sinks.ParquetMergeSink.dropColumns(spark, path, drops.toSeq)
+    renames.foreach { case (from, to) =>
+      graft.sinks.ParquetMergeSink.renameColumn(spark, path, from, to)
+    }
     loadTable(ident)
   }
 
@@ -356,27 +390,37 @@ private[sources] class GraftTable(tableName: String, spark: SparkSession,
     private[sources] val tablePath: String,
     private[sources] val writeCfg: Option[(Seq[String], String, Int)],
     deleteCfg: Option[String],
-    declared: Option[StructType] = None)
+    declared: Option[StructType] = None,
+    renames: Map[String, String] = Map.empty)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   // The manifest-declared schema (when present) is the user-specified
-  // schema of the parquet scan: files align by name, generations written
-  // before an ADD COLUMN null-fill the new columns inside the reader.
+  // schema of the parquet scan — under a rename map with PHYSICAL field
+  // names, since that is what every generation's files carry: files align
+  // by (physical) name, generations written before an ADD COLUMN
+  // null-fill the new columns inside the reader, and the scan wrapper
+  // below projects physical → logical names positionally.
   private lazy val delegate = ParquetTable(tableName, spark,
-    CaseInsensitiveStringMap.empty(), dataDirs, declared,
+    CaseInsensitiveStringMap.empty(), dataDirs,
+    declared.map(d =>
+      graft.sinks.ParquetMergeSink.physicalSchema(d, renames)),
     classOf[ParquetFileFormat])
 
   override def name(): String = tableName
-  override def schema(): StructType = delegate.schema
+  override def schema(): StructType =
+    if (renames.isEmpty) delegate.schema
+    else declared.getOrElse(delegate.schema)
   override def capabilities(): JSet[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val inner = delegate.newScanBuilder(options)
-    dv match {
-      case None => inner
-      case Some((keyCol, keys)) =>
+    (dv, renames.isEmpty) match {
+      case (None, true) => inner
+      case (None, false) =>
+        new RenameScanBuilder(inner, schema(), renames)
+      case (Some((keyCol, keys)), _) =>
         new DvScanBuilder(inner, schema(), keyCol, keys)
     }
   }
@@ -445,6 +489,61 @@ private[sources] class GraftTable(tableName: String, spark: SparkSession,
     }
     graft.sinks.TableMaintenance.deleteWhere(spark, tablePath, key, pred)
   }
+}
+
+/** Scan planning for a renamed table (manifest logical→physical column
+  * map, [[graft.sinks.ParquetMergeSink.renameColumn]]): column-pruning
+  * requests and pushed filters translate logical names to the physical
+  * names the parquet files carry; the produced scan reports the LOGICAL
+  * schema while rows pass through positionally unchanged (same types,
+  * same order — only names differ, and InternalRow is positional).
+  * Filter pushdown survives the translation: attribute renames keep
+  * exprIds, so the residual expressions the delegate returns still bind
+  * to the logical relation output. Aggregate pushdown is deliberately
+  * not forwarded for renamed tables (the delegate would report physical
+  * result names); compact-rewritten tables restore it.
+  */
+private[sources] class RenameScanBuilder(delegate: FileScanBuilder,
+    logicalFull: StructType, renames: Map[String, String])
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownCatalystFilters {
+
+  private def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+  private val byLc = renames.map { case (k, v) => lc(k) -> v }
+  private def physName(n: String) = byLc.getOrElse(lc(n), n)
+  private var output: Option[StructType] = None
+
+  override def pruneColumns(required: StructType): Unit = {
+    output = Some(required)
+    delegate.pruneColumns(StructType(
+      required.fields.map(f => f.copy(name = physName(f.name)))))
+  }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    delegate.pushFilters(filters.map(_.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if byLc.contains(lc(a.name)) => a.withName(physName(a.name))
+    }))
+  override def pushedFilters(): Array[V2Predicate] = delegate.pushedFilters
+
+  override def build(): Scan = {
+    val inner = delegate.build()
+    val logical = output.getOrElse(logicalFull)
+    val phys = inner.readSchema()
+    require(phys.length == logical.length &&
+        phys.fields.zip(logical.fields).forall { case (p, l) =>
+          p.dataType == l.dataType },
+      s"renamed scan shape drifted: physical ${phys.simpleString} vs " +
+        s"logical ${logical.simpleString} — refusing a positional mismatch")
+    new RenameScan(inner, logical)
+  }
+}
+
+private[sources] class RenameScan(delegate: Scan, output: StructType)
+  extends Scan {
+  override def readSchema(): StructType = output
+  override def description(): String = "GraftRenameScan " + delegate.description()
+  override def toBatch: Batch = delegate.toBatch
 }
 
 /** Column-pruning/filter-pushdown passthrough that force-includes the

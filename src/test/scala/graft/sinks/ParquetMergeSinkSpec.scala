@@ -459,6 +459,59 @@ class ParquetMergeSinkSpec extends SparkSpec {
     assert(again === Map(1L -> Some(0.9), 3L -> None))
   }
 
+  test("renameColumn keeps physical names: mergeActions and time travel across the flip") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-rename").toString + "/t"
+    ParquetMergeSink.merge(
+      Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "v", "ver"),
+      dir, Seq("k"), "ver")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val preRename = ManifestCommit.latest(
+      fs, new org.apache.hadoop.fs.Path(dir)).get.version
+
+    ParquetMergeSink.renameColumn(spark, dir, "v", "label")
+    // values survive under the new name; old name is gone
+    val read = ParquetMergeSink.read(spark, dir)
+    assert(read.columns.toSeq === Seq("k", "label", "ver"))
+    assert(read.collect().map(r =>
+      r.getAs[Long]("k") -> r.getAs[String]("label")).toMap
+      === Map(1L -> "a", 2L -> "b"))
+    // time travel serves the pre-rename name and values
+    val old = ParquetMergeSink.readVersion(spark, dir, preRename)
+    assert(old.columns.toSeq === Seq("k", "v", "ver"))
+
+    // a NEW-shape CDC writer drives all three actions through the rename:
+    // the post-rename generation is written under the ORIGINAL physical
+    // name, so both generations keep one file schema
+    val cdc = Seq((1L, "a2", 20L, false), (2L, "b", 20L, true),
+      (3L, "c", 20L, false)).toDF("k", "label", "ver", "del")
+    ParquetMergeSink.mergeActions(cdc, dir, Seq("k"), "ver", col("del"))
+    assert(ParquetMergeSink.read(spark, dir).collect().map(r =>
+      r.getAs[Long]("k") -> r.getAs[String]("label")).toMap
+      === Map(1L -> "a2", 3L -> "c"))
+    // every generation's files carry the PHYSICAL name v, never label
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val fields = walk(new java.io.File(dir))
+      .filter(_.getName.endsWith(".parquet"))
+      .flatMap(f => spark.read.parquet(f.getAbsolutePath).columns)
+      .toSet
+    assert(fields.contains("v") && !fields.contains("label"),
+      s"generations must share the physical name; saw $fields")
+
+    // dropColumns retires the physical name; re-add starts a fresh one
+    ParquetMergeSink.dropColumns(spark, dir, Seq("label"))
+    assert(ParquetMergeSink.read(spark, dir).columns.toSeq === Seq("k", "ver"))
+    ParquetMergeSink.addColumns(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val vVals = ParquetMergeSink.read(spark, dir).collect()
+      .map(r => Option(r.getAs[String]("v")))
+    assert(vVals.nonEmpty && vVals.forall(_.isEmpty),
+      "re-added v must not resurrect the dropped label's physical data")
+  }
+
   test("empty batches against a nonexistent path leave the filesystem untouched") {
     import org.apache.spark.sql.functions.col
     val root = java.nio.file.Files.createTempDirectory("graft-merge-noop").toString

@@ -424,9 +424,9 @@ class GraftCatalogSpec extends SparkSpec {
     val names = spark.sql("SHOW TABLES IN graft").collect()
       .map(_.getAs[String]("tableName")).toSet
     assert(names.contains("lst"))
-    // destructive ALTERs are refused (ADD COLUMN has its own spec below)
+    // type changes are refused (ADD/DROP/RENAME have their own specs)
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft.lst DROP COLUMN v")
+      spark.sql("ALTER TABLE graft.lst ALTER COLUMN v TYPE INT")
     }
     // a plain directory without a manifest is not a catalog table
     (1L to 3L).toDF("x").write.parquet(s"$root/plain")
@@ -519,8 +519,7 @@ class GraftCatalogSpec extends SparkSpec {
 
     // refused evolution shapes, each loud and side-effect-free
     val before = rows
-    intercept[Exception](spark.sql("ALTER TABLE graft.ev DROP COLUMN v"))
-    intercept[Exception](spark.sql("ALTER TABLE graft.ev RENAME COLUMN v TO w"))
+    intercept[Exception](spark.sql("ALTER TABLE graft.ev DROP COLUMN k"))
     intercept[Exception](spark.sql("ALTER TABLE graft.ev ALTER COLUMN ver TYPE INT"))
     intercept[Exception](spark.sql("ALTER TABLE graft.ev ADD COLUMN v STRING"))
     intercept[Exception](spark.sql(
@@ -534,5 +533,98 @@ class GraftCatalogSpec extends SparkSpec {
     val em = intercept[Exception](
       spark.sql("ALTER TABLE graft.ev_maint ADD COLUMN z INT"))
     assert(em.getMessage.contains("merge-sink"), em.getMessage)
+  }
+
+  test("RENAME COLUMN keeps data under the new name; DROP retires it for good") {
+    val dir = s"$root/rn"
+    def versions = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      graft.sinks.ManifestCommit
+        .committed(fs, new org.apache.hadoop.fs.Path(dir))
+    }
+    def rows = spark.sql("SELECT * FROM graft.rn").collect()
+      .map(_.toSeq).toSet
+
+    ParquetMergeSink.merge(
+      Seq((1L, "a", 1.5, 10L), (2L, "b", 2.5, 10L)).toDF("k", "v", "score", "ver"),
+      dir, Seq("k"), "ver", nBuckets = 4)
+    val preRename = versions.last
+
+    // RENAME: metadata-only commit — same dirs, values SURVIVE (the
+    // point of the physical-name map: by-name null-fill would lose them)
+    spark.sql("ALTER TABLE graft.rn RENAME COLUMN v TO label")
+    val postRename = versions.last
+    assert(postRename.version === preRename.version + 1)
+    assert(postRename.dirs === preRename.dirs,
+      "RENAME COLUMN must re-reference the existing generations unchanged")
+    assert(spark.sql("SELECT * FROM graft.rn").columns.toSeq
+      === Seq("k", "label", "score", "ver"))
+    assert(rows === Set(Seq(1L, "a", 1.5, 10L), Seq(2L, "b", 2.5, 10L)),
+      "pre-rename values must serve under the new name — not null-fill")
+    // filters + pruning against the renamed column reach the data
+    assert(spark.sql("SELECT label FROM graft.rn WHERE label = 'b'")
+      .collect().map(_.getString(0)).toSeq === Seq("b"))
+
+    // time travel to the pre-RENAME version serves the old name
+    assert(spark.sql(
+        s"SELECT * FROM graft.rn VERSION AS OF ${preRename.version}")
+      .columns.toSeq === Seq("k", "v", "score", "ver"))
+
+    // post-rename writes use the new name; mixed generations read together
+    spark.sql("INSERT INTO graft.rn VALUES (3, 'c', 3.5, 20)")
+    assert(rows === Set(Seq(1L, "a", 1.5, 10L), Seq(2L, "b", 2.5, 10L),
+      Seq(3L, "c", 3.5, 20L)))
+    // UPDATE through the renamed column reaches pre-rename rows
+    spark.sql("UPDATE graft.rn SET label = 'a2' WHERE k = 1")
+    assert(rows.contains(Seq(1L, "a2", 1.5, 10L)))
+    // an old writer still sending the OLD name refuses loudly
+    intercept[Exception](ParquetMergeSink.merge(
+      Seq((9L, "z", 9.9, 90L)).toDF("k", "v", "score", "ver"),
+      dir, Seq("k"), "ver", nBuckets = 4))
+    // the API read serves the renamed shape too
+    assert(ParquetMergeSink.read(spark, dir).columns.toSeq
+      === Seq("k", "label", "score", "ver"))
+
+    // renaming a merge KEY updates the write contract atomically
+    spark.sql("ALTER TABLE graft.rn RENAME COLUMN k TO id")
+    spark.sql("INSERT INTO graft.rn VALUES (3, 'c2', 3.6, 30)")
+    assert(rows.contains(Seq(3L, "c2", 3.6, 30L)),
+      "upsert by the renamed key must still be an upsert, not an append")
+
+    // DROP: metadata-only; the column disappears, time travel keeps it
+    val preDrop = versions.last
+    spark.sql("ALTER TABLE graft.rn DROP COLUMN score")
+    assert(versions.last.dirs === preDrop.dirs,
+      "DROP COLUMN must re-reference the existing generations unchanged")
+    assert(spark.sql("SELECT * FROM graft.rn").columns.toSeq
+      === Seq("id", "label", "ver"))
+    assert(spark.sql(
+        s"SELECT * FROM graft.rn VERSION AS OF ${preDrop.version}")
+      .columns.toSeq === Seq("id", "label", "score", "ver"),
+      "a pre-DROP version must keep the dropped column, values intact")
+
+    // re-ADD of the dropped name: fresh column, old values NEVER resurrect
+    spark.sql("ALTER TABLE graft.rn ADD COLUMN score DOUBLE")
+    val scores = spark.sql("SELECT score FROM graft.rn").collect()
+      .map(r => Option(r.get(0)))
+    assert(scores.nonEmpty && scores.forall(_.isEmpty),
+      s"re-added column must start null everywhere — resurrected: " +
+        scores.flatten.mkString(", "))
+    spark.sql("INSERT INTO graft.rn VALUES (4, 'd', 40, 4.5)")
+    assert(spark.sql("SELECT score FROM graft.rn WHERE id = 4")
+      .collect().head.getDouble(0) === 4.5,
+      "the re-added column must accept new values")
+
+    // contract columns are not droppable; unknown columns refuse
+    intercept[Exception](spark.sql("ALTER TABLE graft.rn DROP COLUMN id"))
+    intercept[Exception](spark.sql("ALTER TABLE graft.rn DROP COLUMN ver"))
+    intercept[Exception](spark.sql("ALTER TABLE graft.rn DROP COLUMN nope"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.rn RENAME COLUMN label TO ver"))
+
+    // replay idempotence across both evolution boundaries
+    spark.sql("INSERT INTO graft.rn VALUES (4, 'd', 40, 4.5)")
+    assert(rows.count(_.head == 4L) === 1, "replayed INSERT must converge")
   }
 }
