@@ -110,6 +110,52 @@ object ParquetMergeSink {
 
   private def lcName(s: String) = s.toLowerCase(java.util.Locale.ROOT)
 
+  /** Lossless type widenings the parquet readers serve WITHOUT a data
+    * rewrite (probed against Spark's vectorized and row readers: a file
+    * written at `from` reads back correctly when the requested schema
+    * says `to`; everything else — narrowing, long→double, any string
+    * conversion — fails the scan loudly with
+    * PARQUET_COLUMN_DATA_TYPE_MISMATCH). This is exactly the set
+    * `ALTER TABLE … ALTER COLUMN … TYPE` may declare and the set an
+    * old-shape writer's batch may implicitly upcast through at the merge
+    * door; it mirrors Delta's type-widening table feature:
+    *
+    *   - integer upcasts: byte → short → int → long
+    *   - exact float upcasts: float → double, {byte,short,int} → double
+    *     (every int32 is exact in an f64; long → double is LOSSY above
+    *     2⁵³ and refused)
+    *   - into decimal: {byte,short,int,long} → decimal(p,s) with enough
+    *     integer digits (3/5/10/20) — scale-0 values rescale exactly
+    *   - decimal(p,s) → decimal(p′,s′) when s′ ≥ s and p′−s′ ≥ p−s
+    *   - date → timestamp_ntz (midnight, no zone reinterpretation;
+    *     date → timestamp LTZ would shift by session zone and is refused)
+    */
+  private[graft] def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def intDigits(d: DataType): Option[Int] = d match {
+      case ByteType => Some(3)
+      case ShortType => Some(5)
+      case IntegerType => Some(10)
+      case LongType => Some(20)
+      case _ => None
+    }
+    (from, to) match {
+      case (f, t) if f == t => false
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+      case (f, t: DecimalType) =>
+        intDigits(f).exists(d => t.precision - t.scale >= d)
+      case (DateType, TimestampNTZType) => true
+      case _ => false
+    }
+  }
+
   private def physOf(map: Map[String, String], logical: String): String = {
     val byLc = map.map { case (k, v) => lcName(k) -> v }
     byLc.getOrElse(lcName(logical), logical)
@@ -153,7 +199,10 @@ object ParquetMergeSink {
     * sink never repairs a malformed batch implicitly:
     *
     *   - extra columns (widening is what `ALTER TABLE … ADD COLUMN` is
-    *     for) and type mismatches (cast explicitly);
+    *     for) and type mismatches that are not lossless upcasts (an
+    *     incoming type inside [[widens]]' set — an old-shape writer
+    *     after `ALTER COLUMN … TYPE` — upcasts implicitly; anything
+    *     else casts explicitly or refuses);
     *   - a batch missing any of `required` (the merge keys + version
     *     column): null-filling a key would hash every such row into one
     *     bucket and collapse them to a single row under latest-wins, and
@@ -189,13 +238,22 @@ object ParquetMergeSink {
         "silently collapse or mis-order rows under latest-wins")
     val cols = declared.fields.map { f =>
       byName.get(lc(f.name)) match {
-        case Some(src) =>
-          require(src.dataType.catalogString == f.dataType.catalogString,
-            s"$what column ${f.name}: incoming type " +
-              s"${src.dataType.simpleString} does not match declared " +
-              s"${f.dataType.simpleString} — cast explicitly; type changes " +
-              "are refused")
+        case Some(src) if src.dataType.catalogString == f.dataType.catalogString =>
           col(src.name).as(f.name)
+        case Some(src) if widens(src.dataType, f.dataType) =>
+          // an old-shape writer after ALTER COLUMN … TYPE: its narrower
+          // value upcasts losslessly onto the declared type — the same
+          // keep-old-writers-working contract as null-filling ADD COLUMN.
+          // Casting BEFORE bucketing also keeps key hashing consistent
+          // (xxhash64 of int 5 ≠ xxhash64 of long 5).
+          col(src.name).cast(f.dataType).as(f.name)
+        case Some(src) =>
+          throw new IllegalArgumentException(
+            s"$what column ${f.name}: incoming type " +
+              s"${src.dataType.simpleString} does not losslessly widen to " +
+              s"declared ${f.dataType.simpleString} — cast explicitly; " +
+              "only lossless upcasts (ALTER COLUMN TYPE's widening set) " +
+              "are implicit")
         case None => lit(null).cast(f.dataType).as(f.name)
       }
     }
@@ -384,6 +442,66 @@ object ParquetMergeSink {
       (m.entries - "txid" - PhysKey) ++
         Map(SchemaKey -> renamed.json) ++ contractEntries ++
         (if (newMap.nonEmpty) Map(PhysKey -> renderNameMap(newMap)) else Map.empty))
+    ManifestCommit.vacuum(fs, table, keep = 2)
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c TYPE t` as ONE metadata-only manifest
+    * commit, allowed ONLY for the lossless widenings in [[widens]] (the
+    * Delta type-widening set): the declared schema takes the wider type
+    * and every reader asks parquet for it — Spark's readers upcast old
+    * generations' narrower physical values at scan time, so no file is
+    * rewritten and generations written before and after the ALTER read
+    * together. Narrowing and lossy conversions (long → double, anything
+    * → string) refuse: committed immutable files cannot change physical
+    * type, and the readers fail such scans loudly anyway.
+    *
+    * MERGE KEYS are not widenable: bucket routing hashes the key's typed
+    * value (xxhash64 of int 5 ≠ xxhash64 of long 5), so a widened key
+    * would route existing keys to different buckets — silent duplication.
+    * Compact to a fresh table to re-type a key. The version column and
+    * data columns widen freely (version ordering is value-order, which
+    * every widening preserves). Time travel to a pre-ALTER version
+    * serves the old (narrow) type; an old-shape writer still sending the
+    * narrow type keeps merging — the door upcasts it losslessly
+    * ([[alignToSchema]]).
+    */
+  def widenColumnType(spark: SparkSession, path: String,
+      name: String, newType: org.apache.spark.sql.types.DataType): Unit = {
+    val table = new Path(path)
+    val fs = fsFor(spark, table)
+    guardReadable(fs, table)
+    val m = ManifestCommit.latest(fs, table).getOrElse(
+      throw new IllegalStateException(
+        s"$path has no committed merge-sink table to alter"))
+    val nonBucket = m.dirs.keys.filterNot(_.forall(_.isDigit))
+    require(nonBucket.isEmpty,
+      s"$path is not a merge-sink bucket layout (entries: " +
+        s"${nonBucket.take(3).mkString(", ")}…) — ALTER COLUMN TYPE " +
+        "serves merge-sink tables; rewrite maintained layouts through " +
+        "TableMaintenance")
+    val base = declaredSchema(m).getOrElse(stampable(read(spark, path).schema))
+    val field = base.fields.find(f => lcName(f.name) == lcName(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"ALTER COLUMN $name: no such column " +
+          s"(table has ${base.fieldNames.mkString(", ")})"))
+    val keys = m.entries.get("merge.keys").toSeq.flatMap(_.split(","))
+      .map(_.trim).filter(_.nonEmpty)
+    require(!keys.exists(k => lcName(k) == lcName(name)),
+      s"ALTER COLUMN $name TYPE: $name is a merge key — bucket routing " +
+        "hashes the typed key value, so widening it would re-route " +
+        "existing keys (silent duplication); compact into a fresh table " +
+        "to re-type a key")
+    require(widens(field.dataType, newType),
+      s"ALTER COLUMN $name TYPE ${newType.simpleString}: not a lossless " +
+        s"widening of ${field.dataType.simpleString} — committed immutable " +
+        "files cannot change physical type; only the parquet-reader " +
+        "upcast set (byte→short→int→long, float→double, int→double, " +
+        "int/long→decimal, decimal precision growth, date→timestamp_ntz) " +
+        "is declarable")
+    val widened = org.apache.spark.sql.types.StructType(base.fields.map(f =>
+      if (lcName(f.name) == lcName(name)) f.copy(dataType = newType) else f))
+    ManifestCommit.commit(fs, table,
+      (m.entries - "txid") ++ Map(SchemaKey -> widened.json))
     ManifestCommit.vacuum(fs, table, keep = 2)
   }
 
@@ -783,10 +901,38 @@ object ParquetMergeSink {
         source.columns.toSeq.filterNot(c =>
           delRefs.contains(c) && !keys.contains(c) && c != version)
       }
+    // Normalize overlapping source columns onto the DECLARED types before
+    // anything hashes or stores them: bucket routing hashes the typed key
+    // value, so an un-cast narrower key (an old-shape writer after ALTER
+    // COLUMN TYPE — or a writer that simply sends int where the table
+    // declares long) would route to the wrong bucket and silently
+    // duplicate the key across buckets. Lossless widenings upcast; any
+    // other mismatch refuses at the door. Source-only columns (the CDC
+    // op flag) pass through untouched.
+    val typed = tableSchema match {
+      case Some(ts) =>
+        val byLc = ts.fields.map(f => srcLc(f.name) -> f).toMap
+        source.select(source.schema.fields.map { sf =>
+          byLc.get(srcLc(sf.name)) match {
+            case Some(tf)
+                if sf.dataType.catalogString == tf.dataType.catalogString =>
+              col(sf.name)
+            case Some(tf) if widens(sf.dataType, tf.dataType) =>
+              col(sf.name).cast(tf.dataType).as(sf.name)
+            case Some(tf) => throw new IllegalArgumentException(
+              s"mergeActions source for $path column ${sf.name}: incoming " +
+                s"type ${sf.dataType.simpleString} does not losslessly " +
+                s"widen to declared ${tf.dataType.simpleString} — cast " +
+                "explicitly; only lossless upcasts are implicit")
+            case None => col(sf.name)
+          }
+        }.toSeq: _*)
+      case None => source
+    }
     val manifest = ensureManifest(fs, table, nBuckets)
     val buckets = manifest.entries("buckets").toInt
 
-    val batchB = source
+    val batchB = typed
       .withColumn(DelCol, coalesce(deleteWhen.cast("boolean"), lit(false)))
       .withColumn(BucketCol, bucketExpr(keys, buckets))
       .barrier() // bucket list + action split: compute the batch once

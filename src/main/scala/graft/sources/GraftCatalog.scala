@@ -233,12 +233,19 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     *    under the new name with zero rewrite; renaming a merge key
     *    updates the write contract in the same commit.
     *
-    * Time travel to a pre-ALTER version serves that manifest's own shape
-    * and names. The reference evolves its schema the same
-    * metadata-forward route (`sql-migrations/`); TYPE CHANGES refuse
-    * loudly — committed immutable files cannot change their physical
-    * type, and an implicit cast-on-read would silently change query
-    * semantics.
+    *  - `ALTER COLUMN c TYPE t` ([[graft.sinks.ParquetMergeSink
+    *    .widenColumnType]]): LOSSLESS WIDENINGS ONLY (byte→short→int→
+    *    long, float→double, int→double, int/long→decimal, decimal
+    *    precision growth, date→timestamp_ntz — Delta's type-widening
+    *    set): the declared schema takes the wider type and the parquet
+    *    readers upcast old generations at scan time. Narrowing and lossy
+    *    conversions refuse — committed immutable files cannot change
+    *    physical type. Merge keys are not widenable (bucket routing
+    *    hashes the typed key value).
+    *
+    * Time travel to a pre-ALTER version serves that manifest's own shape,
+    * names, and types. The reference evolves its schema the same
+    * metadata-forward route (`sql-migrations/`).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
@@ -269,21 +276,27 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val renames = changes.collect { case r: TableChange.RenameColumn =>
       oneName(r.fieldNames, "RENAME COLUMN") -> r.newName
     }
+    val widenings = changes.collect { case u: TableChange.UpdateColumnType =>
+      oneName(u.fieldNames, "ALTER COLUMN TYPE") -> u.newDataType
+    }
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
-        c.isInstanceOf[TableChange.RenameColumn])
+        c.isInstanceOf[TableChange.RenameColumn] ||
+        c.isInstanceOf[TableChange.UpdateColumnType])
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
       s"ALTER TABLE $catName.${ident.name}: only ADD/DROP/RENAME COLUMN " +
-        s"are supported (got ${unsupported.head.getClass.getSimpleName}); " +
-        "type changes would contradict committed immutable generations — " +
-        "rebuild via the sink APIs for those")
+        "and widening ALTER COLUMN TYPE are supported (got " +
+        s"${unsupported.head.getClass.getSimpleName})")
     if (adds.nonEmpty)
       graft.sinks.ParquetMergeSink.addColumns(spark, path, adds.toSeq)
     if (drops.nonEmpty)
       graft.sinks.ParquetMergeSink.dropColumns(spark, path, drops.toSeq)
     renames.foreach { case (from, to) =>
       graft.sinks.ParquetMergeSink.renameColumn(spark, path, from, to)
+    }
+    widenings.foreach { case (name, t) =>
+      graft.sinks.ParquetMergeSink.widenColumnType(spark, path, name, t)
     }
     loadTable(ident)
   }

@@ -535,6 +535,104 @@ class GraftCatalogSpec extends SparkSpec {
     assert(em.getMessage.contains("merge-sink"), em.getMessage)
   }
 
+  test("ALTER COLUMN TYPE widens losslessly without rewriting data") {
+    val dir = s"$root/wt"
+    def versions = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      graft.sinks.ManifestCommit
+        .committed(fs, new org.apache.hadoop.fs.Path(dir))
+    }
+    def rows = spark.sql("SELECT * FROM graft.wt").collect()
+      .map(_.toSeq).toSet
+    def typeOf(c: String) = spark.sql("SELECT * FROM graft.wt")
+      .schema.find(_.name == c).get.dataType
+
+    ParquetMergeSink.merge(
+      Seq((1L, 10, 1.5f, BigDecimal("1.25"), 100L),
+        (2L, 20, 2.5f, BigDecimal("2.50"), 100L))
+        .toDF("k", "qty", "score", "amt", "ver")
+        .selectExpr("k", "qty", "score", "cast(amt as decimal(5,2)) amt", "ver"),
+      dir, Seq("k"), "ver", nBuckets = 4)
+    val preAlter = versions.last
+
+    spark.sql("ALTER TABLE graft.wt ALTER COLUMN qty TYPE BIGINT")
+
+    // time travel to the pre-ALTER version (still retained, keep=2)
+    // serves the NARROW types
+    import org.apache.spark.sql.types._
+    val old = spark.sql(
+      s"SELECT * FROM graft.wt VERSION AS OF ${preAlter.version}").schema
+    assert(old.find(_.name == "qty").get.dataType === IntegerType)
+    assert(old.find(_.name == "score").get.dataType === FloatType)
+
+    spark.sql("ALTER TABLE graft.wt ALTER COLUMN score TYPE DOUBLE")
+    spark.sql("ALTER TABLE graft.wt ALTER COLUMN amt TYPE DECIMAL(12,4)")
+
+    // metadata-only commits: version bumps, SAME data dirs, no rewrite
+    assert(versions.last.version === preAlter.version + 3)
+    assert(versions.last.dirs === preAlter.dirs,
+      "ALTER COLUMN TYPE must re-reference the existing generations unchanged")
+
+    // pre-ALTER generations upcast at scan time, values exact
+    assert(typeOf("qty") === LongType)
+    assert(typeOf("score") === DoubleType)
+    assert(typeOf("amt") === DecimalType(12, 4))
+    assert(rows === Set(
+      Seq(1L, 10L, 1.5, BigDecimal("1.2500").bigDecimal, 100L),
+      Seq(2L, 20L, 2.5, BigDecimal("2.5000").bigDecimal, 100L)))
+
+    // post-ALTER writes store the wide type; mixed generations read together
+    spark.sql("INSERT INTO graft.wt VALUES (3, 30, 3.5, 3.75, 200)")
+    assert(rows.contains(Seq(3L, 30L, 3.5, BigDecimal("3.7500").bigDecimal, 200L)))
+
+    // an OLD-shape writer still sending the narrow types merges — the
+    // door upcasts losslessly (same contract as null-fill for ADD COLUMN)
+    ParquetMergeSink.merge(
+      Seq((4L, 40, 4.5f, 200L)).toDF("k", "qty", "score", "ver"),
+      dir, Seq("k"), "ver", nBuckets = 4)
+    assert(rows.contains(Seq(4L, 40L, 4.5, null, 200L)),
+      "a narrow-typed batch must upcast at the door, not refuse")
+
+    // a narrow-typed KEY routes to the right bucket in mergeActions: the
+    // source key upcasts BEFORE bucket hashing, so this is an upsert of
+    // k=2, never a duplicate in another bucket
+    ParquetMergeSink.mergeActions(
+      Seq((2, 21, 2.6, BigDecimal("2.60"), 300L, "u"))
+        .toDF("k", "qty", "score", "amt", "ver", "op")
+        .selectExpr("cast(k as int) k", "qty", "score",
+          "cast(amt as decimal(12,4)) amt", "ver", "op"),
+      dir, Seq("k"), "ver", deleteWhen = col("op") === "d", nBuckets = 4)
+    assert(rows.count(_.head == 2L) === 1,
+      "an int-keyed source against a bigint-keyed table must upsert, " +
+        "not duplicate the key into a differently-hashed bucket")
+    assert(rows.contains(Seq(2L, 21L, 2.6, BigDecimal("2.6000").bigDecimal, 300L)))
+
+    // UPDATE reaches upcast rows in a pre-ALTER generation
+    spark.sql("UPDATE graft.wt SET qty = 11 WHERE k = 1")
+    assert(rows.contains(Seq(1L, 11L, 1.5, BigDecimal("1.2500").bigDecimal, 100L)))
+
+    // refusals, each loud and side-effect-free: narrowing, lossy
+    // long→double, string conversion, and any merge-key re-type
+    val before = rows
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.wt ALTER COLUMN qty TYPE INT"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.wt ALTER COLUMN qty TYPE DOUBLE"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.wt ALTER COLUMN qty TYPE STRING"))
+    val ek = intercept[Exception](
+      spark.sql("ALTER TABLE graft.wt ALTER COLUMN k TYPE DECIMAL(20,0)"))
+    assert(ek.getMessage.contains("merge key"),
+      s"key re-type must name the bucket-routing hazard: ${ek.getMessage}")
+    // a NON-widening incoming type still refuses at the door
+    intercept[Exception](ParquetMergeSink.merge(
+      Seq((5L, "oops", 5.5, BigDecimal("5.00"), 400L))
+        .toDF("k", "qty", "score", "amt", "ver"),
+      dir, Seq("k"), "ver", nBuckets = 4))
+    assert(rows === before, "refused type changes must change nothing")
+  }
+
   test("RENAME COLUMN keeps data under the new name; DROP retires it for good") {
     val dir = s"$root/rn"
     def versions = {
