@@ -47,7 +47,7 @@ object ScaleUp {
   private val PartStride = 1000000L
   private val OrderStride = 10000000L
   private val EventStride = 10000000L
-  private val DocStride = 1000000L // doc_id and vec_id (they join)
+  private[graft] val DocStride = 1000000L // doc_id and vec_id (they join)
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
@@ -80,9 +80,7 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def rep(df: DataFrame): DataFrame =
-      df.withColumn("__c",
-        explode(lit((0L until copies.toLong).toArray)))
+    def rep(df: DataFrame): DataFrame = replicate(df, copies)
 
     // Shift key columns by copy×stride; SUFFIX name columns per copy —
     // scaled entities are NEW entities, and duplicate display names
@@ -97,11 +95,6 @@ object ScaleUp {
           .otherwise(concat(col(nc), lit("_"), col("__c"))))
       }.drop("__c")
     }
-
-    /** Cyclic left-rotation of an array column by `k` (0 ⇒ identity). */
-    def rotated(arr: Column, n: Column, k: Column): Column =
-      when(k === 0, arr).otherwise(concat(
-        slice(arr, k + 1, n - k), slice(arr, lit(1), k)))
 
     val tables: Seq[(String, DataFrame)] = Seq(
       "region" -> Tables.region(spark, src),
@@ -122,86 +115,8 @@ object ScaleUp {
       // Tables.events normalizes ts to a micros TimestampType already.
       "events" -> shift(Tables.events(spark, src), Nil,
         "event_id" -> EventStride, "user_id" -> CustStride),
-      "documents" -> {
-        // Word rotation can mint at most n distinct copies of an n-word
-        // document, and the driver corpus has a 10-word floor (median 54)
-        // — so rotation alone caps at 10 clean copies. Copies factor into
-        // c = a·inner + b: the INNER level rotates words (offsets
-        // floor(b·n/inner), injective in b for n ≥ inner = 10), and the
-        // OUTER level a > 0 cyclically rotates the CHARACTERS of every
-        // word by a mod len(w) — same length, same character multiset,
-        // but a disjoint surface vocabulary, so outer copies share almost
-        // no shingles with each other or the original (exactly like the
-        // embedding rotation: same distribution, unrelated content).
-        // Residual collisions: char rotation by Δa is the identity on a
-        // word exactly when the word's minimal block period divides Δa
-        // (NOT only for single/repeated-char words — a doc of 2- and
-        // 3-letter words collides between outer levels at Δa = 6), so a
-        // doc repeats across outer levels iff the lcm of its word periods
-        // is ≤ outer−1. The audit after the write counts those docs.
-        // (A fixed-stride `7c mod n` inner offset silently collided
-        // whenever n | 7Δc — e.g. every 14-word doc collapsed its even
-        // copies into verbatim duplicates; the even spread fixed that.)
-        val inner = math.min(copies, 10)
-        val d = rep(Tables.documents(spark, src))
-          .withColumn("__ws", split(trim(col("text")), "\\s+"))
-          .withColumn("__n", size(col("__ws")))
-          .withColumn("__b", pmod(col("__c"), lit(inner.toLong)))
-          .withColumn("__a", floor(col("__c") / lit(inner.toLong)).cast("int"))
-          .withColumn("__k",
-            floor(col("__b") * col("__n") / lit(inner))
-              .cast("int"))
-          .withColumn("__rw", rotated(col("__ws"), col("__n"), col("__k")))
-          .withColumn("__cw", when(col("__a") === 0, col("__rw")).otherwise(
-            transform(col("__rw"), w => {
-              val kw = pmod(col("__a"), length(w))
-              when(kw === 0, w).otherwise(concat(
-                w.substr(kw + lit(1), length(w) - kw),
-                w.substr(lit(1), kw)))
-            })))
-          .withColumn("text", when(col("__c") === 0, col("text")).otherwise(
-            concat_ws(" ", col("__cw"))))
-          .withColumn("doc_id", col("doc_id") + col("__c") * DocStride)
-          .withColumn("n_chars", length(col("text")).cast("long"))
-        d.drop("__c", "__ws", "__n", "__b", "__a", "__k", "__rw", "__cw")
-      },
-      "embeddings" -> {
-        val e = rep(Tables.embeddings(spark, src))
-          .withColumn("__n", size(col("embedding")))
-          .withColumn("__k",
-            pmod(col("__c"), greatest(col("__n"), lit(1))).cast("int"))
-          .withColumn("__r",
-            rotated(col("embedding"), col("__n"), col("__k")))
-          // Rotation wraps at n (= 64): copy 64 would repeat copy 0's
-          // direction verbatim under a new vec_id, collapsing ANN
-          // structure into cos = 1 pairs. The wrap level REVERSES the
-          // rotated vector — same norm, same coordinate multiset,
-          // distinct direction (reverse∘rotate = rotate∘reverse only for
-          // palindromic vectors, which real embeddings are not).
-          .withColumn("__a",
-            floor(col("__c") / greatest(col("__n"), lit(1))).cast("int"))
-          .withColumn("__rv",
-            when(pmod(col("__a"), lit(2)) === 0, col("__r"))
-              .otherwise(reverse(col("__r"))))
-          // Third level (past 128 copies): a per-level Rademacher SIGN
-          // FLIP — coordinate i negates iff xxhash64(level, i) is odd. A
-          // ±1 diagonal is orthogonal (norms and the coordinate
-          // magnitude distribution survive exactly), level 0 is the
-          // identity (copies ≤ 128 are byte-identical to the two-level
-          // transform), and distinct levels draw independent 64-bit sign
-          // patterns, so directions stay hash-distinct — the same
-          // "same distribution, unrelated content" contract as rotation
-          // and reversal. Negation preserves the element type; the
-          // array column's schema is untouched.
-          .withColumn("__sl", floor(col("__a") / 2).cast("long"))
-          .withColumn("embedding",
-            when(col("__sl") === 0, col("__rv")).otherwise(
-              transform(col("__rv"), (x, i) =>
-                when(pmod(xxhash64(col("__sl"), i), lit(2L)) === 0L, x)
-                  .otherwise(-x))))
-          .withColumn("vec_id", col("vec_id") + col("__c") * DocStride)
-        e.drop("__c", "__n", "__k", "__r", "__a", "__rv", "__sl")
-      })
+      "documents" -> scaledDocuments(Tables.documents(spark, src), copies),
+      "embeddings" -> scaledEmbeddings(Tables.embeddings(spark, src), copies))
 
     // Primary sort key per table: the single output file is written in
     // key order so its 4 MB row groups carry DISJOINT min/max key ranges
@@ -272,42 +187,142 @@ object ScaleUp {
       fs.delete(tmp, true)
       println(s"scaled $name -> $target")
     }
-    val innerCopies = math.min(copies, 10)
-    val shortDocs = Tables.documents(spark, src)
-      .filter(size(split(trim(col("text")), "\\s+")) < innerCopies).count()
-    if (shortDocs > 0)
-      println(s"WARNING: $shortDocs source docs have fewer words than the " +
-        s"$innerCopies inner rotation copies — their word rotations " +
-        "collide (verbatim duplicate copies within an outer level); " +
-        "exact-dup counts at the scaled SF are inflated for them")
-    // Cross-outer-level collision audit: char rotation by Δa is the
-    // identity on word w iff w's minimal block period divides Δa, so a
-    // doc's copies repeat between outer levels iff lcm(word periods) ≤
-    // outer − 1. Driver-side by design: the SOURCE corpus is the
-    // pre-scale small input (sf0.1 ≈ 5k docs), and minimal-period
-    // extraction is a char scan no SQL builtin expresses.
-    val outerLevels = math.ceil(copies.toDouble / innerCopies).toInt
-    if (outerLevels > 1) {
-      def blockPeriod(w: String): Long =
-        (1 to w.length).find(p => w.length % p == 0 &&
-          (p until w.length).forall(i => w(i) == w(i - p)))
-          .getOrElse(w.length).toLong
-      def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-      val cap = outerLevels.toLong // lcm past outer−1 can never collide
-      val colliders = Tables.documents(spark, src).select("text").collect()
-        .count { r =>
-          val ws = r.getString(0).trim.split("\\s+").filter(_.nonEmpty)
-          ws.nonEmpty && ws.foldLeft(1L) { (acc, w) =>
-            if (acc >= cap) acc
-            else { val p = blockPeriod(w); acc / gcd(acc, p) * p }
-          } <= (outerLevels - 1).toLong
-        }
-      if (colliders > 0)
-        println(s"WARNING: $colliders source docs have lcm(word block " +
-          s"periods) <= ${outerLevels - 1} — their char rotations repeat " +
-          "between outer levels (verbatim cross-level duplicates); " +
-          "exact-dup counts at the scaled SF are inflated for them")
+    // Exact collision audit over the WRITTEN output (supersedes the old
+    // period-heuristic predictions): a transform-minted duplicate is a
+    // pair of copies of the SAME source doc sharing the full text —
+    // organic source-corpus dups (which dd_exact needs, and which scale
+    // by design) group under different src ids and are not counted.
+    // One shuffle of the scaled table; runs only when documents were
+    // generated. Same audit for embeddings (the rotation/reversal/sign
+    // levels are constructed hash-distinct; this proves it end-to-end).
+    def mintedDups(table: String, keyCol: String, payload: Column): Unit = {
+      val f = new Path(destPath, s"$table.parquet")
+      if (fs.exists(f)) {
+        val r = spark.read.parquet(f.toString)
+          .withColumn("__src", pmod(col(keyCol), lit(DocStride)))
+          .groupBy(col("__src"), payload.as("__payload")).count()
+          .filter(col("count") > 1)
+          .agg(countDistinct(col("__src")).as("docs"),
+            sum(col("count") - 1).as("extra"))
+          .collect().head
+        if (!r.isNullAt(0) && r.getLong(0) > 0)
+          println(s"WARNING: ${r.getLong(0)} source $table rows produced " +
+            s"verbatim duplicate copies (${r.getLong(1)} excess rows) — " +
+            "rotation collisions (docs shorter than the inner rotation " +
+            "count, or all-period-1 words); exact-dup counts at the " +
+            "scaled SF are inflated for them")
+      }
     }
+    if (only.isEmpty || only.contains("documents"))
+      mintedDups("documents", "doc_id", col("text"))
+    if (only.isEmpty || only.contains("embeddings"))
+      mintedDups("embeddings", "vec_id", col("embedding"))
     spark.stop()
+  }
+
+  /** `copies` rows per input row, tagged `__c` ∈ [0, copies). */
+  private[graft] def replicate(df: DataFrame, copies: Int): DataFrame =
+    df.withColumn("__c", explode(lit((0L until copies.toLong).toArray)))
+
+  /** Cyclic left-rotation of an array column by `k` (0 ⇒ identity). */
+  private[graft] def rotated(arr: Column, n: Column, k: Column): Column =
+    when(k === 0, arr).otherwise(concat(
+      slice(arr, k + 1, n - k), slice(arr, lit(1), k)))
+
+  /** The documents replica transform (pure `DataFrame => DataFrame`, so
+    * the invariants are spec-testable on tiny in-memory corpora).
+    *
+    * Word rotation can mint at most n distinct copies of an n-word
+    * document, and the driver corpus has a 10-word floor (median 54)
+    * — so rotation alone caps at 10 clean copies. Copies factor into
+    * c = a·inner + b: the INNER level rotates words (offsets
+    * floor(b·n/inner), injective in b for n ≥ inner = 10), and the
+    * OUTER level a > 0 cyclically rotates the CHARACTERS of each
+    * word — same length, same character multiset, but a disjoint
+    * surface vocabulary, so outer copies share almost no shingles
+    * with each other or the original (exactly like the embedding
+    * rotation: same distribution, unrelated content). The per-word
+    * shift is HASH-DERIVED, xxhash64(a, word-index) mod len(w), not
+    * one shared a mod len(w): a shared shift is the identity on a
+    * word whenever the word's minimal block period divides Δa, so
+    * whole docs repeated between outer levels whenever
+    * lcm(word periods) ≤ outer−1 — 23% of the corpus at 100 outer
+    * levels (sf100). With independent per-word shifts two levels
+    * collide only if EVERY word's hash difference vanishes mod its
+    * period — unobservable unless every word has period 1
+    * (single-char/repeated-char words only), which the post-write
+    * audit counts exactly. (A fixed-stride `7c mod n` inner offset
+    * had the same disease: it collided whenever n | 7Δc — every
+    * 14-word doc collapsed its even copies; the even spread fixed
+    * that.) Copy 0 is byte-identical to the source.
+    */
+  private[graft] def scaledDocuments(docs: DataFrame, copies: Int): DataFrame = {
+    val inner = math.min(copies, 10)
+    val d = replicate(docs, copies)
+      .withColumn("__ws", split(trim(col("text")), "\\s+"))
+      .withColumn("__n", size(col("__ws")))
+      .withColumn("__b", pmod(col("__c"), lit(inner.toLong)))
+      .withColumn("__a", floor(col("__c") / lit(inner.toLong)).cast("int"))
+      .withColumn("__k",
+        floor(col("__b") * col("__n") / lit(inner))
+          .cast("int"))
+      .withColumn("__rw", rotated(col("__ws"), col("__n"), col("__k")))
+      .withColumn("__cw", when(col("__a") === 0, col("__rw")).otherwise(
+        transform(col("__rw"), (w, j) => {
+          val kw = pmod(xxhash64(col("__a"), j), length(w).cast("long"))
+            .cast("int")
+          when(kw === 0, w).otherwise(concat(
+            w.substr(kw + lit(1), length(w) - kw),
+            w.substr(lit(1), kw)))
+        })))
+      .withColumn("text", when(col("__c") === 0, col("text")).otherwise(
+        concat_ws(" ", col("__cw"))))
+      .withColumn("doc_id", col("doc_id") + col("__c") * DocStride)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    d.drop("__c", "__ws", "__n", "__b", "__a", "__k", "__rw", "__cw")
+  }
+
+  /** The embeddings replica transform (pure, spec-testable). Three
+    * stacked orthogonal levels: cyclic rotation (n = dim directions),
+    * then reversal (×2), then a per-level Rademacher sign flip
+    * (×unbounded, hash-distinct patterns).
+    *
+    * Rotation wraps at n (= 64): copy 64 would repeat copy 0's
+    * direction verbatim under a new vec_id, collapsing ANN
+    * structure into cos = 1 pairs. The wrap level REVERSES the
+    * rotated vector — same norm, same coordinate multiset,
+    * distinct direction (reverse∘rotate = rotate∘reverse only for
+    * palindromic vectors, which real embeddings are not). The third
+    * level (past 128 copies) is a per-level Rademacher SIGN FLIP —
+    * coordinate i negates iff xxhash64(level, i) is odd. A ±1
+    * diagonal is orthogonal (norms and the coordinate magnitude
+    * distribution survive exactly), level 0 is the identity (copies
+    * ≤ 128 are byte-identical to the two-level transform), and
+    * distinct levels draw independent 64-bit sign patterns, so
+    * directions stay hash-distinct — the same "same distribution,
+    * unrelated content" contract as rotation and reversal. Negation
+    * preserves the element type; the array column's schema is
+    * untouched. Copy 0 is byte-identical to the source.
+    */
+  private[graft] def scaledEmbeddings(emb: DataFrame, copies: Int): DataFrame = {
+    val e = replicate(emb, copies)
+      .withColumn("__n", size(col("embedding")))
+      .withColumn("__k",
+        pmod(col("__c"), greatest(col("__n"), lit(1))).cast("int"))
+      .withColumn("__r",
+        rotated(col("embedding"), col("__n"), col("__k")))
+      .withColumn("__a",
+        floor(col("__c") / greatest(col("__n"), lit(1))).cast("int"))
+      .withColumn("__rv",
+        when(pmod(col("__a"), lit(2)) === 0, col("__r"))
+          .otherwise(reverse(col("__r"))))
+      .withColumn("__sl", floor(col("__a") / 2).cast("long"))
+      .withColumn("embedding",
+        when(col("__sl") === 0, col("__rv")).otherwise(
+          transform(col("__rv"), (x, i) =>
+            when(pmod(xxhash64(col("__sl"), i), lit(2L)) === 0L, x)
+              .otherwise(-x))))
+      .withColumn("vec_id", col("vec_id") + col("__c") * DocStride)
+    e.drop("__c", "__n", "__k", "__r", "__a", "__rv", "__sl")
   }
 }
