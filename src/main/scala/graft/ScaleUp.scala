@@ -241,20 +241,27 @@ object ScaleUp {
     * word — same length, same character multiset, but a disjoint
     * surface vocabulary, so outer copies share almost no shingles
     * with each other or the original (exactly like the embedding
-    * rotation: same distribution, unrelated content). The per-word
-    * shift is HASH-DERIVED, xxhash64(a, word-index) mod len(w), not
-    * one shared a mod len(w): a shared shift is the identity on a
-    * word whenever the word's minimal block period divides Δa, so
-    * whole docs repeated between outer levels whenever
-    * lcm(word periods) ≤ outer−1 — 23% of the corpus at 100 outer
-    * levels (sf100). With independent per-word shifts two levels
-    * collide only if EVERY word's hash difference vanishes mod its
-    * period — unobservable unless every word has period 1
-    * (single-char/repeated-char words only), which the post-write
-    * audit counts exactly. (A fixed-stride `7c mod n` inner offset
-    * had the same disease: it collided whenever n | 7Δc — every
-    * 14-word doc collapsed its even copies; the even spread fixed
-    * that.) Copy 0 is byte-identical to the source.
+    * rotation: same distribution, unrelated content). The shift is
+    * HASH-DERIVED PER WORD VALUE, xxhash64(a, w) mod len(w), not one
+    * shared a mod len(w): a shared shift is the identity on a word
+    * whenever the word's minimal block period divides Δa, so whole
+    * docs repeated between outer levels whenever lcm(word periods) ≤
+    * outer−1 — 23% of the corpus at 100 outer levels (sf100). With
+    * per-word-value shifts two levels collide only if EVERY distinct
+    * word's hash difference vanishes mod its period — unobservable
+    * except for docs whose every word has period 1 or whose whole
+    * text is one repeated word, which the post-write audit counts
+    * exactly. Hashing the word VALUE (not its position) matters:
+    * within one level the same word always maps to the same surface
+    * form, so each copy's token-frequency structure — vocabulary
+    * size, Zipf curve, stopword mass, per-doc TTR — is EXACTLY the
+    * source's (a position-keyed shift was measured exploding distinct
+    * tokens ~8× at sf10 and with it every token-cardinality
+    * aggregate: text_nb_quality 18.8 → 55.3 s, text_zipf 2.5×).
+    * (A fixed-stride `7c mod n` inner offset had the same collision
+    * disease: it collided whenever n | 7Δc — every 14-word doc
+    * collapsed its even copies; the even spread fixed that.)
+    * Copy 0 is byte-identical to the source.
     */
   private[graft] def scaledDocuments(docs: DataFrame, copies: Int): DataFrame = {
     val inner = math.min(copies, 10)
@@ -268,8 +275,8 @@ object ScaleUp {
           .cast("int"))
       .withColumn("__rw", rotated(col("__ws"), col("__n"), col("__k")))
       .withColumn("__cw", when(col("__a") === 0, col("__rw")).otherwise(
-        transform(col("__rw"), (w, j) => {
-          val kw = pmod(xxhash64(col("__a"), j), length(w).cast("long"))
+        transform(col("__rw"), w => {
+          val kw = pmod(xxhash64(col("__a"), w), length(w).cast("long"))
             .cast("int")
           when(kw === 0, w).otherwise(concat(
             w.substr(kw + lit(1), length(w) - kw),

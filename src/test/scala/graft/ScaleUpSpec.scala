@@ -72,6 +72,31 @@ class ScaleUpSpec extends SparkSpec {
         "must keep their docs distinct across levels")
   }
 
+  test("every copy preserves the token-frequency structure exactly") {
+    // the outer level is a word→word dictionary (hash keyed on the word
+    // VALUE, not its position), so each copy's sorted frequency vector —
+    // the input to Zipf/TTR/stopword-mass/vocab-size analyses — must
+    // equal the source doc's. A position-keyed shift broke this: every
+    // occurrence of a word minted its own surface form, exploding
+    // distinct tokens ~8× at sf10 and with it every token-cardinality
+    // aggregate (text_nb_quality 18.8 → 55.3 s).
+    val repeats = Seq(
+      (0L, "alpha beta alpha gamma beta alpha delta epsilon zeta eta theta iota"),
+      (1L, "one two three one two three one two three four five six"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val s = ScaleUp.scaledDocuments(repeats, Copies)
+    def freqVec(t: String): Seq[Int] =
+      t.split("\\s+").groupBy(identity).values.map(_.length).toSeq.sorted
+    val bad = s
+      .withColumn("src", pmod(col("doc_id"), lit(ScaleUp.DocStride)))
+      .join(repeats.select(col("doc_id").as("src"), col("text").as("stext")), "src")
+      .select("doc_id", "text", "stext").as[(Long, String, String)]
+      .collect().filter { case (_, t, st) => freqVec(t) != freqVec(st) }
+    assert(bad.isEmpty,
+      s"copies must preserve token frequencies, got ${bad.take(2).mkString("; ")}")
+  }
+
   test("the known residual: an all-period-1 doc cannot mint distinct outer copies") {
     val degenerate = Seq((0L, "aa bb cc dd ee ff gg hh ii jj"))
       .toDF("doc_id", "text")
