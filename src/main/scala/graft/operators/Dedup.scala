@@ -396,10 +396,9 @@ object Dedup {
     * doc_id per cluster, the same keep-lowest rule as [[exact]].
     */
   def components(spark: SparkSession, dir: String): DataFrame = {
-    // no barrier here: componentsFrom's strategy probe IS a bounded
-    // collect, so under the driver cap (the overwhelmingly common case —
-    // the cap counts near-dup EDGES, not documents) the pair query
-    // executes exactly once, with no checkpoint of its output
+    // no extra barrier here: componentsFrom materializes the pair list
+    // exactly once itself (its strategy probe counts the materialized
+    // frame), so the pair query executes once on BOTH sides of the cap
     val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
     componentsFrom(spark, pairs)
   }
@@ -418,29 +417,49 @@ object Dedup {
     */
   private[graft] def componentsFrom(spark: SparkSession, pairs: DataFrame,
       maxDriverEdges: Long = 5000000L): DataFrame = {
-    // Strategy probe = the driver-path collect itself, bounded: a
-    // limit(cap + 1) collect holds at most cap+1 rows, proves "fits under
-    // the cap" / "does not", and when it fits those rows ARE the edge
-    // list — the pair query executes exactly once and nothing is
-    // checkpointed (a count-then-collect probe would either execute the
-    // pair query twice or force a barrier on it; at sf10 that barrier was
-    // most of dd_components' cost over dd_ngram_jaccard). The EFFECTIVE
-    // cap clamps to Int.MaxValue − 1: limit() can't probe past 2³¹, and a
-    // driver-local edge array can't hold more anyway — so a larger
-    // requested cap routes to the distributed path instead of silently
-    // collecting an unbounded edge set (negative = force distributed).
+    // Strategy probe = count of the BARRIERED pair list: the pair
+    // pipeline executes exactly once on BOTH sides of the cap — under it
+    // the driver collect re-reads the materialized blocks, over it the
+    // contraction shuffle does. (The previous probe, limit(cap+1)
+    // collect, was single-execution only UNDER the cap, where the limit
+    // never truncates anyway; OVER the cap it ran the pair pipeline
+    // nearly to completion just to learn "too big" and the contraction
+    // re-ran it in full — measured at sf100 as dd_components 201.7 s
+    // against a 77.3 s pair query, the whole super-linear flag. A
+    // count-then-collect probe WITHOUT the barrier has the same
+    // double-execution disease.) The edge list materializes executor-
+    // side in the block manager (disk-backed, never a driver array), so
+    // an over-cap graph costs storage proportional to its own size, and
+    // the cap still bounds what the DRIVER ever holds. The effective cap
+    // clamps to Int.MaxValue − 1 — a driver-local edge array can't hold
+    // more — so a larger requested cap routes to the distributed path
+    // instead of silently collecting an unbounded edge set (negative =
+    // force distributed, probe and barrier skipped).
     val effCap = math.max(-1L, math.min(maxDriverEdges, Int.MaxValue - 1L))
-    val head =
-      if (effCap < 0) Array.empty[org.apache.spark.sql.Row]
-      else pairs.limit((effCap + 1L).toInt).collect()
-    if (effCap >= 0 && head.length <= effCap) {
-      graft.StrategyLog.record("dd_components", "driver",
-        "edges" -> head.length, "cap" -> effCap)
-      return componentsLocal(spark, head.map(r => (r.getLong(0), r.getLong(1))))
+    if (effCap >= 0) {
+      val edges = pairs.select(col("doc_a"), col("doc_b")).barrier()
+      val n = edges.count()
+      if (n <= effCap) {
+        graft.StrategyLog.record("dd_components", "driver",
+          "edges" -> n, "cap" -> effCap)
+        return componentsLocal(spark,
+          edges.collect().map(r => (r.getLong(0), r.getLong(1))))
+      }
+      graft.StrategyLog.record("dd_components", "distributed",
+        "edges" -> n, "cap" -> effCap)
+      return contractedComponents(spark, edges, effCap)
     }
     graft.StrategyLog.record("dd_components", "distributed",
-      "edges" -> (if (effCap < 0) "forced" else s">$effCap"),
-      "cap" -> effCap)
+      "edges" -> "forced", "cap" -> effCap)
+    contractedComponents(spark, pairs, effCap)
+  }
+
+  /** The over-cap solver: one partition-local union-find CONTRACTION
+    * pass, then the tiny cross-partition root graph resolves on the
+    * driver (or by min-label propagation if even IT exceeds the cap).
+    */
+  private def contractedComponents(spark: SparkSession, pairs: DataFrame,
+      effCap: Long): DataFrame = {
     // Over the cap: CONTRACT first, then solve the small remainder. A
     // plain min-label propagation costs rounds × (15M-row join + agg +
     // checkpoint) — measured 129 s standalone at sf30, the first SF to
