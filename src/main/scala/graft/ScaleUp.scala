@@ -118,6 +118,22 @@ object ScaleUp {
       "documents" -> scaledDocuments(Tables.documents(spark, src), copies),
       "embeddings" -> scaledEmbeddings(Tables.embeddings(spark, src), copies))
 
+    // The doc/vec id-shift transform AND the post-write mintedDups audit
+    // both recover the source row as `id mod DocStride` — a source corpus
+    // whose ids reach the stride would alias distinct source rows into
+    // one copy slot (colliding copy ids, silently corrupted audit
+    // groups). Fail loudly before writing anything.
+    def requireUnderStride(table: String, df: => DataFrame, key: String): Unit =
+      if (only.isEmpty || only.contains(table)) {
+        val mx = df.agg(max(col(key))).head().getLong(0)
+        require(mx < DocStride,
+          s"$table.$key max=$mx >= DocStride=$DocStride: the copy id-shift " +
+            "and the mintedDups audit would alias source rows — raise " +
+            "DocStride before replicating this corpus")
+      }
+    requireUnderStride("documents", Tables.documents(spark, src), "doc_id")
+    requireUnderStride("embeddings", Tables.embeddings(spark, src), "vec_id")
+
     // Primary sort key per table: the single output file is written in
     // key order so its 4 MB row groups carry DISJOINT min/max key ranges
     // — parquet zone maps then prune key-range predicates at the scan

@@ -442,8 +442,14 @@ object Dedup {
       if (n <= effCap) {
         graft.StrategyLog.record("dd_components", "driver",
           "edges" -> n, "cap" -> effCap)
-        return componentsLocal(spark,
-          edges.collect().map(r => (r.getLong(0), r.getLong(1))))
+        val local = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        // the returned frame is built from the local array — the barriered
+        // edge blocks (~16 bytes/edge in the block manager) have no
+        // remaining reader, so release them here instead of leaving them
+        // for the caller's release sweep (long-lived sessions outside
+        // Bench/Verify would otherwise accumulate them per call)
+        edges.unpersist(blocking = false)
+        return componentsLocal(spark, local)
       }
       graft.StrategyLog.record("dd_components", "distributed",
         "edges" -> n, "cap" -> effCap)

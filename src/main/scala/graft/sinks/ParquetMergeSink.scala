@@ -484,6 +484,10 @@ object ParquetMergeSink {
       .getOrElse(throw new IllegalArgumentException(
         s"ALTER COLUMN $name: no such column " +
           s"(table has ${base.fieldNames.mkString(", ")})"))
+    // Idempotence: re-running an already-applied ALTER (replayed migration
+    // scripts) declares the type the column already has — a no-op, not a
+    // "not a lossless widening" refusal (Delta's same-type ALTER behavior).
+    if (field.dataType == newType) return
     val keys = m.entries.get("merge.keys").toSeq.flatMap(_.split(","))
       .map(_.trim).filter(_.nonEmpty)
     require(!keys.exists(k => lcName(k) == lcName(name)),

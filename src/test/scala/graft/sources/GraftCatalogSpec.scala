@@ -631,6 +631,43 @@ class GraftCatalogSpec extends SparkSpec {
         .toDF("k", "qty", "score", "amt", "ver"),
       dir, Seq("k"), "ver", nBuckets = 4))
     assert(rows === before, "refused type changes must change nothing")
+
+    // REPLAYED migration script: re-declaring the type a column already
+    // has is a no-op (no refusal, no version bump) — widens(t, t) being
+    // false must read as "nothing to do", not "not a widening"
+    val preReplay = versions.last
+    spark.sql("ALTER TABLE graft.wt ALTER COLUMN qty TYPE BIGINT")
+    assert(versions.last.version === preReplay.version,
+      "same-type ALTER COLUMN TYPE must be a no-op, not a new commit")
+    assert(rows === before)
+  }
+
+  test("ALTER COLUMN TYPE date -> timestamp_ntz upcasts old generations") {
+    val dir = s"$root/dt"
+    import org.apache.spark.sql.types._
+    val d1 = java.sql.Date.valueOf("2024-05-01")
+    val d2 = java.sql.Date.valueOf("2024-05-02")
+    ParquetMergeSink.merge(
+      Seq((1L, d1, 10L), (2L, d2, 10L)).toDF("k", "d", "ver"),
+      dir, Seq("k"), "ver", nBuckets = 4)
+
+    spark.sql("ALTER TABLE graft.dt ALTER COLUMN d TYPE TIMESTAMP_NTZ")
+
+    val schema = spark.sql("SELECT * FROM graft.dt").schema
+    assert(schema.find(_.name == "d").get.dataType === TimestampNTZType)
+    // pre-ALTER DATE generations read back as midnight NTZ, no rewrite
+    val got = spark.sql("SELECT k, d FROM graft.dt ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1))).toSeq
+    assert(got === Seq(
+      (1L, java.time.LocalDateTime.of(2024, 5, 1, 0, 0)),
+      (2L, java.time.LocalDateTime.of(2024, 5, 2, 0, 0))),
+      "old DATE values must upcast to midnight TIMESTAMP_NTZ at scan time")
+    // a post-ALTER writer lands sub-day precision next to upcast dates
+    spark.sql(
+      "INSERT INTO graft.dt VALUES (3, TIMESTAMP_NTZ '2024-05-03 12:30:00', 20)")
+    val mixed = spark.sql("SELECT d FROM graft.dt WHERE k = 3").collect()
+    assert(mixed.head.getAs[java.time.LocalDateTime](0) ===
+      java.time.LocalDateTime.of(2024, 5, 3, 12, 30))
   }
 
   test("RENAME COLUMN keeps data under the new name; DROP retires it for good") {
