@@ -114,6 +114,167 @@ object EventStream {
       .schema("ts").dataType == LongType
   }
 
+  /** One monitor per split-layout path (the [[graft.operators.Scale]]
+    * skip-layout discipline): fingerprint-check → rebuild → publish must
+    * be mutually exclusive within the JVM.
+    */
+  private val splitLayoutLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** How many split-layout builds ran in this JVM (spec hook: serving
+    * twice must build once).
+    */
+  private[graft] val splitLayoutBuilds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The number of time-ordered files a bounded gate replay is split
+    * into (`spark.sql.graft.streamReplaySplits`, default 8; ≤1 disables
+    * the split and replays the raw single-file table in one batch).
+    */
+  private def replaySplits(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.sql.graft.streamReplaySplits")
+      .map(_.toInt).getOrElse(8)
+
+  /** Build-once TIME-SPLIT replay layout for the events table: the one
+    * driver-layout file re-written as `splits` parquet files covering
+    * disjoint ascending (ts, event_id) ranges, with strictly increasing
+    * modification times so the file stream source (which orders
+    * admission by mod time) replays them in event-time order. This is
+    * what makes the gate run the DEPLOYABLE stream shape: a single-file
+    * replay is ONE micro-batch, so watermarks never advance mid-run and
+    * every stateful operator holds its whole input as state (measured at
+    * sf100: stream_purchase_context buffered all 4M join rows in one
+    * batch — a state-store memory wall at the next decade). Split into
+    * K batches, the watermark advances between batches and eviction
+    * bounds state to the horizon, exactly as in production (r9 measured
+    * ~250k steady-state rows vs 4M single-batch at sf10).
+    *
+    * Range partitioning keys on (ts, event_id): event_id is assigned in
+    * ts order by the generator, so the cross-file order agrees with both
+    * event time (watermark correctness — a later file never carries an
+    * earlier timestamp, so nothing is ever late under a 0s delay) and
+    * event_id (fold-order correctness for the EMA recurrence).
+    *
+    * Fingerprinted against the SOURCE snapshot (bytes+mtime) and
+    * published by staging-dir rename — the IvfPqIndex / ordersSkipLayout
+    * cache discipline; rebuilds only when the source table changes.
+    */
+  private def eventsSplitLayout(spark: org.apache.spark.sql.SparkSession,
+      dir: String, splits: Int): String = {
+    import org.apache.hadoop.fs.Path
+    val src = s"$dir/events.parquet"
+    val snap = graft.functions.IvfPqIndex.snapshotId(spark, src)
+    val fp = s"fmt=1;src=$dir;$snap;splits=$splits"
+    val layout = graft.functions.IvfPqIndex.indexRoot(spark) +
+      s"/stream_split_${Integer.toHexString(dir.hashCode)}"
+    val lock = splitLayoutLocks.computeIfAbsent(layout, _ => new Object)
+    lock.synchronized {
+      val fpPath = new Path(layout, "_graft_fp")
+      val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ok = fs.exists(fpPath) && {
+        val in = fs.open(fpPath)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) == fp
+        finally in.close()
+      }
+      if (!ok) {
+        splitLayoutBuilds.incrementAndGet()
+        val staging = new Path(layout + s"_build_${java.util.UUID.randomUUID()}")
+        val conf = spark.conf
+        val outKey = "spark.sql.parquet.outputTimestampType"
+        val prevOut = conf.getOption(outKey)
+        // micros, never INT96: the pinned-schema streaming reader
+        // refuses INT96 (PARQUET_COLUMN_DATA_TYPE_MISMATCH)
+        conf.set(outKey, "TIMESTAMP_MICROS")
+        try
+          graft.Tables.events(spark, dir)
+            .repartitionByRange(splits, col("ts"), col("event_id"))
+            .write.mode("overwrite").parquet(staging.toString)
+        finally prevOut.fold(conf.unset(outKey))(conf.set(outKey, _))
+        // part-NNNNN names carry the range order; rename into the glob
+        // shape and stamp ascending mod times (2 s apart — coarser than
+        // any filesystem's timestamp granularity) so admission order is
+        // event-time order
+        val parts = fs.listStatus(staging)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        val base = System.currentTimeMillis() - 2000L * (parts.length + 1)
+        parts.zipWithIndex.foreach { case (p, i) =>
+          val target = new Path(staging, f"split_$i%04d.parquet")
+          require(fs.rename(p.getPath, target), s"rename ${p.getPath} failed")
+          fs.setTimes(target, base + 2000L * i, -1)
+        }
+        fs.delete(new Path(staging, "_SUCCESS"), false)
+        val out = fs.create(new Path(staging, "_graft_fp"), true)
+        try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        fs.delete(new Path(layout), true)
+        require(fs.rename(staging, new Path(layout)),
+          s"publishing split layout $staging -> $layout failed")
+        val parent = new Path(layout).getParent
+        val prefix = new Path(layout).getName + "_build_"
+        fs.listStatus(parent).map(_.getPath)
+          .filter(p => p.getName.startsWith(prefix) && p != staging)
+          .foreach(p => fs.delete(p, true))
+      }
+      layout
+    }
+  }
+
+  /** Where and how a bounded gate replay reads the events table. */
+  private case class ReplaySpec(dir: String, glob: String,
+      maxFiles: Option[String], tsIsLong: Boolean, batches: String)
+
+  /** Resolve the replay admission shape ONCE per query (layout build +
+    * footer probe are driver-side): an explicitly configured
+    * `streamEventsGlob` names a user-managed landing directory and wins
+    * unchanged; otherwise the default is the time-split multi-batch
+    * layout ([[eventsSplitLayout]]) drained one file per trigger, the
+    * deployable bounded-state shape. `streamReplaySplits <= 1` falls
+    * back to the raw single-file single-batch replay.
+    */
+  private def resolveReplay(spark: org.apache.spark.sql.SparkSession,
+      dir: String): ReplaySpec = {
+    val userGlob = spark.conf.getOption("spark.sql.graft.streamEventsGlob")
+    val maxFiles = spark.conf.getOption("spark.sql.graft.streamMaxFiles")
+    val spec =
+      if (userGlob.isDefined)
+        ReplaySpec(dir, userGlob.get, maxFiles,
+          eventsTsIsLong(spark, dir), "user")
+      else {
+        val k = replaySplits(spark)
+        if (k <= 1)
+          ReplaySpec(dir, "events.parquet", maxFiles,
+            eventsTsIsLong(spark, dir), "single")
+        else
+          // split files are Spark-written micros timestamps
+          ReplaySpec(eventsSplitLayout(spark, dir, k), "split_*.parquet",
+            Some(maxFiles.getOrElse("1")), tsIsLong = false, s"$k")
+      }
+    graft.StrategyLog.record("stream_replay", spec.batches,
+      "glob" -> spec.glob, "maxFiles" -> spec.maxFiles.getOrElse("all"))
+    spec
+  }
+
+  /** A fresh stream instance over a resolved replay spec — callers that
+    * join several branches of the same table call this once per branch.
+    */
+  private def replayStream(spark: org.apache.spark.sql.SparkSession,
+      spec: ReplaySpec): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", if (spec.tsIsLong) LongType else TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val rdr = spark.readStream.schema(schema)
+      .option("pathGlobFilter", spec.glob)
+    val limited = spec.maxFiles.fold(rdr)(v => rdr.option("maxFilesPerTrigger", v))
+    val raw = limited.parquet(spec.dir)
+    if (spec.tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
   private def eventsStream(spark: org.apache.spark.sql.SparkSession,
       dir: String, tsIsLong: Boolean): DataFrame = {
     import org.apache.spark.sql.types._
@@ -323,39 +484,41 @@ object EventStream {
     */
   def emaScoresStreamed(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import scala.jdk.CollectionConverters._
-    import org.apache.spark.sql.types._
     val conf = spark.conf
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProv = conf.getOption(provKey)
     conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // only the columns the fold needs — parquet prunes the rest (this also
-    // sidesteps the TIMESTAMP(NANOS) ts column entirely)
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("user_id", LongType),
-      StructField("value", DoubleType)))
-    val name = s"graft_stream_ema_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     try {
-      val q = emaScores(
-          spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir))
-        .toDF()
-        .writeStream.format("memory").queryName(name)
-        .outputMode("update")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val out = spark.table(name)
-        .groupBy(col("userId").as("user_id"))
-        .agg(
-          expr("max_by(ema, nEvents)").as("ema"),
-          max(col("nEvents")).as("n_events"))
-        .select(col("user_id"), (floor(col("ema") * 1e4) / 1e4).as("ema"), col("n_events"))
-        .orderBy("user_id")
-      val rows = out.collect().toIndexedSeq
-      spark.createDataFrame(rows.asJava, out.schema)
+      // The update stream emits one refreshed (ema, n) row per user per
+      // micro-batch it appears in — O(users × batches). That frame STAGES
+      // to parquet via foreachBatch (executor-side write), never a memory
+      // sink: the memory sink serializes every task result onto the
+      // driver, the exact pattern that died at spark.driver.maxResultSize
+      // for dedup_daily/session_stats at sf30 — per-user EMA state merely
+      // hits the same wall at higher user cardinality. Only the bounded
+      // per-user fold of the staged files is collected. The source is the
+      // default time-split multi-batch replay (event_id-ordered files, so
+      // the cross-batch fold order is the batch closed form's order);
+      // ts/event_type/props prune at the parquet scan.
+      val staged = stageReplay(spark, outputMode = "update",
+        emaScores(replayStream(spark, resolveReplay(spark, dir))).toDF()) {
+        (b, tmp) => b.write.mode("append").parquet(tmp)
+      }
+      try {
+        val out = spark.read
+          .schema("userId BIGINT, ema DOUBLE, nEvents BIGINT")
+          .parquet(staged)
+          .groupBy(col("userId").as("user_id"))
+          .agg(
+            expr("max_by(ema, nEvents)").as("ema"),
+            max(col("nEvents")).as("n_events"))
+          .select(col("user_id"), (floor(col("ema") * 1e4) / 1e4).as("ema"), col("n_events"))
+          .orderBy("user_id")
+        val rows = out.collect().toIndexedSeq
+        spark.createDataFrame(rows.asJava, out.schema)
+      } finally deleteStaged(spark, staged)
     } finally {
-      spark.catalog.dropTempView(name)
       prevProv.fold(conf.unset(provKey))(conf.set(provKey, _))
     }
   }
@@ -463,7 +626,7 @@ object EventStream {
       // reads the staged files distributed; only the bounded per-day
       // result ever reaches the driver.
       val staged = stageReplay(spark, outputMode = "append",
-        eventsStream(spark, dir)
+        replayStream(spark, resolveReplay(spark, dir))
           .select(col("ts"), col("user_id"), col("event_type"))
           .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
           .withWatermark("ts", "1 hour")
@@ -472,13 +635,20 @@ object EventStream {
         (b, tmp) => b.write.mode("append").parquet(tmp)
       }
       try {
-        // one emitted row per first-seen key → count(*) IS count-distinct;
-        // distinct users per day projects the same key set
+        // Under the multi-batch replay the engine dedup emits one row per
+        // first-seen key WITHIN the 1h watermark horizon — a key recurring
+        // beyond the horizon re-admits (the documented within-watermark
+        // contract, its state bound). The staged volume is still
+        // horizon-deduped (orders of magnitude under the raw stream); the
+        // bounded final aggregate is EXACT-distinct over it, which is what
+        // any production consumer of a within-watermark dedup does too.
         val out = spark.read.schema(
             "day STRING, user_id BIGINT, event_type STRING")
           .parquet(staged)
           .groupBy(col("day"))
-          .agg(count(lit(1)).as("n_active_pairs"),
+          .agg(
+            countDistinct(col("user_id"), col("event_type"))
+              .as("n_active_pairs"),
             countDistinct(col("user_id")).as("n_users"))
           .orderBy("day")
         val rows = out.collect().toIndexedSeq
@@ -631,9 +801,14 @@ object EventStream {
     val shufKey = "spark.sql.shuffle.partitions"
     val prevShuf = conf.getOption(shufKey)
     conf.set(shufKey, math.min(8, conf.get(shufKey, "8").toInt).toString)
-    // separate source instances per branch, ONE footer probe for all three
-    val tsIsLong = eventsTsIsLong(spark, dir)
-    def src = eventsStream(spark, dir, tsIsLong)
+    // ONE layout resolve/build for all three branches; the default spec
+    // is the time-split multi-batch layout, so the watermark advances
+    // between batches and join-state eviction actually runs — state is
+    // bounded by the 1h horizon's arrival rate, not the corpus (the
+    // single-batch replay held all 4M purchase+view rows as state at
+    // sf10; r9 measured ~250k steady-state rows under this admission)
+    val spec = resolveReplay(spark, dir)
+    def src = replayStream(spark, spec)
     try {
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
