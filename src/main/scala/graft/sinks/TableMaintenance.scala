@@ -564,15 +564,110 @@ object TableMaintenance {
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long,
       sortKeys: Seq[String] = Nil): Int = {
+    val dataFiles = preRewrite(spark, path, "compact")
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    // [[read]] applies any committed deletion vector, so compaction
+    // MATERIALIZES pending deletes: the new generation holds surviving
+    // rows only and the fresh manifest drops the vector entries.
+    val df = read(spark, path)
+    val shaped =
+      if (sortKeys.nonEmpty)
+        df.repartitionByRange(nOut, sortKeys.map(col): _*)
+          .sortWithinPartitions(sortKeys.map(col): _*)
+      else df.repartition(nOut)
+    commitRewrite(spark, path, shaped, Map.empty)
+    nOut
+  }
+
+  /** [[writeSorted]]'s layout applied to a MANAGED table in place: the
+    * current table (deletion vectors materialize — [[read]] applies
+    * them) rewrites as one new immutable generation of `numFiles`
+    * range-partitioned key-sorted files and the manifest flips — the
+    * scheduled zone-map-restore job, now callable where compaction is.
+    * The manifest records the layout (`layout=sorted(keys)`), so
+    * `history` shows WHICH physical order each generation carries.
+    * Returns the committed version.
+    */
+  def sortManaged(spark: SparkSession, path: String, numFiles: Int,
+      keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "sortManaged needs at least one key")
+    preRewrite(spark, path, "sort")
+    val shaped = read(spark, path)
+      .repartitionByRange(numFiles, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+    commitRewrite(spark, path, shaped,
+      Map("layout" -> s"sorted(${keys.mkString(",")})"))
+  }
+
+  /** [[writeZOrdered]] applied to a MANAGED table in place — the
+    * multi-dimension clustering rewrite under the same manifest commit
+    * as [[sortManaged]]. Returns the committed version.
+    */
+  def zorderManaged(spark: SparkSession, path: String, numFiles: Int,
+      keys: Seq[String], bitsPerKey: Int = 8): Long = {
+    preRewrite(spark, path, "zorder")
+    val zcol = "__graft_z"
+    val shaped = zOrderValue(read(spark, path), keys, bitsPerKey, zcol)
+      .repartitionByRange(numFiles, col(zcol))
+      .sortWithinPartitions(col(zcol))
+      .drop(zcol)
+    commitRewrite(spark, path, shaped,
+      Map("layout" -> s"zorder(${keys.mkString(",")})"))
+  }
+
+  /** [[writeStatsIndex]] over a managed table's CURRENT generation: the
+    * `_stats` zone-map manifest lands inside the generation dir, so it
+    * shares the generation's immutability and lifecycle (a later rewrite
+    * makes a new generation; vacuum reclaims the old one with its
+    * stats). Serve range reads with [[readSkippingManaged]]. Returns the
+    * number of files indexed.
+    */
+  def statsIndexManaged(spark: SparkSession, path: String,
+      keys: Seq[String]): Int = {
+    require(keys.nonEmpty, "statsIndexManaged needs at least one key")
+    val dataFiles = preRewrite(spark, path, "stats_index")
+    writeStatsIndex(spark, resolveDataDir(spark, path), keys)
+    dataFiles.size
+  }
+
+  /** [[readSkipping]] against a managed table's current generation (the
+    * layout [[statsIndexManaged]] indexed). Deletion vectors committed
+    * AFTER the index was built still apply — same anti-join as [[read]].
+    */
+  def readSkippingManaged(spark: SparkSession, path: String,
+      ranges: Seq[KeyRange]): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val data = readSkipping(spark, resolveDataDir(spark, path), ranges)
+    (for {
+      m <- ManifestCommit.latest(fs, root)
+      rel <- m.dirs.get("deletes")
+      key <- m.entries.get("delete.key")
+    } yield {
+      val dels = spark.read.parquet(new Path(root, rel).toString)
+      data.join(dels, data(key) === dels(key), "left_anti")
+    }).getOrElse(data)
+  }
+
+  /** Guards + debris reclamation shared by every whole-table managed
+    * rewrite ([[compact]] / [[sortManaged]] / [[zorderManaged]]; also
+    * the pre-flight for [[statsIndexManaged]]): refuses
+    * partition-managed and directory-partitioned layouts, reclaims
+    * crashed-run orphans and post-grace migration debris, and returns
+    * the current generation's data files so callers can size output.
+    */
+  private def preRewrite(spark: SparkSession, path: String,
+      op: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val root = new Path(path)
     val fs: FileSystem =
       root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = ManifestCommit.latest(fs, root)
-    // A crashed previous compaction leaves an orphan generation that no
+    // A crashed previous rewrite leaves an orphan generation that no
     // manifest references; reclaim it before writing the next one. On a
     // managed table, top-level plain files are migration debris: their
     // rows live in the committed generation, and they have now had a
-    // full compaction interval of grace for readers that were mid-scan
+    // full rewrite interval of grace for readers that were mid-scan
     // when the migration committed — reclaim them too.
     // A manifest whose dir entries are NOT the single-table pointer (or
     // its deletion vector) is a partition-managed table: its generations
@@ -581,7 +676,7 @@ object TableMaintenance {
     if (manifest.exists(_.dirs.exists {
         case (k, _) => k != "table" && k != "deletes" }))
       throw new IllegalArgumentException(
-        s"compact: $path is partition-managed — use compactPartitioned")
+        s"$op: $path is partition-managed — use compactPartitioned")
     if (manifest.exists(_.dirs.contains("table"))) {
       ManifestCommit.vacuum(fs, root, keep = 2)
       fs.listStatus(root).foreach { st =>
@@ -598,38 +693,36 @@ object TableMaintenance {
     val dataFiles = entries
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     // A directory-partitioned table (day=… subdirs) has no top-level data
-    // files: compacting it here would funnel everything into ONE
-    // unpartitioned file and silently destroy the pruning layout. Refuse;
-    // compact each partition directory instead.
+    // files: rewriting it here would funnel everything into ONE
+    // unpartitioned layout and silently destroy the pruning layout.
     if (dataFiles.isEmpty && entries.exists(s =>
         s.isDirectory && s.getPath.getName.contains("=")))
       throw new IllegalArgumentException(
-        s"compact: $path is directory-partitioned — use compactPartitioned, " +
+        s"$op: $path is directory-partitioned — use compactPartitioned, " +
           "which rewrites strewn partitions and commits them atomically")
-    val totalBytes = dataFiles.map(_.getLen).sum
-    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    // [[read]] applies any committed deletion vector, so compaction
-    // MATERIALIZES pending deletes: the new generation holds surviving
-    // rows only and the fresh manifest drops the vector entries.
-    val df = read(spark, path)
-    val shaped =
-      if (sortKeys.nonEmpty)
-        df.repartitionByRange(nOut, sortKeys.map(col): _*)
-          .sortWithinPartitions(sortKeys.map(col): _*)
-      else df.repartition(nOut)
+    dataFiles.toSeq
+  }
+
+  /** Write `shaped` as the next immutable generation and flip the
+    * manifest — THE commit: readers resolve to the new generation from
+    * that point on and never observe a partial table. First-migration
+    * plain files are NOT deleted here (a plain reader that listed the
+    * directory before the commit may still be scanning them); the next
+    * rewrite reclaims them after a full interval of grace
+    * ([[preRewrite]]). Returns the committed version.
+    */
+  private def commitRewrite(spark: SparkSession, path: String,
+      shaped: DataFrame, extraEntries: Map[String, String]): Long = {
+    val root = new Path(path)
+    val fs: FileSystem =
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gen = ManifestCommit.newGeneration(
-      manifest.map(_.version).getOrElse(0L) + 1L)
+      ManifestCommit.latest(fs, root).map(_.version).getOrElse(0L) + 1L)
     shaped.write.mode(SaveMode.Overwrite)
       .parquet(new Path(root, gen).toString)
-    // THE commit: one small file appears; readers resolve to the new
-    // generation from this point on and never observe a partial table.
-    ManifestCommit.commit(fs, root, Map("dir.table" -> gen))
+    val v = ManifestCommit.commit(fs, root,
+      extraEntries ++ Map("dir.table" -> gen))
     ManifestCommit.vacuum(fs, root, keep = 2)
-    // First-compaction migration does NOT delete the superseded plain
-    // files here: a plain reader that listed the directory before the
-    // commit may still be scanning them. [[read]] already resolves the
-    // manifest, and the next compact run reclaims the debris after a
-    // full interval of grace (the cleanup at the top of this method).
-    nOut
+    v
   }
 }

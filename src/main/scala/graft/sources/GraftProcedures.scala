@@ -178,11 +178,87 @@ private[sources] object GraftProcedures {
             Seq(new GenericInternalRow(Array[Any](v, files))))
         }
       }
+      case "sort" => new GraftProcedure("sort",
+          Array(param("table", StringType), param("keys", StringType),
+            param("files", IntegerType, "32"))) {
+        override def invoke(input: InternalRow): JIterator[Scan] = {
+          val table = input.getString(0)
+          val p = maintainedRoot(root, table, "sort")
+          val keys = splitKeys(input.getString(1), "sort")
+          val files = input.getInt(2)
+          require(files >= 1, s"sort: files must be >= 1, got $files")
+          val v = TableMaintenance.sortManaged(spark, p.toString, files, keys)
+          result(
+            StructType(Seq(
+              StructField("version", LongType, nullable = false),
+              StructField("files", IntegerType, nullable = false))),
+            Seq(new GenericInternalRow(Array[Any](v, files))))
+        }
+      }
+      case "zorder" => new GraftProcedure("zorder",
+          Array(param("table", StringType), param("keys", StringType),
+            param("files", IntegerType, "32"),
+            param("bits_per_key", IntegerType, "8"))) {
+        override def invoke(input: InternalRow): JIterator[Scan] = {
+          val table = input.getString(0)
+          val p = maintainedRoot(root, table, "zorder")
+          val keys = splitKeys(input.getString(1), "zorder")
+          val files = input.getInt(2)
+          require(files >= 1, s"zorder: files must be >= 1, got $files")
+          val v = TableMaintenance.zorderManaged(
+            spark, p.toString, files, keys, input.getInt(3))
+          result(
+            StructType(Seq(
+              StructField("version", LongType, nullable = false),
+              StructField("files", IntegerType, nullable = false))),
+            Seq(new GenericInternalRow(Array[Any](v, files))))
+        }
+      }
+      case "stats_index" => new GraftProcedure("stats_index",
+          Array(param("table", StringType), param("keys", StringType))) {
+        override def invoke(input: InternalRow): JIterator[Scan] = {
+          val table = input.getString(0)
+          val p = maintainedRoot(root, table, "stats_index")
+          val keys = splitKeys(input.getString(1), "stats_index")
+          val n = TableMaintenance.statsIndexManaged(spark, p.toString, keys)
+          result(
+            StructType(Seq(
+              StructField("files_indexed", IntegerType, nullable = false),
+              StructField("keys", StringType, nullable = false))),
+            Seq(new GenericInternalRow(
+              Array[Any](n, utf8(keys.mkString(","))))))
+        }
+      }
       case other => throw new RuntimeException(
         s"procedure $catalogName.system.$other not found — available: " +
-          "history, rollback, vacuum, compact")
+          "history, rollback, vacuum, compact, sort, zorder, stats_index")
     }
   }
 
-  val All: Array[String] = Array("history", "rollback", "vacuum", "compact")
+  private def splitKeys(raw: String, op: String): Seq[String] = {
+    val keys = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(keys.nonEmpty, s"$op: keys must name at least one column")
+    keys
+  }
+
+  /** [[tableRoot]] plus the merge-sink refusal every layout rewrite
+    * shares: bucket layouts are rewritten whole per merge — sorting or
+    * z-ordering them would destroy bucket routing.
+    */
+  private def maintainedRoot(root: Path, table: String, op: String): Path = {
+    val p = tableRoot(root, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!ManifestCommit.latest(fs, p)
+        .exists(_.dirs.keys.exists(_.forall(_.isDigit))),
+      s"$op: $table is a merge-sink bucketed table — its physical layout " +
+        "IS the bucket routing (keys hash to dirs); a clustering rewrite " +
+        "would break key lookup. Compact into a fresh maintained table " +
+        "to re-cluster (maintenance procedures serve maintained " +
+        "single-table layouts)")
+    p
+  }
+
+  val All: Array[String] = Array(
+    "history", "rollback", "vacuum", "compact", "sort", "zorder",
+    "stats_index")
 }

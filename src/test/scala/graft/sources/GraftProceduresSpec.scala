@@ -141,6 +141,79 @@ class GraftProceduresSpec extends SparkSpec {
       === GraftProcedures.All.toSet)
   }
 
+  test("sort rewrites the managed layout key-ordered and commits a version") {
+    val dir = s"$root/srt"
+    // deliberately unsorted ingest
+    Seq(7L, 3L, 9L, 1L, 5L, 8L, 2L, 6L, 4L).map(k => (k, s"v$k"))
+      .toDF("k", "v").write.parquet(dir)
+    TableMaintenance.compact(spark, dir, targetBytes = 1 << 20)
+    val pre = versions(dir).max
+
+    val row = spark.sql(
+      "CALL graftp.system.sort(table => 'srt', keys => 'k', files => 3)").head
+    assert(row.getLong(0) > pre, "sort must commit a new manifest version")
+    assert(row.getInt(1) === 3)
+
+    val dataDir = TableMaintenance.resolveDataDir(spark, dir)
+    val files = fs.listStatus(new Path(dataDir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(files.length === 3, "sort must write the requested file count")
+    // disjoint ascending key ranges per file — the zone-map layout
+    val ranges = files.map { f =>
+      val ks = spark.read.parquet(f.getPath.toString)
+        .select("k").collect().map(_.getLong(0))
+      (ks.min, ks.max)
+    }.sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, s"files must own disjoint key ranges, got ${ranges.toSeq}")
+    // logical content unchanged; manifest records the layout
+    assert(spark.sql("SELECT count(*) FROM graftp.srt").head.getLong(0) === 9L)
+    assert(ManifestCommit.latest(fs, new Path(dir)).get
+      .entries("layout") === "sorted(k)")
+  }
+
+  test("zorder + stats_index: clustered rewrite, zone map, pruned serve") {
+    val dir = s"$root/zo"
+    (1L to 256L).map(k => (k, k % 16, s"v$k")).toDF("k", "g", "v")
+      .write.parquet(dir)
+    TableMaintenance.compact(spark, dir, targetBytes = 1 << 20)
+
+    val zrow = spark.sql(
+      "CALL graftp.system.zorder(table => 'zo', keys => 'k,g', files => 4)").head
+    assert(zrow.getInt(1) === 4)
+    assert(ManifestCommit.latest(fs, new Path(dir)).get
+      .entries("layout") === "zorder(k,g)")
+    assert(spark.sql("SELECT count(*) FROM graftp.zo").head.getLong(0) === 256L)
+
+    val srow = spark.sql(
+      "CALL graftp.system.stats_index(table => 'zo', keys => 'k,g')").head
+    assert(srow.getInt(0) === 4, "stats_index must report the files indexed")
+    assert(srow.getString(1) === "k,g")
+
+    // the indexed layout serves range reads ≡ full scan, opening fewer
+    // files (the readSkippingManaged path the procedure prepares)
+    val skipped = TableMaintenance.readSkippingManaged(spark, dir,
+      Seq(TableMaintenance.KeyRange("k", 1.0, 32.0)))
+    val expect = spark.sql("SELECT * FROM graftp.zo WHERE k BETWEEN 1 AND 32")
+    assert(skipped.collect().map(_.getLong(0)).sorted.toSeq
+      === expect.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(skipped.inputFiles.length < 4,
+      "a selective key range must prune at least one z-ordered file")
+
+    // layout rewrites refuse merge-sink bucketed tables, like compact
+    val e = intercept[Exception] {
+      spark.sql("CALL graftp.system.sort(table => 'rb', keys => 'k')").collect()
+    }
+    assert(e.getMessage.contains("merge-sink"))
+    // and refuse an empty key list loudly
+    val e2 = intercept[Exception] {
+      spark.sql("CALL graftp.system.zorder(table => 'zo', keys => ' ')").collect()
+    }
+    assert(e2.getMessage.contains("at least one column"))
+  }
+
   test("defaults and positional arguments bind") {
     val dir = s"$root/d"
     (1L to 8L).map(k => (k, k * 2)).toDF("k", "x").write.parquet(dir)
