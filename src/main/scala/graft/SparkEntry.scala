@@ -189,7 +189,11 @@ object SparkEntry {
     // as the batch ev_sessionize
     "stream_session_stats" -> (graft.streaming.EventStream.sessionStatsStreamed _),
     // engine keyed-state dedup: at-least-once replay → exactly-once facts
-    "stream_dedup_daily" -> (graft.streaming.EventStream.streamDedupDaily _)
+    "stream_dedup_daily" -> (graft.streaming.EventStream.streamDedupDaily _),
+    // analytics over the ROUTED chain tables (deterministic fixture →
+    // real Routers lineage → per-topic / per-actor reports)
+    "chain_topic_scores" -> (graft.indexer.ChainAnalytics.topicScores _),
+    "chain_actor_rewards" -> (graft.indexer.ChainAnalytics.actorRewards _)
   )
 
   /** Session-conf pins Verify applies around a query's oracle dump (and
@@ -338,7 +342,9 @@ object SparkEntry {
     "stream_daily_stats" -> graft.streaming.EventStream.dailyStatsStreamedOracle,
     "stream_purchase_context" -> Events.purchaseContextOracle,
     "stream_session_stats" -> Events.sessionizeOracle,
-    "stream_dedup_daily" -> graft.streaming.EventStream.streamDedupDailyOracle
+    "stream_dedup_daily" -> graft.streaming.EventStream.streamDedupDailyOracle,
+    "chain_topic_scores" -> graft.indexer.ChainAnalytics.topicScoresOracle,
+    "chain_actor_rewards" -> graft.indexer.ChainAnalytics.actorRewardsOracle
     // dd_minhash_lsh / dd_simhash / sim_lsh_topk: hash families are not
     // SQL-portable — rows-only check; pinned against exact baselines in
     // DedupSpec / SimilaritySpec instead.
