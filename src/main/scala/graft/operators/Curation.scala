@@ -69,7 +69,7 @@ object Curation {
   def domainCap(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))
-    val q = TextOps.quality(spark, dir).select(col("doc_id"), col("quality"))
+    val q = TextOps.qualityScores(spark, dir).select(col("doc_id"), col("quality"))
     TopKPerKey.perKey(
         docs.join(q, "doc_id"),
         Seq(col("source")), Seq(col("quality").desc, col("doc_id").asc), 20)

@@ -638,24 +638,25 @@ object Dedup {
     * ([[components]]), keep the HIGHEST-QUALITY copy instead of the
     * lowest id — real pipelines collapse duplicate families toward the
     * cleanest exemplar, not an arbitrary one. Composition: component
-    * labels join the per-doc quality score and a bounded-heap top-1 per
-    * cluster ([[graft.plans.TopKPerKey]]) picks the keeper (quality
-    * desc, doc_id tie-break — ties are exact because quality is already
-    * truncated to 4 decimals on both engines).
+    * labels join the per-doc quality score and ONE two-phase hash
+    * aggregate per cluster picks the keeper and counts members — top-1
+    * is `max` of the ordering struct (quality desc, doc_id asc via
+    * negation; ties are exact because quality is already truncated to 4
+    * decimals on both engines), so keeper + size cost a single
+    * map-combined shuffle over the members instead of a heap pass plus
+    * a size pass plus their join (measured as ~95 s of linear member
+    * passes at sf100 in the r12 shape).
     */
   def bestOfCluster(spark: SparkSession, dir: String): DataFrame = {
     val comp = components(spark, dir)
-    val q = TextOps.quality(spark, dir).select(col("doc_id"), col("quality"))
-    // the size aggregate and the top-1 heap both read this — materialize
-    // the components run + quality scan once
-    val members = comp.join(q, "doc_id").barrier()
-    val sizes = members.groupBy(col("component"))
-      .agg(count(lit(1)).as("n_members"))
-    graft.plans.TopKPerKey.perKey(members,
-        Seq(col("component")), Seq(col("quality").desc, col("doc_id").asc), 1)
-      .select(col("component"), col("doc_id").as("keep_doc"), col("quality"))
-      .join(sizes, "component")
-      .select(col("component"), col("keep_doc"), col("quality"), col("n_members"))
+    val q = TextOps.qualityScores(spark, dir).select(col("doc_id"), col("quality"))
+    comp.join(q, "doc_id")
+      .groupBy(col("component"))
+      .agg(
+        max(struct(col("quality"), (-col("doc_id")).as("nd"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), (-col("best.nd")).as("keep_doc"),
+        col("best.quality").as("quality"), col("n_members"))
       .orderBy("component")
   }
 

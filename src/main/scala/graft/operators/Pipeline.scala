@@ -21,7 +21,7 @@ object Pipeline {
   val qualityThreshold = 0.55
 
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val quality = TextOps.quality(spark, dir).select(col("doc_id"), col("quality"))
+    val quality = TextOps.qualityScores(spark, dir).select(col("doc_id"), col("quality"))
     val exactKept = Dedup.exact(spark, dir) // doc_id, lang, source
     val nearDupLosers = Dedup.minhashLsh(spark, dir)
       .select(col("doc_b").as("doc_id"))

@@ -147,7 +147,7 @@ object Sampling {
     val rate = 0.9
     // first 8 md5 hex chars as a fraction of 16^8 — uniform in [0, 1)
     val u = conv(draw("wsamp"), 16, 10).cast("double") / lit(4294967296.0)
-    TextOps.quality(spark, dir).select(col("doc_id"), col("quality"))
+    TextOps.qualityScores(spark, dir).select(col("doc_id"), col("quality"))
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
       .filter(u < lit(rate) * col("quality"))
       .select(col("doc_id"), col("lang"), col("quality"))

@@ -46,7 +46,15 @@ object TextOps {
     * one bounded score. All ratios come from exact integer counts, so the
     * doubles are bit-identical across engines.
     */
-  def quality(spark: SparkSession, dir: String): DataFrame = {
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    qualityScores(spark, dir).orderBy("doc_id")
+
+  /** [[quality]] WITHOUT the gate-presentation sort — what composing
+    * operators (best-of-cluster, curation, sampling, pipeline) join
+    * against: a global 100 TB sort for an order the downstream join or
+    * heap immediately destroys is pure waste.
+    */
+  private[graft] def qualityScores(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val ws = words(col("text"))
     val base = d.select(
@@ -56,16 +64,15 @@ object TextOps {
       size(filter(ws, w => w.isin("the", "a"))).cast("double").as("n_stop"),
       length(regexp_replace(col("text"), "\\s", "")).cast("double").as("n_nonspace"))
     base.select(
-        col("doc_id"),
-        col("n_words").cast("long").as("n_words"),
-        trunc4(col("n_stop") / col("n_words")).as("stop_ratio"),
-        trunc4(col("n_uniq") / col("n_words")).as("uniq_ratio"),
-        trunc4(col("n_nonspace") / col("n_words")).as("avg_word_len"),
-        trunc4(
-          lit(0.4) * (col("n_uniq") / col("n_words")) +
-          lit(0.3) * (lit(1.0) - col("n_stop") / col("n_words")) +
-          lit(0.3) * least(lit(1.0), col("n_words") / lit(100.0))).as("quality"))
-      .orderBy("doc_id")
+      col("doc_id"),
+      col("n_words").cast("long").as("n_words"),
+      trunc4(col("n_stop") / col("n_words")).as("stop_ratio"),
+      trunc4(col("n_uniq") / col("n_words")).as("uniq_ratio"),
+      trunc4(col("n_nonspace") / col("n_words")).as("avg_word_len"),
+      trunc4(
+        lit(0.4) * (col("n_uniq") / col("n_words")) +
+        lit(0.3) * (lit(1.0) - col("n_stop") / col("n_words")) +
+        lit(0.3) * least(lit(1.0), col("n_words") / lit(100.0))).as("quality"))
   }
 
   val qualityOracle: String =
