@@ -139,6 +139,16 @@ object IvfPqIndex {
     s"bytes=$bytes;mtime=$mtime"
   }
 
+  /** Collision-proof cache-dir key for a source path: hex MD5 of the
+    * path string. `String.hashCode` (the previous key) is 32-bit — two
+    * dataset dirs colliding would alternate fingerprint mismatches and
+    * rebuild their shared layout on every query (correct but thrashing).
+    */
+  def pathKey(path: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+
   /** Where a corpus directory's serving indexes live. Defaults to a
     * per-user temp root (the sandbox cannot write next to the read-only
     * testdata); a deployment sets `spark.graft.index.dir` to a path beside

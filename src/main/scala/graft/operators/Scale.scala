@@ -116,7 +116,7 @@ object Scale {
     val files = 32
     val fp = s"fmt=1;src=$dir;$snap;files=$files;key=o_orderkey"
     val layout = graft.functions.IvfPqIndex.indexRoot(spark) +
-      s"/skip_orders_${Integer.toHexString(dir.hashCode)}"
+      s"/skip_orders_${graft.functions.IvfPqIndex.pathKey(dir)}"
     val lock = skipLayoutLocks.computeIfAbsent(layout, _ => new Object)
     lock.synchronized {
       val fpPath = new Path(layout, "_graft_fp")

@@ -192,7 +192,7 @@ private[sources] object GraftProcedures {
             StructType(Seq(
               StructField("version", LongType, nullable = false),
               StructField("files", IntegerType, nullable = false))),
-            Seq(new GenericInternalRow(Array[Any](v, files))))
+            Seq(new GenericInternalRow(Array[Any](v, committedFileCount(p)))))
         }
       }
       case "zorder" => new GraftProcedure("zorder",
@@ -211,7 +211,7 @@ private[sources] object GraftProcedures {
             StructType(Seq(
               StructField("version", LongType, nullable = false),
               StructField("files", IntegerType, nullable = false))),
-            Seq(new GenericInternalRow(Array[Any](v, files))))
+            Seq(new GenericInternalRow(Array[Any](v, committedFileCount(p)))))
         }
       }
       case "stats_index" => new GraftProcedure("stats_index",
@@ -233,6 +233,20 @@ private[sources] object GraftProcedures {
         s"procedure $catalogName.system.$other not found — available: " +
           "history, rollback, vacuum, compact, sort, zorder, stats_index")
     }
+  }
+
+  /** Parquet files in the table's CURRENT (just-committed) generation.
+    * sort/zorder report this rather than echoing the requested `files`
+    * argument: `repartitionByRange` writes FEWER files when the key
+    * cardinality is below the requested count, and a maintenance report
+    * must state what landed, not what was asked for.
+    */
+  private def committedFileCount(p: Path): Int = {
+    val dataDir = new Path(
+      graft.sinks.TableMaintenance.resolveDataDir(spark, p.toString))
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dataDir)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
   }
 
   private def splitKeys(raw: String, op: String): Seq[String] = {

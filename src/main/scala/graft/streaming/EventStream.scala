@@ -73,6 +73,30 @@ object EventStream {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` capped at `width`,
+    * restored afterwards. Every stateful streaming operator spins one
+    * state store PER shuffle partition PER micro-batch, and under the
+    * multi-batch gate replay (9 batches by default) store setup/commit
+    * lifecycles dominate: at 32 partitions a single keyed-state query
+    * pays 288 store commit cycles for state that fits in a handful.
+    * Width=8 was measured for stream_purchase_context at sf10 in round 9
+    * (StreamStateAudit, interleaved min-of-3: 8 partitions min 15.7 s vs
+    * 32 partitions min 20.0 s even with 4M state rows) and purchase
+    * context got FASTER at sf100 while gaining eviction under it. An
+    * unbounded deployment sizes the width to its key cardinality instead;
+    * the cap never widens a session that is already narrower.
+    */
+  private def withStoreCap[T](spark: org.apache.spark.sql.SparkSession,
+      width: Int)(body: => T): T = {
+    val conf = spark.conf
+    val key = "spark.sql.shuffle.partitions"
+    val prev = conf.getOption(key)
+    conf.set(key,
+      math.min(width, conf.get(key, width.toString).toInt).toString)
+    try body
+    finally prev.fold(conf.unset(key))(conf.set(key, _))
+  }
+
   /** Streaming read of the `events` table with a layout-adaptive `ts`:
     * driver-generated data stores parquet TIMESTAMP(NANOS) (declared
     * LongType under the legacy nanos conf, rebuilt at micros), while a
@@ -166,7 +190,7 @@ object EventStream {
     val snap = graft.functions.IvfPqIndex.snapshotId(spark, src)
     val fp = s"fmt=1;src=$dir;$snap;splits=$splits"
     val layout = graft.functions.IvfPqIndex.indexRoot(spark) +
-      s"/stream_split_${Integer.toHexString(dir.hashCode)}"
+      s"/stream_split_${graft.functions.IvfPqIndex.pathKey(dir)}"
     val lock = splitLayoutLocks.computeIfAbsent(layout, _ => new Object)
     lock.synchronized {
       val fpPath = new Path(layout, "_graft_fp")
@@ -489,7 +513,14 @@ object EventStream {
     val prevProv = conf.getOption(provKey)
     conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    // The raw events table is parquet TIMESTAMP(NANOS): the footer probe
+    // behind resolveReplay (and the single-batch `streamReplaySplits<=1`
+    // replay itself) needs the legacy nanos conf set on THIS session —
+    // without it a fresh session throws Illegal Parquet type before the
+    // split-layout side effect of Tables.events can mask it.
+    val prevNanos = conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try withStoreCap(spark, 8) {
       // The update stream emits one refreshed (ema, n) row per user per
       // micro-batch it appears in — O(users × batches). That frame STAGES
       // to parquet via foreachBatch (executor-side write), never a memory
@@ -520,6 +551,8 @@ object EventStream {
       } finally deleteStaged(spark, staged)
     } finally {
       prevProv.fold(conf.unset(provKey))(conf.set(provKey, _))
+      prevNanos.fold(conf.unset("spark.sql.legacy.parquet.nanosAsLong"))(
+        conf.set("spark.sql.legacy.parquet.nanosAsLong", _))
     }
   }
 
@@ -600,11 +633,14 @@ object EventStream {
     * order, but the surviving KEY SET does not — so the query aggregates
     * the deduped stream (count of keys, distinct users per day) and THAT
     * is hash-checked against the batch count-distinct oracle. The gate
-    * replay is one AvailableNow micro-batch (a single parquet file under
-    * the admission glob), so no watermark eviction can race the replay;
-    * the unbounded multi-batch semantics (duplicate inside the horizon
-    * dropped, beyond it re-admitted — the documented within-watermark
-    * contract) is pinned in EventStreamSpec.
+    * replay defaults to the time-split multi-batch layout (one file per
+    * trigger), so the watermark advances between batches and dedup-state
+    * eviction runs inside the gate; a key recurring beyond the 1h horizon
+    * re-admits (the documented within-watermark contract), which cannot
+    * change the answer because the bounded final aggregate below is
+    * EXACT-distinct over the horizon-deduped staged rows. The
+    * within-watermark drop/re-admit semantics is additionally pinned
+    * multi-batch in EventStreamSpec.
     */
   def streamDedupDaily(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
@@ -616,7 +652,7 @@ object EventStream {
     // date_format buckets in the session timezone; the oracle's strftime
     // buckets raw UTC — agree only under UTC
     conf.set("spark.sql.session.timeZone", "UTC")
-    try {
+    try withStoreCap(spark, 8) {
       // The deduped stream is O(corpus) (one row per distinct key) — it
       // STAGES to parquet via foreachBatch (executor-side write), never a
       // memory sink: the memory sink collects every task result onto the
@@ -789,27 +825,17 @@ object EventStream {
     val conf = spark.conf
     val prevNanos = conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // A stream-stream join spins FOUR state stores per shuffle partition;
-    // at 32 partitions that is 128 store lifecycles for a bounded replay
-    // whose state fits in a handful. Cap the width for this query (the
-    // dominant cost is store setup, not data) and restore after. An
-    // unbounded deployment sizes this to its key cardinality instead.
-    // Width=8 was re-verified at sf10 in round 9 (StreamStateAudit,
-    // interleaved min-of-3): 8 partitions min 15.7 s vs 32 partitions
-    // min 20.0 s — store lifecycles beat commit parallelism even with
-    // 4M state rows, so the small fixed cap stands at every gate SF.
-    val shufKey = "spark.sql.shuffle.partitions"
-    val prevShuf = conf.getOption(shufKey)
-    conf.set(shufKey, math.min(8, conf.get(shufKey, "8").toInt).toString)
-    // ONE layout resolve/build for all three branches; the default spec
-    // is the time-split multi-batch layout, so the watermark advances
-    // between batches and join-state eviction actually runs — state is
-    // bounded by the 1h horizon's arrival rate, not the corpus (the
-    // single-batch replay held all 4M purchase+view rows as state at
-    // sf10; r9 measured ~250k steady-state rows under this admission)
-    val spec = resolveReplay(spark, dir)
-    def src = replayStream(spark, spec)
-    try {
+    // A stream-stream join spins FOUR state stores per shuffle partition
+    // — see [[withStoreCap]] for why the width is capped at 8 here.
+    try withStoreCap(spark, 8) {
+      // ONE layout resolve/build for all three branches; the default spec
+      // is the time-split multi-batch layout, so the watermark advances
+      // between batches and join-state eviction actually runs — state is
+      // bounded by the 1h horizon's arrival rate, not the corpus (the
+      // single-batch replay held all 4M purchase+view rows as state at
+      // sf10; r9 measured ~250k steady-state rows under this admission)
+      val spec = resolveReplay(spark, dir)
+      def src = replayStream(spark, spec)
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
         .withWatermark("pts", "0 seconds")
@@ -845,7 +871,6 @@ object EventStream {
     } finally {
       prevNanos.fold(conf.unset("spark.sql.legacy.parquet.nanosAsLong"))(
         conf.set("spark.sql.legacy.parquet.nanosAsLong", _))
-      prevShuf.fold(conf.unset(shufKey))(conf.set(shufKey, _))
     }
   }
 

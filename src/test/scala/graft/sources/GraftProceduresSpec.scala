@@ -174,6 +174,23 @@ class GraftProceduresSpec extends SparkSpec {
       .entries("layout") === "sorted(k)")
   }
 
+  test("sort reports the COMMITTED file count when cardinality caps the split") {
+    val dir = s"$root/srt_few"
+    // 2 distinct keys: repartitionByRange(8, k) can produce at most 2
+    // non-empty range partitions, so fewer than the requested files land
+    Seq((1L, "a"), (2L, "b"), (1L, "c"), (2L, "d"))
+      .toDF("k", "v").write.parquet(dir)
+    TableMaintenance.compact(spark, dir, targetBytes = 1 << 20)
+    val row = spark.sql(
+      "CALL graftp.system.sort(table => 'srt_few', keys => 'k', files => 8)").head
+    val dataDir = TableMaintenance.resolveDataDir(spark, dir)
+    val onDisk = fs.listStatus(new Path(dataDir))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(row.getInt(1) === onDisk,
+      s"procedure must report what landed ($onDisk files), not the request (8)")
+    assert(onDisk < 8, "fixture must actually exercise the under-split case")
+  }
+
   test("zorder + stats_index: clustered rewrite, zone map, pruned serve") {
     val dir = s"$root/zo"
     (1L to 256L).map(k => (k, k % 16, s"v$k")).toDF("k", "g", "v")

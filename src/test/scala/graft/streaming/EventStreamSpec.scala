@@ -433,4 +433,28 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.conf.getOption("spark.sql.session.timeZone") === tzBefore,
       "session timezone must be restored after the bounded replay")
   }
+
+  test("split replay layout builds once, serves twice, rebuilds on source change") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // a private copy of the events table: mutating the shared sfDir
+    // snapshot would invalidate every other suite's cached layouts
+    val dir = Files.createTempDirectory("graft-split-layout").toString
+    Files.copy(Paths.get(sfDir, "events.parquet"),
+      Paths.get(dir, "events.parquet"), StandardCopyOption.COPY_ATTRIBUTES)
+    val before = EventStream.splitLayoutBuilds.get()
+    val first = EventStream.streamDedupDaily(spark, dir).collect()
+    assert(EventStream.splitLayoutBuilds.get() === before + 1,
+      "first streamed query must build the split layout")
+    val second = EventStream.streamDedupDaily(spark, dir).collect()
+    assert(EventStream.splitLayoutBuilds.get() === before + 1,
+      "second streamed query must serve the fingerprinted layout, not rebuild")
+    assert(second.toSeq === first.toSeq)
+    // an in-place rewrite of the source (new mtime => new snapshotId)
+    // must trigger exactly one rebuild on the next query
+    val src = Paths.get(dir, "events.parquet").toFile
+    assert(src.setLastModified(src.lastModified() + 60000L))
+    EventStream.streamDedupDaily(spark, dir).collect()
+    assert(EventStream.splitLayoutBuilds.get() === before + 2,
+      "source snapshot change must rebuild the layout exactly once")
+  }
 }
