@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   *
   * Each stage is the scalable variant: the quality gate is a codegen'd
   * projection + filter, exact dedup shuffles on a digest, and near-dup
-  * candidates come from the banded LSH join rather than any pairwise scan.
-  * Near-dup pairs keep their lowest doc_id (canonical survives, the rest
-  * drop via a left-anti join).
+  * pairs come from [[Dedup.ngramJaccard]]'s ADAPTIVE candidate seam
+  * (PPJoin prefix pruning below the corpus threshold, capped banded LSH
+  * above it — the operator's own scale switch, strategy-logged) with
+  * exact Jaccard verification, rather than any pairwise scan. Near-dup
+  * pairs keep their lowest doc_id (canonical survives, the rest drop via
+  * a left-anti join).
   */
 object Pipeline {
 
@@ -23,7 +26,12 @@ object Pipeline {
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
     val quality = TextOps.qualityScores(spark, dir).select(col("doc_id"), col("quality"))
     val exactKept = Dedup.exact(spark, dir) // doc_id, lang, source
-    val nearDupLosers = Dedup.minhashLsh(spark, dir)
+    // The adaptive entry, not raw minhashLsh: at the replica's designed
+    // duplicate density the un-verified banded join alone went
+    // super-linear (13.7× sf10→sf100) while ngramJaccard's seam — prefix
+    // pruning / capped banding + exact verification — stays linear; the
+    // pipeline should ride the operator's own scale switch.
+    val nearDupLosers = Dedup.ngramJaccard(spark, dir)
       .select(col("doc_b").as("doc_id"))
       .distinct()
     exactKept

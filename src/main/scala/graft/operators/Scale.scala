@@ -92,15 +92,6 @@ object Scale {
   private[graft] val skipLayoutBuilds =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** One monitor per layout path: the check-fingerprint → rebuild →
-    * publish sequence must be mutually exclusive within the JVM, or two
-    * concurrent queries sharing `spark.graft.index.dir` could delete the
-    * layout out from under each other's in-flight reads (the IvfIndex
-    * cache discipline applied to the on-disk layout).
-    */
-  private val skipLayoutLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
   /** The skipping layout + zone map for `orders`, built once per data
     * snapshot (offline index build, online serve — the [[graft.functions
     * .IvfPqIndex]] discipline applied to the file-level stats index): a
@@ -110,54 +101,22 @@ object Scale {
     * rewrite of orders.parquet rebuilds instead of serving stale files.
     */
   private def ordersSkipLayout(spark: SparkSession, dir: String): String = {
-    import org.apache.hadoop.fs.Path
     val src = s"$dir/orders.parquet"
     val snap = graft.functions.IvfPqIndex.snapshotId(spark, src)
     val files = 32
     val fp = s"fmt=1;src=$dir;$snap;files=$files;key=o_orderkey"
     val layout = graft.functions.IvfPqIndex.indexRoot(spark) +
       s"/skip_orders_${graft.functions.IvfPqIndex.pathKey(dir)}"
-    val lock = skipLayoutLocks.computeIfAbsent(layout, _ => new Object)
-    lock.synchronized {
-      val fpPath = new Path(layout, "_graft_fp")
-      val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val ok = fs.exists(fpPath) && {
-        val in = fs.open(fpPath)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8) == fp
-        finally in.close()
-      }
-      if (!ok) {
-        skipLayoutBuilds.incrementAndGet()
-        // build OFF to the side, publish by rename: a reader (another
-        // JVM, or a thread that resolved the layout just before this
-        // rebuild) never observes a half-built dir — only the complete
-        // old layout or the complete new one. The fingerprint lands
-        // inside the staging dir BEFORE the flip, so a crash anywhere
-        // leaves either the old committed layout or an orphan _build
-        // dir (reclaimed on the next rebuild) — never a fingerprint
-        // that vouches for missing files.
-        val staging = new Path(layout + s"_build_${java.util.UUID.randomUUID()}")
+    val built = graft.functions.LayoutCache.serve(spark, layout, fp) {
+      staging =>
         graft.sinks.TableMaintenance.writeSorted(
           graft.Tables.orders(spark, dir), staging.toString, files,
           Seq("o_orderkey"))
         graft.sinks.TableMaintenance.writeStatsIndex(
           spark, staging.toString, Seq("o_orderkey"))
-        val out = fs.create(new Path(staging, "_graft_fp"), true)
-        try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        fs.delete(new Path(layout), true)
-        require(fs.rename(staging, new Path(layout)),
-          s"publishing skip layout $staging -> $layout failed")
-        // reclaim orphaned staging dirs from crashed prior builds
-        val parent = new Path(layout).getParent
-        val prefix = new Path(layout).getName + "_build_"
-        fs.listStatus(parent).map(_.getPath)
-          .filter(p => p.getName.startsWith(prefix) && p != staging)
-          .foreach(p => fs.delete(p, true))
-      }
-      layout
     }
+    if (built) skipLayoutBuilds.incrementAndGet()
+    layout
   }
 
   /** Key-range order stats served through DRIVER-SIDE FILE PRUNING — the

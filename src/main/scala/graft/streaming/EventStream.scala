@@ -138,13 +138,6 @@ object EventStream {
       .schema("ts").dataType == LongType
   }
 
-  /** One monitor per split-layout path (the [[graft.operators.Scale]]
-    * skip-layout discipline): fingerprint-check → rebuild → publish must
-    * be mutually exclusive within the JVM.
-    */
-  private val splitLayoutLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
   /** How many split-layout builds ran in this JVM (spec hook: serving
     * twice must build once).
     */
@@ -191,19 +184,9 @@ object EventStream {
     val fp = s"fmt=1;src=$dir;$snap;splits=$splits"
     val layout = graft.functions.IvfPqIndex.indexRoot(spark) +
       s"/stream_split_${graft.functions.IvfPqIndex.pathKey(dir)}"
-    val lock = splitLayoutLocks.computeIfAbsent(layout, _ => new Object)
-    lock.synchronized {
-      val fpPath = new Path(layout, "_graft_fp")
-      val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val ok = fs.exists(fpPath) && {
-        val in = fs.open(fpPath)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8) == fp
-        finally in.close()
-      }
-      if (!ok) {
-        splitLayoutBuilds.incrementAndGet()
-        val staging = new Path(layout + s"_build_${java.util.UUID.randomUUID()}")
+    val built = graft.functions.LayoutCache.serve(spark, layout, fp) {
+      staging =>
+        val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val conf = spark.conf
         val outKey = "spark.sql.parquet.outputTimestampType"
         val prevOut = conf.getOption(outKey)
@@ -228,21 +211,9 @@ object EventStream {
           require(fs.rename(p.getPath, target), s"rename ${p.getPath} failed")
           fs.setTimes(target, base + 2000L * i, -1)
         }
-        fs.delete(new Path(staging, "_SUCCESS"), false)
-        val out = fs.create(new Path(staging, "_graft_fp"), true)
-        try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        fs.delete(new Path(layout), true)
-        require(fs.rename(staging, new Path(layout)),
-          s"publishing split layout $staging -> $layout failed")
-        val parent = new Path(layout).getParent
-        val prefix = new Path(layout).getName + "_build_"
-        fs.listStatus(parent).map(_.getPath)
-          .filter(p => p.getName.startsWith(prefix) && p != staging)
-          .foreach(p => fs.delete(p, true))
-      }
-      layout
     }
+    if (built) splitLayoutBuilds.incrementAndGet()
+    layout
   }
 
   /** Where and how a bounded gate replay reads the events table. */

@@ -18,6 +18,13 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // hermetic per-JVM index root: the default /tmp root persists
+      // committed layouts (skip/split/components caches) across test
+      // JVMs, which would make build-vs-serve behavior — and the
+      // StrategyLog lines some specs assert on — depend on what a
+      // PREVIOUS test run left behind
+      .config("spark.graft.index.dir",
+        java.nio.file.Files.createTempDirectory("graft-test-idx").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -14,7 +14,10 @@ class PipelineSpec extends SparkSpec {
 
   test("no near-duplicate pair fully survives the pipeline") {
     val kept = cleaned.map(_.getAs[Long]("doc_id")).toSet
-    Dedup.minhashLsh(spark, sfDir).collect().foreach { r =>
+    // ground truth = the exact-verified pair list (at this SF ngramJaccard
+    // runs its complete-recall PPJoin side, so every true-Jaccard >= t
+    // pair must be broken by the pipeline)
+    Dedup.ngramJaccard(spark, sfDir).collect().foreach { r =>
       val a = r.getAs[Long]("doc_a"); val b = r.getAs[Long]("doc_b")
       assert(!(kept.contains(a) && kept.contains(b)), s"pair ($a,$b) both kept")
     }
