@@ -82,9 +82,11 @@ object Ingest {
     * decodes to a DETERMINISTIC envelope carrying the payload's length
     * and crc32 under a clearly-fake message type, so the full
     * block→tx→message lineage is exercisable end-to-end; corrupt
-    * entries yield None (null-routed, never a failed task). Production
-    * replaces this class with a protobuf decoder behind the same
-    * two-line contract.
+    * entries yield None (null-routed, never a failed task). The REAL
+    * in-JVM codec behind the same two-line contract is
+    * [[graft.indexer.ProtoTxDecoder]] (wire-format TxRaw/TxBody/Any
+    * walk + schema registry); this stub stays as the dependency-free
+    * envelope for harness tests that only need lineage shape.
     */
   class StubBase64Decoder extends TxDecoder {
     override def decode(raw: String): Option[String] = {

@@ -39,6 +39,17 @@ import graft.sinks.{ManifestCommit, TableMaintenance}
   *    and aggregate pushdown). Refuses merge-sink bucketed tables loudly:
   *    their buckets are rewritten whole on every merge, so there is
   *    nothing to compact that a merge has not already compacted.
+  *  - `export(dest, table)` / `restore(src, table, overwrite)` — the
+  *    whole-catalog dump lifecycle (the reference's MODE=dump →
+  *    s3-restore loop, process_s3.go:31-149, main.go:126, re-expressed
+  *    as filesystem archive procedures): `export` copies each managed
+  *    table's manifest chain + live generations into an immutable
+  *    archive whose completeness manifest is written LAST; `restore`
+  *    refuses anything without that manifest, copies tables back under
+  *    the target catalog root via staging+rename, and the restored
+  *    chain serves `VERSION AS OF` history unchanged. Copies run
+  *    driver-side (FileUtil) — at object-store scale a deployment swaps
+  *    the copy for distcp/S3 batch while keeping the manifest protocol.
   *
   * Procedures live under the `system` namespace only — a procedure name
   * can therefore never collide with a table name at the catalog root.
@@ -229,11 +240,159 @@ private[sources] object GraftProcedures {
               Array[Any](n, utf8(keys.mkString(","))))))
         }
       }
+      case "export" => new GraftProcedure("export",
+          Array(param("dest", StringType),
+            param("table", StringType, "'all'"))) {
+        override def invoke(input: InternalRow): JIterator[Scan] = {
+          val dest = new Path(input.getString(0))
+          val tableArg = input.getString(1)
+          val names =
+            if (tableArg == "all") managedTables(fs, root)
+            else { tableRoot(root, tableArg); Seq(tableArg) }
+          require(names.nonEmpty, s"export: no managed tables under $root")
+          val dfs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          require(!dfs.exists(dest),
+            s"export: destination $dest already exists — archives are " +
+              "immutable; export to a fresh path")
+          // build off to the side, publish by rename: a crashed export
+          // leaves an orphan _build dir, never a half archive that a
+          // restore could mistake for complete (the LayoutCache protocol,
+          // without the fingerprint — an archive is write-once)
+          val staging = new Path(
+            dest.toString + s"_build_${java.util.UUID.randomUUID()}")
+          dfs.mkdirs(staging)
+          val rows = names.sorted.map { name =>
+            val tRoot = new Path(root, name)
+            val manifests = ManifestCommit.committed(fs, tRoot)
+            require(manifests.nonEmpty, s"export: $name has no versions")
+            val live = manifests.flatMap(_.liveGenerations).toSet
+            val tDest = new Path(staging, name)
+            dfs.mkdirs(tDest)
+            var files = 0L; var bytes = 0L
+            (Seq(ManifestCommit.CommitDir) ++ live.toSeq.sorted).foreach {
+              sub =>
+                val srcSub = new Path(tRoot, sub)
+                require(org.apache.hadoop.fs.FileUtil.copy(fs, srcSub,
+                    dfs, new Path(tDest, sub), false, false,
+                    spark.sparkContext.hadoopConfiguration),
+                  s"export: copying $srcSub failed")
+                val it = fs.listFiles(srcSub, true)
+                while (it.hasNext) {
+                  val st = it.next(); files += 1; bytes += st.getLen
+                }
+            }
+            (name, manifests.last.version, files, bytes)
+          }
+          // the archive manifest commits LAST: its presence certifies
+          // every table dir above it is complete
+          val out = dfs.create(new Path(staging, ArchiveManifest), true)
+          try out.write(
+            (s"fmt=1\n" + rows.map { case (n, v, _, _) => s"table.$n=$v" }
+              .mkString("\n") + "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          require(dfs.rename(staging, dest),
+            s"export: publishing $staging -> $dest failed")
+          result(exportSchema, rows.map { case (n, v, f, b) =>
+            new GenericInternalRow(Array[Any](utf8(n), v, f, b))
+          })
+        }
+      }
+      case "restore" | "import" => new GraftProcedure("restore",
+          Array(param("src", StringType),
+            param("table", StringType, "'all'"),
+            param("overwrite", BooleanType, "false"))) {
+        override def invoke(input: InternalRow): JIterator[Scan] = {
+          val src = new Path(input.getString(0))
+          val tableArg = input.getString(1)
+          val overwrite = input.getBoolean(2)
+          val sfs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val mPath = new Path(src, ArchiveManifest)
+          require(sfs.exists(mPath),
+            s"restore: $src is not a graft export archive (no " +
+              s"$ArchiveManifest — a crashed export never publishes one)")
+          val in = sfs.open(mPath)
+          val archived = try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            .linesIterator.filter(_.startsWith("table."))
+            .map { l =>
+              val i = l.indexOf('=')
+              l.substring(6, i) -> l.substring(i + 1).toLong
+            }.toMap
+          finally in.close()
+          val names =
+            if (tableArg == "all") archived.keys.toSeq.sorted
+            else {
+              require(archived.contains(tableArg),
+                s"restore: archive has no table $tableArg " +
+                  s"(has: ${archived.keys.toSeq.sorted.mkString(", ")})")
+              Seq(tableArg)
+            }
+          val rows = names.map { name =>
+            val target = new Path(root, name)
+            if (fs.exists(target)) {
+              require(overwrite,
+                s"restore: $name already exists under $root — pass " +
+                  "overwrite => true to replace it (its current state is " +
+                  "discarded)")
+              require(fs.delete(target, true), s"restore: clearing $name failed")
+            }
+            // copy into a staging sibling, rename-flip into place: a
+            // reader never sees a manifest chain whose generations are
+            // still copying
+            val staging = new Path(root,
+              s"${name}_restore_${java.util.UUID.randomUUID()}")
+            require(org.apache.hadoop.fs.FileUtil.copy(sfs,
+                new Path(src, name), fs, staging, false, false,
+                spark.sparkContext.hadoopConfiguration),
+              s"restore: copying $name failed")
+            require(fs.rename(staging, target),
+              s"restore: publishing $staging -> $target failed")
+            val v = ManifestCommit.latest(fs, target).map(_.version)
+              .getOrElse(0L)
+            require(v == archived(name),
+              s"restore: $name restored at version $v but the archive " +
+                s"manifest says ${archived(name)} — archive corrupt")
+            (name, v)
+          }
+          result(
+            StructType(Seq(
+              StructField("table", StringType, nullable = false),
+              StructField("version", LongType, nullable = false))),
+            rows.map { case (n, v) =>
+              new GenericInternalRow(Array[Any](utf8(n), v))
+            })
+        }
+      }
       case other => throw new RuntimeException(
         s"procedure $catalogName.system.$other not found — available: " +
-          "history, rollback, vacuum, compact, sort, zorder, stats_index")
+          All.mkString(", "))
     }
   }
+
+  /** The archive's own manifest file: written LAST by `export`, required
+    * FIRST by `restore` — the completeness certificate of the dump, the
+    * role the reference's dump tooling gives its final upload marker
+    * (process_s3.go:31-149; main.go:126 MODE=dump).
+    */
+  private val ArchiveManifest = "_graft_export"
+
+  private val exportSchema = StructType(Seq(
+    StructField("table", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("files", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false)))
+
+  /** Every managed table under the catalog root (a child dir carrying a
+    * manifest log).
+    */
+  private def managedTables(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[String] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        fs.exists(new Path(s.getPath, ManifestCommit.CommitDir)))
+      .map(_.getPath.getName)
 
   /** Parquet files in the table's CURRENT (just-committed) generation.
     * sort/zorder report this rather than echoing the requested `files`
@@ -274,5 +433,5 @@ private[sources] object GraftProcedures {
 
   val All: Array[String] = Array(
     "history", "rollback", "vacuum", "compact", "sort", "zorder",
-    "stats_index")
+    "stats_index", "export", "restore")
 }

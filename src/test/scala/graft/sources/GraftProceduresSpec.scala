@@ -245,4 +245,69 @@ class GraftProceduresSpec extends SparkSpec {
     assert(data.toSeq === data.sorted.toSeq, "sort_by must order the rewrite")
     assert(spark.sql("SELECT count(*) FROM graftp.d").head.getLong(0) === 8L)
   }
+
+  test("export/restore round-trips the catalog with version history") {
+    // a table with real history: base generation, then a deletion-vector
+    // commit, so VERSION AS OF distinguishes the restored versions
+    val dir = s"$root/exp_t"
+    (1L to 6L).map(k => (k, s"v$k")).toDF("k", "v").write.parquet(dir)
+    TableMaintenance.compact(spark, dir, targetBytes = 1 << 20)
+    val preDelete = versions(dir).max
+    // protocol-level delete (the catalog instance may predate any
+    // deleteKey conf this test could set)
+    TableMaintenance.deleteWhere(spark, dir, "k",
+      org.apache.spark.sql.functions.col("k") > 4)
+    assert(spark.sql("SELECT count(*) FROM graftp.exp_t").head.getLong(0) === 4L)
+    // a second managed table, so the archive is genuinely multi-table
+    // even when this test runs alone
+    val dir2 = s"$root/exp_u"
+    (1L to 8L).map(k => (k, k * 2)).toDF("k", "x").write.parquet(dir2)
+    TableMaintenance.compact(spark, dir2, targetBytes = 1 << 20)
+
+    val archive = java.nio.file.Files
+      .createTempDirectory("graft-archive").toString + "/arc"
+    val exported = spark.sql(
+      s"CALL graftp.system.export(dest => '$archive')").collect()
+    // the whole catalog went: every managed table this suite created
+    val names = exported.map(_.getString(0)).toSet
+    assert(names.contains("exp_t") && names.size > 1,
+      s"expected a multi-table archive, got $names")
+    exported.foreach(r => assert(r.getLong(2) > 0 && r.getLong(3) > 0L,
+      s"archived table ${r.getString(0)} must report files+bytes"))
+
+    // restore into a FRESH catalog root (the disaster-recovery shape)
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-restored").toString
+    spark.conf.set("spark.sql.catalog.graftr", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftr.root", root2)
+    val restored = spark.sql(
+      s"CALL graftr.system.restore(src => '$archive')").collect()
+    assert(restored.map(_.getString(0)).toSet === names)
+
+    // current state AND history both serve from the restored chain
+    assert(spark.sql("SELECT count(*) FROM graftr.exp_t").head.getLong(0) === 4L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graftr.exp_t VERSION AS OF $preDelete")
+      .head.getLong(0) === 6L,
+      "the restored manifest chain must serve pre-delete history")
+    assert(spark.sql("SELECT count(*) FROM graftr.exp_u").head.getLong(0) === 8L)
+
+    // an existing table refuses silent replacement…
+    val e = intercept[Exception](spark.sql(
+      s"CALL graftr.system.restore(src => '$archive', table => 'exp_t')")
+      .collect())
+    assert(e.getMessage.contains("overwrite"), e.getMessage)
+    // …and replaces under the explicit flag
+    spark.sql(s"CALL graftr.system.restore(src => '$archive', " +
+      "table => 'exp_t', overwrite => true)").collect()
+    assert(spark.sql("SELECT count(*) FROM graftr.exp_t").head.getLong(0) === 4L)
+
+    // a half-written archive (no completeness manifest) refuses to restore
+    val broken = java.nio.file.Files
+      .createTempDirectory("graft-broken").toString + "/arc"
+    new java.io.File(broken).mkdirs()
+    val e2 = intercept[Exception](spark.sql(
+      s"CALL graftr.system.restore(src => '$broken')").collect())
+    assert(e2.getMessage.contains("not a graft export archive"), e2.getMessage)
+  }
 }
