@@ -79,17 +79,32 @@ object Routers {
   def rewards(events: DataFrame): DataFrame =
     zipScores(events, "EventRewardsSettled")
 
-  private def zipScores(events: DataFrame, suffix: String): DataFrame =
+  private def zipScores(events: DataFrame, suffix: String): DataFrame = {
+    val valuesKey = if (suffix == "EventRewardsSettled") "rewards" else "scores"
     events.filter(isEvent("emissions.v", suffix))
+      // Three staged projections, not one (measured 234 s → target at
+      // sf100/120M events): (1) the attribute MAP is aliased so it
+      // builds once per row — CollapseProject keeps a multiply-referenced
+      // non-cheap alias in its own project instead of inlining five
+      // map_from_entries; (2) the zip lands as a MATERIALIZED column, so
+      // the generator explodes a ready array; (3) posexplode_OUTER —
+      // InferFiltersFromGenerate skips outer generators, so no
+      // `size(...) > 0` filter gets inferred and pushed below the
+      // projection where alias substitution would re-run both from_json
+      // per input row (the explode(expensiveExpr) trap). A null/empty
+      // zip contributes one all-null element that the numeric guard
+      // drops, so output rows are identical to the inner explode.
+      .select(col("height").as("height_tx"), attrs.as("am"))
       .select(
-        col("height").as("height_tx"),
-        attr("block_height").cast(LongType).as("height"),
-        attr("topic_id").cast(IntegerType).as("topic_id"),
-        attr("actor_type").as("type"),
-        posexplode(arrays_zip(
-          jsonStrArray(attrs.getItem("addresses")),
-          jsonStrArray(attrs.getItem(if (suffix == "EventRewardsSettled") "rewards" else "scores"))))
-          .as(Seq("pos", "z")))
+        col("height_tx"),
+        unquote(col("am").getItem("block_height")).cast(LongType).as("height"),
+        unquote(col("am").getItem("topic_id")).cast(IntegerType).as("topic_id"),
+        unquote(col("am").getItem("actor_type")).as("type"),
+        arrays_zip(
+          jsonStrArray(col("am").getItem("addresses")),
+          jsonStrArray(col("am").getItem(valuesKey))).as("zs"))
+      .select(col("height_tx"), col("height"), col("topic_id"), col("type"),
+        posexplode_outer(col("zs")).as(Seq("pos", "z")))
       .select(
         col("height_tx"), col("height"), col("topic_id"), col("type"),
         col("z.0").as("address"),
@@ -97,22 +112,26 @@ object Routers {
       .filter(validNumeric(col("raw_value")))
       .withColumn("value", dec(col("raw_value")))
       .drop("raw_value")
+  }
 
   /** EventEMAScoresSet → ema_scores rows (db.go:1246-1350): three-way
     * zip (addresses, scores, is_active).
     */
   def emaScores(events: DataFrame): DataFrame =
     events.filter(isEvent("emissions.v", "EventEMAScoresSet"))
+      // staged projections + outer explode — see [[zipScores]]
+      .select(col("height").as("height_tx"), attrs.as("am"))
       .select(
-        col("height").as("height_tx"),
-        attr("nonce").cast(LongType).as("height"),
-        attr("topic_id").cast(IntegerType).as("topic_id"),
-        attr("actor_type").as("type"),
-        posexplode(arrays_zip(
-          jsonStrArray(attrs.getItem("addresses")),
-          jsonStrArray(attrs.getItem("scores")),
-          jsonBoolArray(attrs.getItem("is_active"))))
-          .as(Seq("pos", "z")))
+        col("height_tx"),
+        unquote(col("am").getItem("nonce")).cast(LongType).as("height"),
+        unquote(col("am").getItem("topic_id")).cast(IntegerType).as("topic_id"),
+        unquote(col("am").getItem("actor_type")).as("type"),
+        arrays_zip(
+          jsonStrArray(col("am").getItem("addresses")),
+          jsonStrArray(col("am").getItem("scores")),
+          jsonBoolArray(col("am").getItem("is_active"))).as("zs"))
+      .select(col("height_tx"), col("height"), col("topic_id"), col("type"),
+        posexplode_outer(col("zs")).as(Seq("pos", "z")))
       .select(
         col("height_tx"), col("height"), col("topic_id"), col("type"),
         col("z.0").as("address"),
@@ -127,12 +146,17 @@ object Routers {
     */
   def topicRewards(events: DataFrame): DataFrame =
     events.filter(isEvent("emissions.v", "EventTopicRewardsSet"))
+      // staged projections + outer explode — see [[zipScores]]
+      .select(col("height").as("height_tx"), attrs.as("am"))
       .select(
-        col("height").as("height_tx"),
-        posexplode(arrays_zip(
-          jsonStrArray(attrs.getItem("topic_ids")),
-          jsonStrArray(attrs.getItem("rewards"))))
-          .as(Seq("pos", "z")))
+        col("height_tx"),
+        arrays_zip(
+          jsonStrArray(col("am").getItem("topic_ids")),
+          jsonStrArray(col("am").getItem("rewards"))).as("zs"))
+      .select(col("height_tx"), posexplode_outer(col("zs")).as(Seq("pos", "z")))
+      // drop only the outer explode's synthetic null row (pos is null
+      // exactly there; zip-padded real elements keep their position)
+      .filter(col("pos").isNotNull)
       .select(
         col("height_tx"),
         unquote(col("z.0")).cast(IntegerType).as("topic_id"),

@@ -119,6 +119,31 @@ object Dedup {
     if (useExact) ngramJaccardExact(sh) else ngramJaccardLsh(sh)
   }
 
+  /** The adaptive near-dup pair query over an ARBITRARY (doc_id, text)
+    * frame — the composition entry ([[graft.operators.Pipeline]] feeds it
+    * the quality+exact SURVIVORS so candidate generation never touches
+    * docs the earlier gates already dropped; at the sf100 replica's
+    * duplicate density that is the difference between a linear stage and
+    * re-paying the whole corpus). The strategy probe is one
+    * count of the input frame (text column pruned at the scan);
+    * `spark.sql.graft.jaccardCandidates` forces a side exactly as in
+    * [[ngramJaccard]].
+    */
+  private[graft] def ngramJaccardDocs(spark: SparkSession, docs: DataFrame,
+      label: String): DataFrame = {
+    val forced = spark.conf.getOption("spark.sql.graft.jaccardCandidates")
+    val useExact = forced match {
+      case Some("exact") => true
+      case Some("lsh") => false
+      case _ => docs.count() <= JaccardExactMax
+    }
+    graft.StrategyLog.record(label, if (useExact) "exact" else "lsh",
+      forced.map(f => Seq[(String, Any)]("forced" -> f))
+        .getOrElse(Seq("exactMax" -> JaccardExactMax)): _*)
+    val sh = shingledDocs(docs)
+    if (useExact) ngramJaccardExact(sh) else ngramJaccardLsh(sh)
+  }
+
   /** Exact-verification tail shared by both candidate strategies: join the
     * candidates back to the value-sorted 64-bit shingle-hash sets and
     * compute true Jaccard in one [[SortedIntersectCount]] merge pass.

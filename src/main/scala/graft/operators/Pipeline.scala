@@ -24,19 +24,30 @@ object Pipeline {
   val qualityThreshold = 0.55
 
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.BarrierOps
     val quality = TextOps.qualityScores(spark, dir).select(col("doc_id"), col("quality"))
     val exactKept = Dedup.exact(spark, dir) // doc_id, lang, source
-    // The adaptive entry, not raw minhashLsh: at the replica's designed
-    // duplicate density the un-verified banded join alone went
-    // super-linear (13.7× sf10→sf100) while ngramJaccard's seam — prefix
-    // pruning / capped banding + exact verification — stays linear; the
-    // pipeline should ride the operator's own scale switch.
-    val nearDupLosers = Dedup.ngramJaccard(spark, dir)
-      .select(col("doc_b").as("doc_id"))
-      .distinct()
-    exactKept
+    // the survivor set feeds BOTH the near-dup input and the final
+    // anti-join — materialize it once
+    val survivors = exactKept
       .join(quality, "doc_id")
       .filter(col("quality") >= qualityThreshold)
+      .barrier()
+    // Near-dup removal runs over the SURVIVORS only — the documented
+    // stage order (quality gate → exact dedup → near-dup), and the scale
+    // fix: candidate generation over the raw corpus re-paid every doc the
+    // earlier gates had already dropped, which at the sf100 replica's
+    // duplicate density made this stage super-linear (13.7× for 10×
+    // data). The pairs come from ngramJaccard's ADAPTIVE seam (prefix
+    // pruning / capped banding + exact verification), strategy-logged
+    // under its own label so artifacts show which side fired.
+    val docs = graft.Tables.fanout(graft.Tables.documents(spark, dir))
+      .join(survivors.select(col("doc_id")), "doc_id")
+      .select(col("doc_id"), col("text"))
+    val nearDupLosers = Dedup.ngramJaccardDocs(spark, docs, "pipe_near_dup")
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+    survivors
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("quality"))
       .orderBy("doc_id")
