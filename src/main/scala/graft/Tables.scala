@@ -64,6 +64,12 @@ object Tables {
       _ => java.lang.Long.valueOf(table(s, d, name).count())).longValue()
   def documentCount(s: SparkSession, d: String): Long = tableCount(s, d, "documents")
   def embeddingCount(s: SparkSession, d: String): Long = tableCount(s, d, "embeddings")
+  /** events row count — through [[events]] (which owns the ts-layout
+    * confs), not the raw table loader. */
+  def eventCount(s: SparkSession, d: String): Long =
+    countCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}#$d#events",
+      _ => java.lang.Long.valueOf(events(s, d).count())).longValue()
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 

@@ -97,6 +97,29 @@ object EventStream {
     finally prev.fold(conf.unset(key))(conf.set(key, _))
   }
 
+  /** Data-aware store width for single-input keyed-state replays
+    * (dedup, EMA): store lifecycles dominate while the replay is small —
+    * cap at 8 — but once per-batch data volume is the cost, commit
+    * parallelism wins and the session width stands. Measured at the
+    * crossover's two sides: sf0.1 capped 18 → 4.96 s; sf100 (120M
+    * events) capped 76.8 → 93.5 s (dedup) / 54.5 → 69.4 s (EMA) — so
+    * the cap applies below 50M events (parquet-footer row count,
+    * memoized) and releases above. `spark.sql.graft.streamStoreCap`
+    * overrides the width explicitly (an unbounded deployment sizes it
+    * to key cardinality). The stream-stream JOIN keeps its fixed cap of
+    * 8 regardless: four stores per partition quadruple the lifecycle
+    * cost and its horizon-bounded state stays small at every measured
+    * SF (sf100: 135–136 s capped, faster than the uncapped r12 shape).
+    */
+  private def replayStoreWidth(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int =
+    spark.conf.getOption("spark.sql.graft.streamStoreCap").map(_.toInt)
+      .getOrElse {
+        if (graft.Tables.eventCount(spark, dir) >= 50000000L)
+          Int.MaxValue // leave the session width — no cap
+        else 8
+      }
+
   /** Streaming read of the `events` table with a layout-adaptive `ts`:
     * driver-generated data stores parquet TIMESTAMP(NANOS) (declared
     * LongType under the legacy nanos conf, rebuilt at micros), while a
@@ -491,7 +514,7 @@ object EventStream {
     // split-layout side effect of Tables.events can mask it.
     val prevNanos = conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try withStoreCap(spark, 8) {
+    try withStoreCap(spark, replayStoreWidth(spark, dir)) {
       // The update stream emits one refreshed (ema, n) row per user per
       // micro-batch it appears in — O(users × batches). That frame STAGES
       // to parquet via foreachBatch (executor-side write), never a memory
@@ -623,7 +646,7 @@ object EventStream {
     // date_format buckets in the session timezone; the oracle's strftime
     // buckets raw UTC — agree only under UTC
     conf.set("spark.sql.session.timeZone", "UTC")
-    try withStoreCap(spark, 8) {
+    try withStoreCap(spark, replayStoreWidth(spark, dir)) {
       // The deduped stream is O(corpus) (one row per distinct key) — it
       // STAGES to parquet via foreachBatch (executor-side write), never a
       // memory sink: the memory sink collects every task result onto the
