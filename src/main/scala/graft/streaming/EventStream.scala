@@ -101,15 +101,17 @@ object EventStream {
     * (dedup, EMA): store lifecycles dominate while the replay is small —
     * cap at 8 — but once per-batch data volume is the cost, commit
     * parallelism wins and the session width stands. Measured at the
-    * crossover's two sides: sf0.1 capped 18 → 4.96 s; sf100 (120M
-    * events) capped 76.8 → 93.5 s (dedup) / 54.5 → 69.4 s (EMA) — so
-    * the cap applies below 50M events (parquet-footer row count,
-    * memoized) and releases above. `spark.sql.graft.streamStoreCap`
-    * overrides the width explicitly (an unbounded deployment sizes it
-    * to key cardinality). The stream-stream JOIN keeps its fixed cap of
-    * 8 regardless: four stores per partition quadruple the lifecycle
+    * crossover's two sides: sf0.1 capping 32 → 8 took the pair from
+    * ~18 s each to 4.8/4.9 s; at sf100 (120M events) a controlled A/B
+    * (same window, fresh JVM per config, min-of-2) ran width 8 at
+    * 113.3 s (dedup) / 82.2 s (EMA) vs width 32 at 94.6 / 58.6 — so the
+    * cap applies below 50M events (parquet-footer row count, memoized)
+    * and releases above. `spark.sql.graft.streamStoreCap` overrides the
+    * width explicitly (an unbounded deployment sizes it to key
+    * cardinality). The stream-stream JOIN keeps its fixed cap of 8
+    * regardless: four stores per partition quadruple the lifecycle
     * cost and its horizon-bounded state stays small at every measured
-    * SF (sf100: 135–136 s capped, faster than the uncapped r12 shape).
+    * SF (sf100: 133–136 s capped, faster than the uncapped r12 shape).
     */
   private def replayStoreWidth(spark: org.apache.spark.sql.SparkSession,
       dir: String): Int =
@@ -820,8 +822,13 @@ object EventStream {
     val prevNanos = conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // A stream-stream join spins FOUR state stores per shuffle partition
-    // — see [[withStoreCap]] for why the width is capped at 8 here.
-    try withStoreCap(spark, 8) {
+    // — see [[withStoreCap]] for why the width is capped at 8 here. The
+    // fixed cap stands at every measured SF (unlike the single-input
+    // replays, whose width releases with data volume — [[replayStoreWidth]]),
+    // but the explicit override conf still applies so a deployment can
+    // size the join width to its arrival rate.
+    try withStoreCap(spark,
+      conf.getOption("spark.sql.graft.streamStoreCap").map(_.toInt).getOrElse(8)) {
       // ONE layout resolve/build for all three branches; the default spec
       // is the time-split multi-batch layout, so the watermark advances
       // between batches and join-state eviction actually runs — state is
