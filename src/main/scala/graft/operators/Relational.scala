@@ -12,15 +12,39 @@ import graft.Tables.BarrierOps
   * layout and the topic_id indexes on every fact table), expressed TPC-H
   * style over the driver testdata.
   *
-  * Scale notes: true dimension sides (`region`, `nation`, `supplier`,
-  * `part`) are explicitly `broadcast()`; anything whose size grows with the
-  * fact data (`customer`, filtered subsets of it, per-key aggregates) is
-  * left unpinned so AQE picks broadcast vs shuffle from measured sizes.
+  * Scale notes: the schema-bounded dimensions (`region`, `nation`) are
+  * explicitly `broadcast()`; `supplier`/`part` — SF-proportional in
+  * TPC-H — get the count-aware [[dimHint]] pin instead (broadcast only
+  * while the base table is genuinely broadcast-sized); anything whose
+  * size grows with the fact data (`customer`, filtered subsets of it,
+  * per-key aggregates) is left unpinned so AQE picks broadcast vs
+  * shuffle from measured sizes.
   * Fact-fact joins shuffle on their natural keys; aggregates are
   * single-pass hash aggs with map-side partials. Doubles are rounded only
   * at the output edge (verify determinism), never mid-plan.
   */
 object Relational {
+
+  /** Broadcast pin for the SF-proportional "dimensions" (supplier,
+    * part): TPC-H grows both with scale factor (SF×10k suppliers,
+    * SF×200k parts), so a pin that is right at sf10 (2M parts, ~40 MB
+    * in memory) would replicate a multi-GB table to every executor at
+    * sf1000. The hint applies only while the BASE table's row count
+    * (parquet-footer metadata, memoized in [[Tables.tableCount]]) stays
+    * under [[DimBroadcastMaxRows]] — conservative for any filtered or
+    * projected frame derived from it; past that the frame is left
+    * unpinned, and AQE still converts to a broadcast join at runtime
+    * when the actual build side measures small, which is the right
+    * decision procedure once size depends on selectivity. region and
+    * nation stay unconditionally broadcast: bounded by the schema
+    * itself, not the scale factor.
+    */
+  private val DimBroadcastMaxRows = 4L * 1000 * 1000
+  private def dimHint(spark: SparkSession, dir: String, base: String)(
+      df: DataFrame): DataFrame =
+    if (Tables.tableCount(spark, dir, base) <= DimBroadcastMaxRows)
+      broadcast(df)
+    else df
 
   /** Multi-aggregate scan: pricing summary by return flag / line status. */
   def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
@@ -100,7 +124,7 @@ object Relational {
     val l = Tables.lineitem(spark, dir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s),
+      .join(dimHint(spark, dir, "supplier")(s),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -177,8 +201,8 @@ object Relational {
     val p = Tables.part(spark, dir)
     val s = Tables.supplier(spark, dir)
     val l = Tables.lineitem(spark, dir)
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+    l.join(dimHint(spark, dir, "part")(p), col("l_partkey") === col("p_partkey"))
+      .join(dimHint(spark, dir, "supplier")(s), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("p_brand"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
@@ -305,7 +329,8 @@ object Relational {
       .barrier()
     val best = revenue.agg(max(col("total_revenue")).as("max_revenue"))
     revenue.join(broadcast(best), col("total_revenue") === col("max_revenue"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(dimHint(spark, dir, "supplier")(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy("s_suppkey")
   }
@@ -331,7 +356,7 @@ object Relational {
   def q16PartsSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir).filter(col("p_size") <= 30)
     Tables.lineitem(spark, dir)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(dimHint(spark, dir, "part")(p), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), (floor(col("p_size") / 10) * 10).cast("int").as("size_band"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
         count(lit(1)).as("n_lines"))
@@ -415,7 +440,8 @@ object Relational {
         (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
     l.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(dimHint(spark, dir, "supplier")(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
       .filter(pairOk)
@@ -453,14 +479,15 @@ object Relational {
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
     val p = Tables.part(spark, dir).filter(col("p_type") === "PROMO")
     Tables.lineitem(spark, dir)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(dimHint(spark, dir, "part")(p), col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(cnat), col("c_nationkey") === col("c_nk"))
       .join(broadcast(Tables.region(spark, dir)
           .filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(dimHint(spark, dir, "supplier")(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(snat), col("s_nationkey") === col("s_nk"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       // exact integer units end-to-end: the share ratio is an integer
@@ -515,7 +542,8 @@ object Relational {
     val l = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
-    l.join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+    l.join(dimHint(spark, dir, "part")(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
       .agg(
         round(sum(when(col("p_type") === "PROMO",
           col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)), 2)
@@ -554,7 +582,8 @@ object Relational {
         (col("p_brand") === "Brand#33" && col("p_size").between(20, 50) &&
           col("l_quantity").between(10, 40))
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(dimHint(spark, dir, "part")(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
       .filter(branches)
       .agg(
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
@@ -682,9 +711,10 @@ object Relational {
     val snat = Tables.nation(spark, dir)
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(dimHint(spark, dir, "part")(p), col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(dimHint(spark, dir, "supplier")(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(snat), col("s_nationkey") === col("s_nk"))
       .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
       // exact 10⁻⁵-dollar units: revenue units (10⁻⁴) × 10 minus
@@ -729,7 +759,8 @@ object Relational {
     val units = (round(col("l_extendedprice") * 100).cast("long") *
       (lit(100L) - round(col("l_discount") * 100).cast("long")))
     val rev = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(dimHint(spark, dir, "supplier")(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(snat), col("s_nationkey") === col("s_nk"))
       .groupBy(col("nation"))
       .agg(sum(units).as("units"))
@@ -819,7 +850,8 @@ object Relational {
       latePairs.select(col("ok").as("o3"), col("sk").as("s3")).as("z"),
       col("x.ok") === col("o3") && col("x.sk") =!= col("s3"), "left_anti")
     soleLate
-      .join(broadcast(Tables.supplier(spark, dir)), col("sk") === col("s_suppkey"))
+      .join(dimHint(spark, dir, "supplier")(Tables.supplier(spark, dir)),
+        col("sk") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
@@ -863,7 +895,8 @@ object Relational {
       .select(col("p_partkey"))
     val pairQty = Tables.lineitem(spark, dir)
       .filter(year(col("l_shipdate")) === 1996)
-      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(dimHint(spark, dir, "part")(redParts),
+        col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
     val qualified = pairQty
@@ -874,7 +907,7 @@ object Relational {
       .groupBy(col("l_suppkey"))
       .agg(countDistinct(col("l_partkey")).as("n_parts"),
         (sum(col("qty_cents")) / 100.0).as("total_qty"))
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(dimHint(spark, dir, "supplier")(Tables.supplier(spark, dir)),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"))
@@ -927,7 +960,7 @@ object Relational {
     val cost = Tables.lineitem(spark, dir)
       // semi-filter the facts on the tiny filtered dim before aggregating:
       // the agg then runs on ~1/60th of the lines
-      .join(broadcast(p.select(col("p_partkey").as("pk"))),
+      .join(dimHint(spark, dir, "part")(p.select(col("p_partkey").as("pk"))),
         col("l_partkey") === col("pk"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cost_cents"))
@@ -935,8 +968,8 @@ object Relational {
       .withColumn("min_cents",
         min(col("cost_cents")).over(Window.partitionBy(col("l_partkey"))))
       .filter(col("cost_cents") === col("min_cents"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(dimHint(spark, dir, "part")(p), col("l_partkey") === col("p_partkey"))
+      .join(dimHint(spark, dir, "supplier")(Tables.supplier(spark, dir)),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"))
