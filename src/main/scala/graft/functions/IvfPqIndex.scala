@@ -150,12 +150,30 @@ object IvfPqIndex {
       .map("%02x".format(_)).mkString.take(16)
 
   /** Where a corpus directory's serving indexes live. Defaults to a
-    * per-user temp root (the sandbox cannot write next to the read-only
-    * testdata); a deployment sets `spark.graft.index.dir` to a path beside
-    * the data (hdfs://…, s3a://…) so the index shares the data's
-    * filesystem and lifecycle.
+    * PER-PROCESS temp root, torn down on JVM exit (the sandbox cannot
+    * write next to the read-only testdata): derived layouts — skip/split
+    * layouts, ANN inverted files, staged fixtures — are build-once
+    * serve-many only WITHIN one process, so a fresh bench or verify
+    * invocation always derives everything it serves from the parquet
+    * inputs rather than inheriting a previous process's work. A
+    * deployment sets `spark.graft.index.dir` to a path beside the data
+    * (hdfs://…, s3a://…) so the index shares the data's filesystem and
+    * lifecycle and IS reused across jobs — the cross-process reuse is a
+    * deliberate deployment opt-in, never the measurement default.
     */
   def indexRoot(spark: SparkSession): String =
-    spark.conf.get("spark.graft.index.dir",
-      sys.props("java.io.tmpdir") + "/graft_index")
+    spark.conf.get("spark.graft.index.dir", jvmRoot)
+
+  private lazy val jvmRoot: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_index_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        val s = java.nio.file.Files.walk(dir)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally s.close()
+      } catch { case _: Throwable => () }
+    }))
+    dir.toString
+  }
 }

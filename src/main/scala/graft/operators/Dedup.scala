@@ -420,41 +420,19 @@ object Dedup {
     * regardless of corpus size. The component id IS the kept doc: min
     * doc_id per cluster, the same keep-lowest rule as [[exact]].
     */
-  def components(spark: SparkSession, dir: String): DataFrame = {
-    // Fingerprint-cached (the ordersSkipLayout / eventsSplitLayout /
-    // IvfPqIndex discipline, applied a fourth time): the component
-    // labeling is a pure function of the documents snapshot and the
-    // candidate strategy, and it is the most expensive frame in the dedup
-    // family (126 s at sf100) — yet bestOfCluster and any other composer
-    // recomputed it inline on every call. Build once per (source
-    // snapshot, strategy), serve the labeled parquet after; an in-place
-    // corpus rewrite re-fingerprints and rebuilds.
-    val strat = spark.conf
-      .getOption("spark.sql.graft.jaccardCandidates").getOrElse("auto")
-    val snap = graft.functions.IvfPqIndex.snapshotId(
-      spark, s"$dir/documents.parquet")
-    val fp = s"fmt=1;src=$dir;$snap;t=$JaccT;cands=$strat"
-    val layout = graft.functions.IvfPqIndex.indexRoot(spark) +
-      s"/dd_components_${graft.functions.IvfPqIndex.pathKey(s"$dir#$strat")}"
-    val built = graft.functions.LayoutCache.serve(spark, layout, fp) {
-      staging =>
-        componentsUncached(spark, dir)
-          .write.mode("overwrite").parquet(staging.toString)
-    }
-    if (built) componentsCacheBuilds.incrementAndGet()
-    graft.StrategyLog.record("dd_components_cache",
-      if (built) "build" else "serve", "strat" -> strat)
-    spark.read.schema("doc_id BIGINT, component BIGINT").parquet(layout)
-      .orderBy("doc_id")
-  }
+  def components(spark: SparkSession, dir: String): DataFrame =
+    // Always labeled fresh from the parquet snapshot. A build-round
+    // experiment served this frame from a fingerprinted parquet cache
+    // (the skip/split-layout discipline applied to a query RESULT), but a
+    // declared query whose timed runs read back their own previous answer
+    // measures the filesystem, not the engine — the optimization round's
+    // measurement rules treat persisted query outputs keyed on the bench
+    // corpus as result caching, so the labeling runs per call and
+    // composers amortize it within their own call instead
+    // (see [[bestOfCluster]]).
+    componentsUncached(spark, dir)
 
-  /** Spec hook: how many cached component builds ran in this JVM
-    * (serving twice must build once).
-    */
-  private[graft] val componentsCacheBuilds =
-    new java.util.concurrent.atomic.AtomicInteger(0)
-
-  /** The uncached labeling behind [[components]] — one adaptive pair
+  /** The labeling behind [[components]] — one adaptive pair
     * query + connected components.
     */
   private[operators] def componentsUncached(spark: SparkSession,

@@ -139,29 +139,6 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("components cache builds once, serves twice, equals the uncached labeling") {
-    // hermetic index root (the ScaleSpec discipline): the suite-shared
-    // root may already hold this corpus's components from an earlier test
-    val prev = spark.conf.getOption("spark.graft.index.dir")
-    spark.conf.set("spark.graft.index.dir",
-      java.nio.file.Files.createTempDirectory("graft-comp-idx").toString)
-    try {
-      val before = Dedup.componentsCacheBuilds.get
-      val first = Dedup.components(spark, sfDir).collect().map(_.toSeq)
-      assert(Dedup.componentsCacheBuilds.get === before + 1,
-        "first call must build the components layout")
-      val second = Dedup.components(spark, sfDir).collect().map(_.toSeq)
-      assert(Dedup.componentsCacheBuilds.get === before + 1,
-        "second call must serve the fingerprinted layout, not relabel")
-      assert(second.toSeq === first.toSeq)
-      val uncached = Dedup.componentsUncached(spark, sfDir)
-        .collect().map(_.toSeq)
-      assert(first.toSeq === uncached.toSeq,
-        "cached labels must equal a fresh labeling of the same snapshot")
-    } finally prev.fold(spark.conf.unset("spark.graft.index.dir"))(
-      spark.conf.set("spark.graft.index.dir", _))
-  }
-
   test("driver union-find and distributed propagation label identically") {
     // same pair graph through both adaptive paths of componentsFrom: the
     // edge cap only changes the execution strategy, never the labels
