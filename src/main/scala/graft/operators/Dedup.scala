@@ -689,9 +689,29 @@ object Dedup {
     * passes at sf100 in the r12 shape).
     */
   def bestOfCluster(spark: SparkSession, dir: String): DataFrame = {
-    val comp = components(spark, dir)
-    val q = TextOps.qualityScores(spark, dir).select(col("doc_id"), col("quality"))
-    comp.join(q, "doc_id")
+    import graft.Tables.BarrierOps
+    // The labels feed two plan branches (the member prune and the final
+    // keeper join) — materialize once or the whole pair pipeline runs
+    // twice. The barriered frame's count doubles as the broadcast probe.
+    val comp = components(spark, dir).barrier()
+    val nMembers = comp.count()
+    // Members — docs in ≥1 near-dup pair — are orders of magnitude fewer
+    // than the corpus, so quality math runs on THEM only: prune the
+    // documents scan with a member join BEFORE the word-split/regex
+    // projection instead of scoring every doc and joining after. Under
+    // the probe bound the member list rides a broadcast hash join (≤
+    // ~160 MB built, no corpus shuffle); an extraordinarily dense pair
+    // graph falls back to a shuffled join rather than an OOM-sized
+    // broadcast.
+    val small = nMembers <= 20000000L
+    graft.StrategyLog.record("dd_best_of_cluster",
+      if (small) "broadcast" else "shuffle", "members" -> nMembers)
+    def pin(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val docs = graft.Tables.fanout(graft.Tables.documents(spark, dir))
+      .join(pin(comp.select(col("doc_id"))), "doc_id")
+      .select(col("doc_id"), col("text"))
+    val q = TextOps.qualityScoresDocs(docs).select(col("doc_id"), col("quality"))
+    q.join(pin(comp), "doc_id")
       .groupBy(col("component"))
       .agg(
         max(struct(col("quality"), (-col("doc_id")).as("nd"))).as("best"),

@@ -54,8 +54,17 @@ object TextOps {
     * against: a global 100 TB sort for an order the downstream join or
     * heap immediately destroys is pure waste.
     */
-  private[graft] def qualityScores(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  private[graft] def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    qualityScoresDocs(Tables.documents(spark, dir))
+
+  /** [[qualityScores]] over an ARBITRARY (doc_id, text) frame — the
+    * composition entry for operators that only need scores for a
+    * SUBSET of the corpus (best-of-cluster scores cluster members
+    * only): pruning the rows BEFORE this projection skips the
+    * word-split/regex work for every doc the caller already dropped,
+    * which a join placed after the projection would still pay.
+    */
+  private[graft] def qualityScoresDocs(d: DataFrame): DataFrame = {
     val ws = words(col("text"))
     val base = d.select(
       col("doc_id"),

@@ -170,12 +170,29 @@ object EventStream {
     new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The number of time-ordered files a bounded gate replay is split
-    * into (`spark.sql.graft.streamReplaySplits`, default 8; ≤1 disables
+    * into (`spark.sql.graft.streamReplaySplits` overrides; ≤1 disables
     * the split and replays the raw single-file table in one batch).
+    *
+    * DATA-AWARE default, the [[replayStoreWidth]] discipline applied to
+    * batch count: every micro-batch pays a fixed state-store
+    * setup/commit lifecycle per store instance, so while the table is
+    * small that fixed cost dominates the replay (measured at sf0.1:
+    * stream_purchase_context spent ~1 s/batch of pure lifecycle across
+    * its four stores per partition). Batches are therefore sized to
+    * carry ≥ ~500k events each, floored at 2 — the watermark must
+    * advance mid-replay at least once or eviction never exercises and
+    * state grows to the whole input, the exact single-batch defect the
+    * split exists to prevent — and capped at 8, the deployable default
+    * (at sf10+ the cap binds and the shape is unchanged). The count is
+    * the memoized parquet-footer probe, not a data pass.
     */
-  private def replaySplits(spark: org.apache.spark.sql.SparkSession): Int =
+  private def replaySplits(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int =
     spark.conf.getOption("spark.sql.graft.streamReplaySplits")
-      .map(_.toInt).getOrElse(8)
+      .map(_.toInt).getOrElse {
+        val n = graft.Tables.eventCount(spark, dir)
+        math.max(2, math.min(8, (n / 500000L).toInt))
+      }
 
   /** Build-once TIME-SPLIT replay layout for the events table: the one
     * driver-layout file re-written as `splits` parquet files covering
@@ -262,7 +279,7 @@ object EventStream {
         ReplaySpec(dir, userGlob.get, maxFiles,
           eventsTsIsLong(spark, dir), "user")
       else {
-        val k = replaySplits(spark)
+        val k = replaySplits(spark, dir)
         if (k <= 1)
           ReplaySpec(dir, "events.parquet", maxFiles,
             eventsTsIsLong(spark, dir), "single")
