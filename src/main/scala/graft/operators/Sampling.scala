@@ -229,6 +229,13 @@ object Sampling {
     */
   private[operators] def packDocs(toksIn: DataFrame, budget: Int): DataFrame = {
     val blockSize = 1000L // documents per segment; caps every window partition
+    // NOT barriered, deliberately (measured r14-opt): the two branches
+    // (block totals + offset join) do re-read the input lineage, but
+    // every expensive stage a composer feeds this (pipe_training_set's
+    // near-dup candidates, signatures) is already materialized behind
+    // its own internal barrier, so the re-read is joins over
+    // block-manager frames — an extra eager localCheckpoint here
+    // measured ~1 s SLOWER at sf0.1 than the re-read it avoids
     val toks = toksIn.withColumn("block", floor(col("doc_id") / blockSize))
     val blockTotals = toks.groupBy(col("lang"), col("block"))
       .agg(sum(col("n_tokens")).as("block_tokens"))

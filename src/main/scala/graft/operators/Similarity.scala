@@ -622,24 +622,33 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
     var cents = q.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("q").as("c"))
+    // Assignment is a PURE PROJECTION: the k centroids collapse to one
+    // collected array row, broadcast into the scan, and `array_min` over
+    // the per-centroid (dist, cid) structs is the exact argmin (struct
+    // ordering = lexicographic on (dist, cid): min distance, ties to the
+    // smaller cluster id — the min_by ordering it replaces). The previous
+    // shape cross-joined every vector against the k centroid ROWS and
+    // re-grouped by vec_id to pick the min, which exchanged the full
+    // quantized-vector payload once per round — 5 corpus-wide shuffles
+    // whose only purpose was an argmin over 8 values already computable
+    // row-locally. Per round the only exchange left is the ≤k-row
+    // map-combined centroid aggregate.
+    def centArr(c: org.apache.spark.sql.DataFrame) =
+      c.agg(collect_list(struct(col("cid"), col("c"))).as("cs"))
+    def assigned(cs: org.apache.spark.sql.DataFrame) =
+      q.crossJoin(broadcast(cs))
+        .select(col("vec_id"), col("q"),
+          array_min(transform(col("cs"), e =>
+            struct(sqDist(col("q"), e.getField("c")).as("dist"),
+              e.getField("cid").as("cid")))).as("w"))
     for (_ <- 1 to iters) {
-      val assigned = q.join(broadcast(cents))
-        .select(col("vec_id"), col("q"), col("cid"),
-          sqDist(col("q"), col("c")).as("dist"))
-        .groupBy(col("vec_id"))
-        .agg(min_by(struct(col("cid"), col("q")),
-          struct(col("dist"), col("cid"))).as("w"))
-      cents = assigned
+      cents = assigned(centArr(cents))
         .groupBy(col("w.cid").as("cid"))
-        .agg(VecSumDoubles(col("w.q")).as("s"), count(lit(1)).as("cnt"))
+        .agg(VecSumDoubles(col("q")).as("s"), count(lit(1)).as("cnt"))
         .select(col("cid"),
           transform(col("s"), s => floor(s / col("cnt")).cast("double")).as("c"))
     }
-    q.join(broadcast(cents))
-      .select(col("vec_id"), col("cid"), sqDist(col("q"), col("c")).as("dist"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("cid"), col("dist")),
-        struct(col("dist"), col("cid"))).as("w"))
+    assigned(centArr(cents))
       .select(col("vec_id"), col("w.cid").as("cluster"),
         col("w.dist").cast("long").as("dist"))
       .orderBy("vec_id")

@@ -1147,6 +1147,16 @@ object TextOps {
     val d = Tables.fanout(Tables.documents(spark, dir))
     val toks = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
       .barrier() // the LM counts and the per-doc counts both read this
+    ccnetBucketsFrom(toks)
+  }
+
+  /** [[ccnetBuckets]] over an already-materialized (doc_id, term) token
+    * frame — the composition entry: [[nbQuality]] needs both the bucket
+    * labels and its own hashed-feature view of the SAME tokens, so it
+    * tokenizes the corpus once and both consumers read that barrier
+    * instead of each paying the full explode again.
+    */
+  private[operators] def ccnetBucketsFrom(toks: DataFrame): DataFrame = {
     val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val totals = counts.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
     val perDoc = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("k"))
@@ -1242,15 +1252,31 @@ object TextOps {
     */
   def nbQuality(spark: SparkSession, dir: String): DataFrame = {
     val B = 4096
-    val cb = ccnetBuckets(spark, dir).select(col("doc_id"), col("bucket"))
-      .barrier() // labels, prior, and the output join all read this
+    // ONE corpus tokenize serves both the perplexity tiering and the NB
+    // features: the barrier carries (doc_id, term, f) so ccnetBuckets
+    // reads the term column and the classifier reads the hashed feature
+    // — previously each side paid its own full explode over the corpus.
     val d = Tables.fanout(Tables.documents(spark, dir))
-    val toks = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
-      .select(col("doc_id"),
+    val toksAll = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .select(col("doc_id"), col("term"),
         (conv(substring(md5(col("term").cast("binary")), 1, 8), 16, 10)
           .cast("long") % B).as("f"))
-      .barrier() // training counts + the scoring join both read this
-    val cnt = toks.join(cb, "doc_id").filter(col("bucket") =!= 1)
+      .barrier()
+    val cb = ccnetBucketsFrom(toksAll.select(col("doc_id"), col("term")))
+      .select(col("doc_id"), col("bucket"))
+      .barrier() // labels, prior, and the output join all read this
+    // The bucket frame is ONE ROW PER DOCUMENT — orders of magnitude
+    // smaller than the token stream it joins. Left to size estimates the
+    // planner sort-merge-joins them, shuffling every token row by doc_id;
+    // pinning the label side broadcast under a document-count probe
+    // removes that exchange outright (the training counts then map-side
+    // combine into 4096 feature keys with no corpus-wide shuffle at all).
+    val cbSmall = graft.Tables.documentCount(spark, dir) <= 8000000L
+    graft.StrategyLog.record("text_nb_quality",
+      if (cbSmall) "broadcast_labels" else "shuffle_labels")
+    def pinCb(df: DataFrame): DataFrame = if (cbSmall) broadcast(df) else df
+    val toks = toksAll.select(col("doc_id"), col("f"))
+    val cnt = toks.join(pinCb(cb), "doc_id").filter(col("bucket") =!= 1)
       .groupBy(col("f")).agg(
         sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("c_pos"),
         sum(when(col("bucket") === 2, 1L).otherwise(0L)).as("c_neg"))
@@ -1284,7 +1310,7 @@ object TextOps {
     val sc = toks.join(broadcast(w), Seq("f"), "left").crossJoin(broadcast(wd))
       .groupBy(col("doc_id"))
       .agg(sum(coalesce(col("w"), col("w0"))).as("like_micro"))
-    cb.join(sc, "doc_id")
+    pinCb(cb).join(sc, "doc_id")
       .select(col("doc_id"), col("bucket"),
         (col("like_micro") + prior).as("score_micro"),
         ((col("like_micro") + prior) > 0).as("pred"))
