@@ -1015,12 +1015,18 @@ object Similarity {
       .groupBy(col("label").as("c_label"))
       .agg(graft.functions.VecSumDoubles(col("q")).as("s"), count(lit(1)).as("n"))
       .select(col("c_label"), transform(col("s"), x => floor(x / col("n"))).as("c"))
+    // Row-local argmin over the collected centroid array (the kmeans
+    // rewrite, same exact (dist, label) tie order as the min_by it
+    // replaces): the BNL-join + re-group shape exchanged the full test
+    // half by vec_id just to pick the nearest of a handful of centroids.
+    val centsArr = cents.agg(collect_list(struct(col("c_label"), col("c"))).as("cs"))
     val pred = q.filter(col("vec_id") % 2 =!= 0)
-      .join(broadcast(cents))
-      .select(col("vec_id"), col("label"), col("c_label"),
-        sqDist(col("q"), col("c")).as("dist"))
-      .groupBy(col("vec_id"), col("label"))
-      .agg(min_by(col("c_label"), struct(col("dist"), col("c_label"))).as("pred"))
+      .crossJoin(broadcast(centsArr))
+      .select(col("vec_id"), col("label"),
+        array_min(transform(col("cs"), e =>
+          struct(sqDist(col("q"), e.getField("c")).as("dist"),
+            e.getField("c_label").as("c_label"))))
+          .getField("c_label").as("pred"))
     pred.groupBy(col("label"), col("pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "pred")
