@@ -85,7 +85,19 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalMax = if (samples.nonEmpty) samples.values.map(_.last).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$timedRuns,"total_max":$totalMax,"failed":$failedJson,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$timedRuns,"total_max":$totalMax,"failed":$failedJson,"queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The full line above is ~10-15 KB for the whole suite, and a harness
+    // that keeps only a bounded stdout tail cannot parse it (observed:
+    // every round's captured bench ends mid-line). Persist the full
+    // per-query JSON to a file for diffing, and END stdout with a compact
+    // line (same metric/value/unit/sf contract, well under 2 KB) so a
+    // tail-bounded consumer always has one complete parseable JSON line.
+    val benchFile = new java.io.File("bench_full.json")
+    val w = new java.io.PrintWriter(benchFile, "UTF-8")
+    try w.println(fullLine) finally w.close()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$timedRuns,"total_max":$totalMax,"failed":$failedJson,"n_queries":${results.size},"queries_file":"${benchFile.getAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -64,24 +64,35 @@ object TextOps {
     * word-split/regex work for every doc the caller already dropped,
     * which a join placed after the projection would still pay.
     */
-  private[graft] def qualityScoresDocs(d: DataFrame): DataFrame = {
+  private[graft] def qualityScoresDocs(d: DataFrame): DataFrame =
+    qualityScoresDocsKeep(d, Nil)
+
+  /** [[qualityScoresDocs]] with caller-supplied PASSTHROUGH columns
+    * evaluated in the same scan projection — the fusion seam for
+    * composers that need quality plus other text-derived columns (the
+    * pipeline's exact-dedup digest) without paying a second corpus scan
+    * and a doc_id join to line them up.
+    */
+  private[graft] def qualityScoresDocsKeep(d: DataFrame,
+      keep: Seq[Column]): DataFrame = {
     val ws = words(col("text"))
     val base = d.select(
-      col("doc_id"),
-      size(ws).cast("double").as("n_words"),
-      size(array_distinct(ws)).cast("double").as("n_uniq"),
-      size(filter(ws, w => w.isin("the", "a"))).cast("double").as("n_stop"),
-      length(regexp_replace(col("text"), "\\s", "")).cast("double").as("n_nonspace"))
+      col("doc_id") +: keep :+
+      size(ws).cast("double").as("n_words") :+
+      size(array_distinct(ws)).cast("double").as("n_uniq") :+
+      size(filter(ws, w => w.isin("the", "a"))).cast("double").as("n_stop") :+
+      length(regexp_replace(col("text"), "\\s", "")).cast("double").as("n_nonspace"): _*)
+    val keepNames = keep.map(c => col(d.select(c).columns.head))
     base.select(
-      col("doc_id"),
-      col("n_words").cast("long").as("n_words"),
-      trunc4(col("n_stop") / col("n_words")).as("stop_ratio"),
-      trunc4(col("n_uniq") / col("n_words")).as("uniq_ratio"),
-      trunc4(col("n_nonspace") / col("n_words")).as("avg_word_len"),
+      col("doc_id") +: keepNames :+
+      col("n_words").cast("long").as("n_words") :+
+      trunc4(col("n_stop") / col("n_words")).as("stop_ratio") :+
+      trunc4(col("n_uniq") / col("n_words")).as("uniq_ratio") :+
+      trunc4(col("n_nonspace") / col("n_words")).as("avg_word_len") :+
       trunc4(
         lit(0.4) * (col("n_uniq") / col("n_words")) +
         lit(0.3) * (lit(1.0) - col("n_stop") / col("n_words")) +
-        lit(0.3) * least(lit(1.0), col("n_words") / lit(100.0))).as("quality"))
+        lit(0.3) * least(lit(1.0), col("n_words") / lit(100.0))).as("quality"): _*)
   }
 
   val qualityOracle: String =

@@ -807,31 +807,164 @@ object EventStream {
     }
   }
 
-  /** The batch `ev_purchase_context` interval join under STREAMING
-    * semantics — a watermarked stream-stream interval join, the
-    * reference's event-correlation surface as live state. Both sides
-    * stream from the events table; a purchase joins the same user's
-    * views in `[pts − 1h, pts)`.
+  /** Per-user state for [[purchaseContextStreamed]]'s single-store path:
+    * a sorted buffer of the user's view timestamps (micros) within the
+    * 1-hour correlation horizon, maintained as `ListState`. One store
+    * per partition, versus the FOUR a stream-stream join spins (two per
+    * side), which at the bounded-replay batch counts made store
+    * setup/commit lifecycles the dominant cost of the query at every SF
+    * (sf100: 133 s, ~4× the per-event work).
     *
-    * Zero-view purchases come from a stateless marker branch (one null
-    * row per purchase, unioned with the join output) rather than a
-    * LEFT OUTER join: outer null rows only flush when the watermark
-    * passes `pts` STRICTLY, so the replay's final purchase — sitting
-    * exactly AT the terminal watermark — would be stranded forever (off
-    * by one vs batch, observed before this shape). The inner join's
-    * matches emit on arrival with no eviction dependency at all, the
-    * marker branch is stateless (append emits everything immediately),
-    * and `count(vts)` ignores the marker nulls — so every purchase
-    * appears exactly once with its exact view count. Watermarks still
-    * bound the join state on both sides, which is what makes the same
-    * plan deployable unbounded. The per-purchase count is the bounded
-    * materialization of the append output (a non-windowed group on
-    * purchase_id can't finalize in append mode in-stream; the purchase
-    * domain is the bounded dimension). Gate-checked against the same
-    * DuckDB oracle as the batch query; EventStreamSpec additionally
-    * pins row-for-row equality with `Events.purchaseContext`.
+    * Correctness leans on the replay admission order the split layout
+    * guarantees (see [[eventsSplitLayout]]): files cover disjoint
+    * ascending (ts, event_id) ranges, so every event in a later batch
+    * has ts ≥ every event in this one. A purchase only counts STRICTLY
+    * EARLIER views (`vts < pts`), hence all its matches are in its own
+    * or earlier batches — by the time the purchase row is processed
+    * (within-batch rows are sorted by (ts, event_id) first), its full
+    * view window is in the buffer. Same-timestamp views are excluded by
+    * the `vts < pts` bound regardless of processing order, exactly like
+    * the join condition. Eviction: a future purchase has
+    * pts ≥ the key's max seen ts, so views with
+    * vts < maxTs − 1h can never be counted again and are dropped —
+    * state is bounded by the per-user view rate over the horizon, the
+    * same bound the join's watermark eviction gives.
+    */
+  private class PurchaseContextProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long, Boolean), (Long, Long)] {
+    @transient private var views: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      views = getHandle.getListState[Long](
+        "views", Encoders.scalaLong, TTLConfig.NONE)
+
+    private val HourMicros = 3600000000L
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, Boolean)],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      // buffer stays ascending: restored ascending, batch rows processed
+      // in (ts, event_id) order, views appended at the tail
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      views.get().foreach(buf += _)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      // sort by (ts, event_id): the within-batch event-time order (ids
+      // are assigned in ts order, so ties break deterministically)
+      val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+      sorted.foreach { case (_, eventId, ts, isPurchase) =>
+        if (isPurchase) {
+          val lo = ts - HourMicros
+          // count buffered views in [pts − 1h, pts): binary search both
+          // bounds of the ascending buffer
+          var l = 0; var r = buf.length
+          while (l < r) { val m = (l + r) >>> 1; if (buf(m) < lo) l = m + 1 else r = m }
+          val first = l
+          l = first; r = buf.length
+          while (l < r) { val m = (l + r) >>> 1; if (buf(m) < ts) l = m + 1 else r = m }
+          out += ((eventId, (l - first).toLong))
+        } else buf += ts
+      }
+      // evict views no future purchase (pts ≥ maxTs) can count
+      if (sorted.nonEmpty) {
+        val maxTs = sorted.last._3
+        val cut = maxTs - HourMicros
+        val survivors = buf.dropWhile(_ < cut)
+        if (survivors.isEmpty) views.clear()
+        else views.put(survivors.toArray)
+      }
+      out.iterator
+    }
+  }
+
+  /** The batch `ev_purchase_context` interval join under STREAMING
+    * semantics — the reference's event-correlation surface as live
+    * state. A purchase joins the same user's views in `[pts − 1h, pts)`.
+    *
+    * Two implementations compute the identical result
+    * (`spark.sql.graft.streamPurchaseImpl` ∈ {state (default), join},
+    * strategy-logged; EventStreamSpec pins them row-identical and both
+    * against the batch join):
+    *
+    *  - **state** (default): ONE `transformWithState` operator keyed by
+    *    user — [[PurchaseContextProcessor]] buffers the horizon's views
+    *    per user and emits each purchase's final count the moment the
+    *    purchase row is processed. One state store per partition, one
+    *    read of each replay file per batch, and the staged frame is
+    *    O(purchases). Chosen because the join path's cost at every
+    *    measured SF was store lifecycles × batches, not per-event work
+    *    (4 stores/partition/batch), plus three separate stream branches
+    *    re-reading every replay file and an O(join pairs) staging.
+    *  - **join**: the watermarked stream-stream interval join, kept for
+    *    deployments that want engine-managed join state (unbounded
+    *    sources, speculative replays). Zero-view purchases come from a
+    *    stateless marker branch (one null row per purchase, unioned with
+    *    the join output) rather than a LEFT OUTER join: outer null rows
+    *    only flush when the watermark passes `pts` STRICTLY, so the
+    *    replay's final purchase — sitting exactly AT the terminal
+    *    watermark — would be stranded forever (off by one vs batch,
+    *    observed before this shape). The per-purchase count is the
+    *    bounded materialization of the append output.
+    *
+    * Gate-checked against the same DuckDB oracle as the batch query;
+    * EventStreamSpec additionally pins row-for-row equality with
+    * `Events.purchaseContext`.
     */
   def purchaseContextStreamed(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val impl = spark.conf
+      .getOption("spark.sql.graft.streamPurchaseImpl").getOrElse("state")
+    graft.StrategyLog.record("stream_purchase_context", impl)
+    if (impl == "join") purchaseContextJoin(spark, dir)
+    else purchaseContextState(spark, dir)
+  }
+
+  /** The single-store path of [[purchaseContextStreamed]]. */
+  private def purchaseContextState(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.conf
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = conf.getOption(provKey)
+    conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val prevNanos = conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try withStoreCap(spark, replayStoreWidth(spark, dir)) {
+      val spec = resolveReplay(spark, dir)
+      // one stream branch: purchases and views ride the same shuffle,
+      // (ts, event_id) as plain micros/longs through the typed boundary
+      val typed = replayStream(spark, spec)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"),
+          (col("event_type") === "purchase").as("is_purchase"))
+        .as(Encoders.product[(Long, Long, Long, Boolean)])
+      val counted = typed
+        .groupByKey(_._1)(Encoders.scalaLong)
+        .transformWithState(new PurchaseContextProcessor, TimeMode.None(),
+          OutputMode.Update())(Encoders.product[(Long, Long)])
+        .toDF("purchase_id", "n_views_1h")
+      // each purchase is emitted exactly once (it appears in exactly one
+      // micro-batch), so the staged frame is already the final relation
+      val staged = stageReplay(spark, outputMode = "update", counted) {
+        (b, tmp) => b.write.mode("append").parquet(tmp)
+      }
+      try {
+        val out = spark.read
+          .schema("purchase_id BIGINT, n_views_1h BIGINT")
+          .parquet(staged)
+          .orderBy("purchase_id")
+        val rows = out.collect().toIndexedSeq
+        spark.createDataFrame(rows.asJava, out.schema)
+      } finally deleteStaged(spark, staged)
+    } finally {
+      prevProv.fold(conf.unset(provKey))(conf.set(provKey, _))
+      prevNanos.fold(conf.unset("spark.sql.legacy.parquet.nanosAsLong"))(
+        conf.set("spark.sql.legacy.parquet.nanosAsLong", _))
+    }
+  }
+
+  /** The stream-stream join path of [[purchaseContextStreamed]]. */
+  private def purchaseContextJoin(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.types._

@@ -317,6 +317,22 @@ class EventStreamSpec extends SparkSpec {
       "the stream-stream interval join must compute exactly the batch join")
   }
 
+  test("purchase context state path and stream-stream join path are row-identical") {
+    val key = "spark.sql.graft.streamPurchaseImpl"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "join")
+      val joined = EventStream.purchaseContextStreamed(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      spark.conf.set(key, "state")
+      val state = EventStream.purchaseContextStreamed(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(state.toSeq === joined.toSeq,
+        "the single-store view-buffer processor must compute exactly the " +
+          "stream-stream interval join's result")
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("transformWithState maintains per-user EMA across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
